@@ -16,10 +16,19 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = SparkEntry.entry(spark).count()
-    println(s"[smoke] entry rows=$n ${if (n > 0) "OK" else "FAIL"}")
-    args.headOption.foreach { q =>
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")
+    if (args.isEmpty) {
+      val n = SparkEntry.entry(spark).count()
+      println(s"[smoke] entry rows=$n ${if (n > 0) "OK" else "FAIL"}")
+    } else {
+      val q = args(0)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      if (sys.env.contains("EXPLAIN"))
+        SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"[smoke] $q run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
     }
     spark.stop()
   }

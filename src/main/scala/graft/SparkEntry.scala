@@ -10,7 +10,8 @@ import graft.pipelines._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    ReportPipelines.all ++ ScalarQueries.all ++ AggQueries.all
+    ReportPipelines.all ++ ScalarQueries.all ++ AggQueries.all ++
+      JoinQueries.all ++ FanoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
