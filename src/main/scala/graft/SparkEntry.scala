@@ -10,12 +10,12 @@ import graft.pipelines._
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    ReportPipelines.all ++ ScalarQueries.all ++ AggQueries.all ++
-      JoinQueries.all ++ FanoutQueries.all
+    ReportPipelines.all ++ EntityPipelines.all ++ ScalarQueries.all ++
+      AggQueries.all ++ JoinQueries.all ++ FanoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    ReportPipelines.orgExport.run(spark, "/root/testdata/sf0.001")
+    ReportPipelines.opportunityExport.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
