@@ -11,7 +11,9 @@ object SparkEntry {
 
   private def registry: Seq[QueryDef] =
     ReportPipelines.all ++ EntityPipelines.all ++ ScalarQueries.all ++
-      AggQueries.all ++ JoinQueries.all ++ FanoutQueries.all
+      AggQueries.all ++ JoinQueries.all ++ FanoutQueries.all ++
+      llm.DedupQueries.all ++ llm.SimilarityQueries.all ++
+      llm.TextQueries.all ++ llm.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

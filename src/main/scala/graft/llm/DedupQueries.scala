@@ -1,0 +1,270 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.llm.TextOps._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-group), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (signature → band → bucket-join → verify), SimHash (bit-vote →
+  * chunk-band → hamming).
+  *
+  * Scale design: every algorithm here is the posting-list formulation —
+  * no doc×doc cross join ever materializes. Candidate generation is a
+  * shuffle on shingle/band/chunk keys whose fan-out is bounded by the
+  * data (banding for MinHash, 15-bit chunks for SimHash), then exact
+  * verification runs only on candidates. This is the shape that holds
+  * at 100 TB; thresholds are data-independent constants.
+  */
+object DedupQueries {
+
+  private val P = 1000000007L
+  // 8 minhash permutations h_i(x) = (A_i·x + B_i) mod P
+  private val A = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
+  private val B = Seq(17L, 29L, 43L, 59L, 71L, 89L, 97L, 113L)
+
+  /** Exact dedup: fingerprint = md5 of the whitespace-normalized text;
+    * group members point at the minimum doc_id as keeper.
+    */
+  val dedupExact: QueryDef = QueryDef.sql(
+    "x_dedup_exact",
+    """WITH f AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |       min(doc_id) OVER (PARTITION BY fp) AS keeper_id,
+      |       CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fp)
+      |            THEN 'TRUE' ELSE 'FALSE' END AS is_duplicate
+      |FROM f""") { (s, d) =>
+    val f = Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val w = Window.partitionBy("fp")
+    f.select(
+      col("doc_id"), col("fp"),
+      min("doc_id").over(w).as("keeper_id"),
+      when(col("doc_id") =!= min("doc_id").over(w), "TRUE")
+        .otherwise("FALSE").as("is_duplicate"))
+  }
+
+  /** N-gram Jaccard near-dup, two-phase: candidates must share a RARE
+    * shingle (document frequency ≤ 8 — prunes the df² blowup that
+    * common shingles cause in a naive postings self-join), then the
+    * exact overlap/union is verified on the FULL shingle sets,
+    * j ≥ 0.8 as the exact-integer test 5·overlap ≥ 4·union.
+    *
+    * This is the formulation that survives scale: candidate volume is
+    * bounded by Σ df² over rare shingles only, and verification cost
+    * is candidates × doc-size. Near-dup pairs (sharing ~all shingles)
+    * virtually always share a rare one, so recall is preserved.
+    */
+  val dedupNgram: QueryDef = QueryDef.sql(
+    "x_dedup_ngram",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |ver AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+      |  FROM cand c
+      |  JOIN sh pa ON pa.doc_id = c.doc_a
+      |  JOIN sh pb ON pb.doc_id = c.doc_b AND pa.shingle = pb.shingle
+      |  GROUP BY 1, 2)
+      |SELECT v.doc_a, v.doc_b, v.overlap, ca.n AS n_a, cb.n AS n_b,
+      |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+      |FROM ver v
+      |JOIN cnt ca ON v.doc_a = ca.doc_id
+      |JOIN cnt cb ON v.doc_b = cb.doc_id
+      |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""") { (s, d) =>
+    val sh = shinglePostings(Tables.documents(s, d), 3).cache()
+    sh.count() // materialize the index once; 5 branches below reuse it
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 8).select("shingle")
+    val a = sh.join(rare, "shingle").select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val cand = a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pa = sh.select(col("doc_id").as("da2"), col("shingle").as("sh_a"))
+    val pb = sh.select(col("doc_id").as("db2"), col("shingle").as("sh_b"))
+    val ver = cand
+      .join(pa, col("doc_a") === col("da2"))
+      .join(pb, col("doc_b") === col("db2") && col("sh_a") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    ver
+      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
+      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
+      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
+        (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
+  }
+
+  /** (doc, sid) postings keyed by dictionary id — shared by MinHash
+    * and SimHash.
+    */
+  /** Cached + materialized: the postings index fans out to several
+    * branches (signature, counts, both verify sides) — without the
+    * cache the whole tokenize/shingle chain recomputes per branch.
+    * The eager count() is the index-build step of the pipeline.
+    */
+  private def sidPostings(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sh = shinglePostings(Tables.documents(s, d), 3)
+    val post = sh.join(shingleDict(sh), "shingle").select("doc_id", "sid").cache()
+    post.count()
+    post
+  }
+
+  private val sidPostingsSql =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |dict AS (
+      |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |  FROM (SELECT DISTINCT shingle FROM sh)),
+      |post AS (SELECT s.doc_id, d2.sid FROM sh s JOIN dict d2 ON s.shingle = d2.shingle)""".stripMargin
+
+  /** MinHash signatures: 8 modular permutations over dictionary ids,
+    * min per doc. Exact integers → engine-reproducible.
+    */
+  val minhashSignature: QueryDef = QueryDef.sql(
+    "x_minhash_signature",
+    s"""WITH $sidPostingsSql
+       |SELECT doc_id,
+       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+           s"       min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
+       |FROM post GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val post = sidPostings(s, d)
+    post.groupBy("doc_id").agg(
+      min((col("sid") * A(0) + B(0)) % P).as("h0"),
+      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("sid") * a + b) % P).as(s"h$i")
+      }: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: 4 bands × 2 rows; candidates share a
+    * band bucket; candidates are then verified with the exact Jaccard
+    * (same inverted-index formulation as x_dedup_ngram), j ≥ 0.8.
+    * The band join is what makes this sub-quadratic at scale.
+    */
+  val minhashLshPairs: QueryDef = QueryDef.sql(
+    "x_minhash_lsh_pairs",
+    s"""WITH $sidPostingsSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+           s"         min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
+       |  FROM post GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+       |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.doc_a
+       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
+       |  GROUP BY 1, 2)
+       |SELECT v.doc_a, v.doc_b,
+       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+       |FROM ver v
+       |JOIN cnt ca ON v.doc_a = ca.doc_id
+       |JOIN cnt cb ON v.doc_b = cb.doc_id
+       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
+    val post = sidPostings(s, d)
+    val sig = post.groupBy("doc_id").agg(
+      min((col("sid") * A(0) + B(0)) % P).as("h0"),
+      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("sid") * a + b) % P).as(s"h$i")
+      }: _*)
+    // band → bucket join: unpivot the signature into (band, key) rows
+    // so one equi-join covers all bands (no OR-join blowup).
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          (col(s"h${2 * bnd}") * P + col(s"h${2 * bnd + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pa = post.select(col("doc_id").as("da2"), col("sid"))
+    val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
+    val ver = cand
+      .join(pa, col("doc_a") === col("da2"))
+      .join(pb, col("doc_b") === col("db2") && col("sid") === col("sid_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    ver
+      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
+      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
+      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
+  }
+
+  /** SimHash: 60-bit signature from per-shingle multiplicative hashes,
+    * bit-majority vote; near-dup pairs via 15-bit chunk banding +
+    * hamming ≤ 10 (bit_count of xor — exact ints).
+    */
+  val dedupSimhash: QueryDef = QueryDef.sql(
+    "x_dedup_simhash",
+    s"""WITH $sidPostingsSql,
+       |hashes AS (
+       |  SELECT doc_id, (sid * 2654435761) % 1152921504606846976 AS h FROM post),
+       |bits AS (
+       |  SELECT doc_id, b.b AS bit,
+       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM hashes, generate_series(0, 59) b(b) GROUP BY doc_id, b.b),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.c AS chunk_no, (simhash >> (15 * c.c)) & 32767 AS chunk
+       |  FROM sim, generate_series(0, 3) c(c))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin) { (s, d) =>
+    val post = sidPostings(s, d)
+    val hashes = post.select(col("doc_id"),
+      ((col("sid") * 2654435761L) % 1152921504606846976L).as("h"))
+    val bits = hashes
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+    val sim = bits.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk_no"))
+      .withColumn("chunk", expr("(simhash >> (15 * chunk_no)) & 32767"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("chunk_no"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("chunk_no").as("chunk_no_b"), col("chunk").as("chunk_b"))
+    a.join(b, col("chunk_no") === col("chunk_no_b") && col("chunk") === col("chunk_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 10)
+      .distinct()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, dedupSimhash)
+}

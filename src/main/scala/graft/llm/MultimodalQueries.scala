@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata. The decode step is a clearly-marked deterministic
+  * STUB (no image/audio libs in this container) — but the Spark-side
+  * shape is real: binary payload column, typed metadata schema,
+  * partition-batched decode via mapPartitions, feature vectors out.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end (no row-level
+  * string conversions); the decode runs partition-local in micro-
+  * batches (the same shape a vectorized/Arrow UDF would have), so a
+  * 100 TB corpus decodes embarrassingly parallel with no shuffle.
+  */
+object MultimodalQueries {
+
+  /** Metadata extraction over the binary payload — pure built-in
+    * expressions (byte length, format sniff, derived dimensions), all
+    * oracle-checkable.
+    */
+  val multimodalMeta: QueryDef = QueryDef.sql(
+    "x_multimodal_meta",
+    """WITH m AS (SELECT doc_id, encode(text) AS payload, source FROM documents)
+      |SELECT doc_id,
+      |       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+      |       CAST(octet_length(payload) % 640 + 1 AS BIGINT) AS width,
+      |       CAST((octet_length(payload) * 7) % 480 + 1 AS BIGINT) AS height,
+      |       CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      |       CAST(octet_length(payload) % 24 + 1 AS BIGINT) AS n_frames,
+      |       base64(encode(substr(source, 1, 16))) AS thumb_b64
+      |FROM m""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        (length(col("payload")) % 640 + 1).cast("long").as("width"),
+        ((length(col("payload")) * 7) % 480 + 1).cast("long").as("height"),
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png")
+          .otherwise("webp").as("format"),
+        (length(col("payload")) % 24 + 1).cast("long").as("n_frames"),
+        base64(substring(col("source"), 1, 16).cast("binary")).as("thumb_b64"))
+  }
+
+  /** Input row: media id + opaque payload + declared mime. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  /** Decoded output: typed metadata + a fixed-width feature vector —
+    * the schema a real image/audio decoder would produce.
+    */
+  final case class DecodedMedia(
+      doc_id: Long, width: Int, height: Int, format: String,
+      n_frames: Int, features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * library (none available in this container). Real byte access,
+    * fake pixels: dimensions/features derive from payload bytes so the
+    * pipeline is testable and reproducible.
+    */
+  private def stubDecode(m: MediaRow): DecodedMedia = {
+    val bytes = m.payload
+    val n = bytes.length
+    // ??? real decoder goes here (e.g. javax.imageio / ffmpeg JNI);
+    // deterministic fake below keeps the plumbing exercised.
+    val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    DecodedMedia(
+      doc_id = m.doc_id,
+      width = (n % 640) + 1,
+      height = ((n * 7) % 480) + 1,
+      format = m.mime,
+      n_frames = (n % 24) + 1,
+      features = Array.tabulate(8)(i => ((checksum >> (i * 4)) & 0xff).toFloat / 255f))
+  }
+
+  /** Partition-batched decode: mapPartitions with micro-batching
+    * (grouped(64)) — the JVM analog of an Arrow-batched decode UDF.
+    * Rows-only check (feature floats are stub-derived).
+    */
+  val multimodalDecode: QueryDef = QueryDef.rowsOnly("x_multimodal_decode") { (s, d) =>
+    val spark: SparkSession = s
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png")
+          .otherwise("webp").as("mime"))
+      .as[MediaRow]
+    media
+      .mapPartitions(_.grouped(64).flatMap(batch => batch.map(stubDecode)))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("format"),
+        col("n_frames"), round(element_at(col("features"), 1) * 1000).cast("long").as("f0_q"))
+  }
+
+  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode)
+}

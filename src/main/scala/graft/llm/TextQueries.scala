@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.llm.TextOps._
+
+/** Text-analysis operators for LLM data pipelines: language ID
+  * (marker-token heuristic), quality scoring, token counting, document
+  * fingerprinting. All narrow, per-row plans built from exact integer
+  * counts plus single IEEE divisions — zero shuffle, fully
+  * codegen'd, trivially scalable.
+  */
+object TextQueries {
+
+  /** Token / character statistics + a deterministic quality score
+    * (uniq-token ratio damped by stopword ratio — the usual
+    * length/punct/stopword family of heuristics).
+    */
+  val textStats: QueryDef = QueryDef.sql(
+    "x_text_stats",
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len,
+      |       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio,
+      |       (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) *
+      |         (1 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / nullif(len(toks), 0)) AS quality
+      |FROM t""") { (s, d) =>
+    val stop = Seq("the", "a")
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        size(filter(col("toks"), x => x.isin(stop: _*))).cast("long").as("n_stop"),
+        (aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          nullif(size(col("toks")), lit(0))).as("avg_token_len"),
+        (size(filter(col("toks"), x => x.isin(stop: _*))).cast("double") /
+          nullif(size(col("toks")), lit(0))).as("stop_ratio"),
+        ((size(array_distinct(col("toks"))).cast("double") / nullif(size(col("toks")), lit(0))) *
+          (lit(1) - size(filter(col("toks"), x => x.isin(stop: _*))).cast("double") /
+            nullif(size(col("toks")), lit(0)))).as("quality"))
+  }
+
+  /** Language ID: per-language marker-token counts, argmax with a
+    * fixed priority tie-break (en > de > es > fr > zh). On real text
+    * the marker lists would be the top-k stopwords per language; the
+    * mechanism (count → argmax) is the operator under test.
+    */
+  val langId: QueryDef = QueryDef.sql(
+    "x_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, labeled_lang,
+      |         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS c_en,
+      |         CAST(len(list_filter(toks, x -> x IN ('der', 'und', 'die'))) AS BIGINT) AS c_de,
+      |         CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'y'))) AS BIGINT) AS c_es,
+      |         CAST(len(list_filter(toks, x -> x IN ('le', 'et', 'les'))) AS BIGINT) AS c_fr,
+      |         CAST(len(list_filter(toks, x -> x IN ('d', 'zh'))) AS BIGINT) AS c_zh
+      |  FROM t)
+      |SELECT doc_id, labeled_lang, c_en, c_de, c_es, c_fr, c_zh,
+      |       CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+      |            WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+      |            WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+      |            WHEN c_fr >= c_zh THEN 'fr'
+      |            ELSE 'zh' END AS predicted_lang
+      |FROM c""") { (s, d) =>
+    def cnt(toks: org.apache.spark.sql.Column, words: Seq[String]) =
+      size(filter(toks, x => x.isin(words: _*))).cast("long")
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"), tokens(col("text")).as("toks"))
+    val c = t.select(
+      col("doc_id"), col("labeled_lang"),
+      cnt(col("toks"), Seq("the", "a", "of")).as("c_en"),
+      cnt(col("toks"), Seq("der", "und", "die")).as("c_de"),
+      cnt(col("toks"), Seq("el", "la", "y")).as("c_es"),
+      cnt(col("toks"), Seq("le", "et", "les")).as("c_fr"),
+      cnt(col("toks"), Seq("d", "zh")).as("c_zh"))
+    c.withColumn("predicted_lang",
+      when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr"), col("c_zh")), "en")
+        .when(col("c_de") >= greatest(col("c_es"), col("c_fr"), col("c_zh")), "de")
+        .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), "es")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh"))
+  }
+
+  /** Document fingerprinting: md5 of normalized text plus a Karp-Rabin
+    * polynomial rolling hash over the character codes (exact modular
+    * ints — the primitive under MinHash/winnowing shingle schemes).
+    */
+  val fingerprint: QueryDef = QueryDef.sql(
+    "x_fingerprint",
+    """WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       md5(norm) AS fp_md5,
+      |       substr(md5(norm), 1, 8) AS fp_prefix,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly,
+      |       length(norm) // 100 AS len_band
+      |FROM n""") { (s, d) =>
+    val n = Tables.documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    n.select(
+      col("doc_id"),
+      md5(col("norm")).as("fp_md5"),
+      substring(md5(col("norm")), 1, 8).as("fp_prefix"),
+      aggregate(
+        filter(split(col("norm"), ""), c => length(c) > 0),
+        lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fp_poly"),
+      (length(col("norm")).cast("long") / 100).cast("long").as("len_band"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, langId, fingerprint)
+}
