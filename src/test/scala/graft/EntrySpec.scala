@@ -1,0 +1,36 @@
+package graft
+
+/** Contract smoke: every registered query runs and returns rows at
+  * sf0.001, every oracle key exists in queries, and the flagship entry
+  * is non-empty — the driver's t1 check plus registry hygiene.
+  */
+class EntrySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows (driver t1)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("every query runs at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("queries that should always produce rows do") {
+    val mustBeNonEmpty = Seq(
+      "org_export", "opportunity_export", "quote_export", "task_export",
+      "users_export", "invoice_export", "equipment_export", "q1_agg",
+      "x_text_stats", "x_fingerprint", "x_minhash_signature", "x_ann_topk")
+    val empty = mustBeNonEmpty.filter(n => SparkEntry.queries(n)(spark, sf).isEmpty)
+    assert(empty.isEmpty, s"unexpectedly empty: $empty")
+  }
+}

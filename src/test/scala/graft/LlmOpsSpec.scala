@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps._
+
+/** Unit tests for the LLM-pipeline primitives: shingling, quantized
+  * cosine, and the dedup invariants (identical docs ⇒ identical
+  * signatures; disjoint docs ⇒ no candidate pairs).
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shinglePostings: distinct word trigrams in order") {
+    val docs = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val sh = shinglePostings(docs, 3).as[(Long, String)].collect().toSet
+    // trigrams: abc bcd cda dab abc bcd — distinct = 4
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"), (1L, "c d a"), (1L, "d a b")))
+  }
+
+  test("shinglePostings: fewer tokens than k -> no shingles") {
+    val docs = Seq((1L, "only two")).toDF("doc_id", "text")
+    assert(shinglePostings(docs, 3).count() == 0)
+  }
+
+  test("quantized cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("a", "b")
+    val sims = df.select(qcosine(quantize($"a"), quantize($"b")).as("s"))
+      .as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) == 0.0)
+  }
+
+  test("qdot is an exact integer dot product") {
+    val df = Seq((Seq(1.0f, -2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val d = df.select(qdot(quantize($"a"), quantize($"b")).as("d")).as[Long].head()
+    assert(d == 1000L * 3000 + (-2000L) * 4000)
+  }
+
+  test("identical texts produce identical exact-dedup fingerprints") {
+    val q = llm.DedupQueries.dedupExact
+    // crafted frame: write a tiny documents.parquet and run the query on it
+    val dir = java.nio.file.Files.createTempDirectory("graftspec").toString
+    Seq((1L, "Spark  makes\nETL fast", "en", "s", 20L),
+        (2L, "spark makes etl FAST", "en", "s", 20L),
+        (3L, "something else", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1 and 2 normalize to the same text -> same group, keeper = 1
+    assert(out(1L) == (1L, "FALSE"))
+    assert(out(2L) == (1L, "TRUE"))
+    assert(out(3L) == (3L, "FALSE"))
+  }
+
+  test("near-identical docs are found by ngram dedup; disjoint docs are not") {
+    val dir = java.nio.file.Files.createTempDirectory("graftspec2").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq((1L, base, "en", "s", 10L),
+        (2L, base + " extra", "en", "s", 10L),             // near-dup of 1
+        (3L, (100 to 130).map(i => s"w$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = llm.DedupQueries.dedupNgram.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("multimodal stub decode: deterministic, one output row per input") {
+    val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
+    Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = llm.MultimodalQueries.multimodalDecode.run(spark, dir)
+    assert(out.count() == 2)
+    val r = out.where($"doc_id" === 1).head
+    assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 22) // 3%640+1, 21%480+1
+  }
+}
