@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY
+  * §2i) — every job a request-triggered full re-export — but the
+  * engine exposes the streaming equivalent of its ingest so the same
+  * event data can be processed incrementally instead of re-scanned:
+  * exactly what replaces "re-run the whole export every HTTP call" at
+  * 100 TB.
+  *
+  * Shape: readStream over the events directory → watermarked sliding-
+  * window aggregation → sink. With a file/Kafka source this runs
+  * continuously; tests drive it with the memory sink +
+  * processAllAvailable for synchronous verification.
+  */
+object StreamingIngest {
+
+  /** Schema of the events table (ts arrives as epoch-nanos long in the
+    * raw parquet; see Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet with the nanos→micros fix. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // FileStreamSource needs a directory; select just the events
+      // file out of the shared sf dir.
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** 1-hour tumbling windows per event type with a 2-hour watermark:
+    * counts + exact decimal-summed value (same order-insensitive
+    * aggregation discipline as the batch side).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Start the pipeline into an in-memory sink (complete mode — the
+    * windowed totals table). Used by tests and local smoke.
+    */
+  def startMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+}
