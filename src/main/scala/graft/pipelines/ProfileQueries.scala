@@ -95,5 +95,44 @@ object ProfileQueries {
       .agg(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total"))
   }
 
-  val all: Seq[QueryDef] = Seq(profileStats, tokenCount, skewSaltedAgg)
+  /** Window functions — the reference's considered-but-dropped
+    * "Cumulative Active Focus Org" column (SURVEY §2g, commented out
+    * at organisation.py:140-142), implemented properly: per-customer
+    * running order count and value total, deterministic ordering via
+    * (date, key) tie-break, exact decimal running sums.
+    */
+  val windowCumulative: QueryDef = QueryDef.sql(
+    "x_window_cumulative",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+      |       CAST(count(*) OVER w AS BIGINT) AS running_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).cast("long").as("order_seq"),
+      count(lit(1)).over(w).cast("long").as("running_orders"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+  }
+
+  /** JSON property extraction from the events `props` column —
+    * get_json_object over a string-typed JSON payload.
+    */
+  val jsonProps: QueryDef = QueryDef.sql(
+    "x_json_props",
+    """SELECT event_id, event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |FROM events""") { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").try_cast("bigint").as("k_value"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(profileStats, tokenCount, skewSaltedAgg, windowCumulative, jsonProps)
 }
