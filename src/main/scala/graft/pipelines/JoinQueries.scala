@@ -148,5 +148,47 @@ object JoinQueries {
       coalesce(col("site_nationkey").cast("long"), lit(-1L)).as("site_region"))
   }
 
-  val all: Seq[QueryDef] = Seq(jLookup, jRolePlaying, jSemiPrefetch, jTwoHop, jStructPayload)
+  /** Anti + semi joins (beyond the reference, which has only the S4
+    * semi): customers partitioned into has-orders / no-orders via
+    * left_semi / left_anti — the EXISTS / NOT EXISTS pair.
+    */
+  val jAntiSemi: QueryDef = QueryDef.sql(
+    "j_anti_semi",
+    """SELECT c_custkey, c_name, 'has_orders' AS status
+      |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_orders' AS status
+      |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""") { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    val keys = Tables.orders(s, d).select(col("o_custkey"))
+    val semi = c.join(keys, c("c_custkey") === keys("o_custkey"), "left_semi")
+      .withColumn("status", lit("has_orders"))
+    val anti = c.join(keys, c("c_custkey") === keys("o_custkey"), "left_anti")
+      .withColumn("status", lit("no_orders"))
+    semi.unionAll(anti)
+  }
+
+  /** Set operations: INTERSECT / EXCEPT between the ordering-customer
+    * key set and the BUILDING-segment key set.
+    */
+  val jSetOps: QueryDef = QueryDef.sql(
+    "j_set_ops",
+    """SELECT 'both' AS tag, k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  INTERSECT
+      |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      |UNION ALL
+      |SELECT 'orders_only' AS tag, k FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  EXCEPT
+      |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')""") { (s, d) =>
+    val orderKeys = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val buildingKeys = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    orderKeys.intersect(buildingKeys).select(lit("both").as("tag"), col("k"))
+      .unionAll(orderKeys.except(buildingKeys).select(lit("orders_only").as("tag"), col("k")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    jLookup, jRolePlaying, jSemiPrefetch, jTwoHop, jStructPayload, jAntiSemi, jSetOps)
 }

@@ -67,4 +67,26 @@ object StreamingIngest {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** foreachBatch sink — the write-then-publish commit protocol of the
+    * reference's OneDrive upsert (K2/K3, one_drive.py:164-211 /
+    * callable.py:102-116): each micro-batch is written atomically
+    * (mode overwrite per batch dir = idempotent PUT-replace), and the
+    * "publish" side-effect runs only after the write succeeds.
+    */
+  def startForeachBatchSink(
+      spark: SparkSession, dir: String, outDir: String): StreamingQuery =
+    windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = s"$outDir/batch_$batchId"
+        batch.write.mode("overwrite").parquet(target) // write…
+        // …then publish (driver-side post-commit step in the reference;
+        // here: an atomic marker the downstream consumer watches).
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/_published_$batchId"), target)
+        ()
+      }
+      .start()
 }

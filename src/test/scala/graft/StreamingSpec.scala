@@ -21,4 +21,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("foreachBatch sink writes then publishes (K2/K3 commit protocol)") {
+    val out = java.nio.file.Files.createTempDirectory("graftsink").toString
+    val q = StreamingIngest.startForeachBatchSink(spark, "/root/testdata/sf0.001", out)
+    try q.processAllAvailable() finally q.stop()
+    val published = new java.io.File(out).listFiles.map(_.getName).filter(_.startsWith("_published_"))
+    assert(published.nonEmpty)
+    val target = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/${published.head}"))
+    assert(spark.read.parquet(target).count() > 0)
+  }
 }
