@@ -106,5 +106,33 @@ object ScalarQueries {
         shareToken(col("url")).as("token"))
   }
 
-  val all: Seq[QueryDef] = Seq(fDates, fStrings, fOwner, fUrl)
+  /** F12 HTML link extraction (opportunity_stage.py:94-101): find the
+    * "Download Report" anchor in an HTML body and pull its href —
+    * `regexp_extract` in-engine (SURVEY §2g suggests this or
+    * driver-side; both are provided, this is the engine path).
+    */
+  val fHtmlExtract: QueryDef = QueryDef.sql(
+    "f_html_extract",
+    """WITH b AS (
+      |  SELECT event_id,
+      |         '<html><body><p>Report ready.</p><a href="https://reports.example/' ||
+      |         CAST(event_id AS VARCHAR) || '/dl?t=' || event_type ||
+      |         '">Download Report</a><a href="https://other.example/x">Other</a></body></html>' AS body
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id,
+      |       regexp_extract(body, '<a href="([^"]+)">Download Report</a>', 1) AS report_url
+      |FROM b""") { (s, d) =>
+    Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .withColumn("body", concat(
+        lit("<html><body><p>Report ready.</p><a href=\"https://reports.example/"),
+        col("event_id").cast("string"), lit("/dl?t="), col("event_type"),
+        lit("\">Download Report</a><a href=\"https://other.example/x\">Other</a></body></html>")))
+      .select(
+        col("event_id"),
+        regexp_extract(col("body"), "<a href=\"([^\"]+)\">Download Report</a>", 1)
+          .as("report_url"))
+  }
+
+  val all: Seq[QueryDef] = Seq(fDates, fStrings, fOwner, fUrl, fHtmlExtract)
 }
