@@ -136,5 +136,47 @@ object SimilarityQueries {
       .where(col("rn") <= 3).drop("rn")
   }
 
-  val all: Seq[QueryDef] = Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs)
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
+    * every 100th vector is a centroid (deterministic "training"),
+    * each vector is assigned to its nearest centroid (one narrow
+    * pass), and a query probes only its 2 nearest centroid lists
+    * instead of the full corpus. Search cost drops from O(N) to
+    * O(N·nprobe/ncells) per query; the assignment is a broadcast of
+    * the (tiny) centroid set. Rows-only check — recall vs brute force
+    * is asserted in LlmOpsSpec instead.
+    */
+  val annIvf: QueryDef = QueryDef.rowsOnly("x_ann_ivf") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val centroids = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+
+    // assignment: nearest centroid per vector (rank 1 of cosine)
+    val scoredCent = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
+        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = scoredCent
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
+
+    // queries probe their 2 nearest cells
+    val probes = scoredCent.where(col("vec_id") % 50 === 0)
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"), col("cent_id").as("probe_cell"))
+
+    // scan only the probed cells
+    val scored = assigned.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (qdot(col("q_qe"), col("qe")) / (col("q_nrm") * col("nrm"))).as("sim"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rn") <= 5).drop("rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annIvf)
 }

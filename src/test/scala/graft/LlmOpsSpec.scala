@@ -69,6 +69,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(llm.SimilarityQueries.annTopK.run(spark, sf))
+    val ivf = pairs(llm.SimilarityQueries.annIvf.run(spark, sf))
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // nprobe=2 of ~5 cells: coarse but must beat random cell overlap
+    assert(recall >= 0.3, s"IVF recall $recall too low (exact=${exact.size}, ivf=${ivf.size})")
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
