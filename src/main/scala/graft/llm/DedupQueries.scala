@@ -265,6 +265,62 @@ object DedupQueries {
       .distinct()
   }
 
+  /** End-to-end corpus dedup — the operation an LLM data pipeline
+    * actually runs: keep each document unless (a) it is an exact
+    * duplicate of a lower-id document (md5 of normalized text), or
+    * (b) it is the higher-id member of a near-dup pair (3-gram
+    * Jaccard ≥ 0.8 via the two-phase rare-shingle join). Greedy
+    * lower-id-wins survivorship. Output: the kept corpus with a audit
+    * column of why others were dropped (kept rows only).
+    */
+  val dedupCorpus: QueryDef = QueryDef.sql(
+    "x_dedup_corpus",
+    """WITH f AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |exact_drop AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+      |  WHERE doc_id != keeper),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |near_drop AS (
+      |  SELECT DISTINCT c.doc_b AS doc_id
+      |  FROM cand c
+      |  JOIN sh pa ON pa.doc_id = c.doc_a
+      |  JOIN sh pb ON pb.doc_id = c.doc_b AND pa.shingle = pb.shingle
+      |  JOIN cnt ca ON c.doc_a = ca.doc_id
+      |  JOIN cnt cb ON c.doc_b = cb.doc_id
+      |  GROUP BY c.doc_a, c.doc_b, ca.n, cb.n
+      |  HAVING 5 * count(*) >= 4 * (ca.n + cb.n - count(*)))
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // (a) exact-dup members that are not the group keeper
+    val f = docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val exactDrop = f
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id").as("drop_id"))
+    // (b) higher-id members of verified near-dup pairs
+    val nearDrop = dedupNgram.run(s, d).select(col("doc_b").as("drop_id")).distinct()
+    val drops = exactDrop.unionAll(nearDrop).distinct()
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, dedupSimhash)
+    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, dedupSimhash, dedupCorpus)
 }
