@@ -95,4 +95,28 @@ object Relational {
     * shuffle on the (already narrow) report columns.
     */
   def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  // ------------------------------------------------------------- skew
+  /** Salted equi-join for skewed fact keys: the dim side is replicated
+    * `buckets` times (one copy per salt value), the fact side gets a
+    * deterministic salt from a secondary column, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `buckets`
+    * reducers instead of one. Result is exactly the plain join
+    * (dim replicated × fact salted-once ⇒ one match per original
+    * match). AQE's skew-join handles moderate skew automatically; this
+    * is the explicit tool for the pathological keys AQE can't split
+    * (e.g. a single null-ish default key owning 10% of a 100 TB
+    * fact).
+    */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      saltSource: Column, buckets: Int, joinType: String = "left"): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated,
+        salted(factKey) === replicated(dimKey) && salted("__salt") === replicated("__salt"),
+        joinType)
+      .drop("__salt")
+  }
 }

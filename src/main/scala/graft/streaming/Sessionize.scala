@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization: group each user's events into sessions separated by
+  * a 30-minute inactivity gap — the session-assembly step of an
+  * event-stream training-data pipeline.
+  *
+  * Two implementations with identical semantics:
+  *  - batch: the gaps-and-islands formulation (lag → gap flag →
+  *    running sum as session index) — pure window functions, one
+  *    shuffle by user.
+  *  - streaming: `flatMapGroupsWithState` with event-time timeout —
+  *    the custom-state API for unbounded inputs (the shape that keeps
+  *    state bounded at 100 TB: one small SessionState per active
+  *    user, evicted on timeout).
+  */
+object Sessionize {
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Batch gaps-and-islands: session index = running count of
+    * gap-exceeding boundaries; one aggregate per (user, session).
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > GapMs / 1000, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .drop("session_idx")
+  }
+
+  /** Streaming sessionization over a typed event stream. Emits a
+    * session when the inactivity gap elapses (event-time timeout via
+    * watermark) or, within a micro-batch, when a later event breaches
+    * the gap.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processUser)
+  }
+
+  private def processUser(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Session]
+    var cur = state.getOption
+    if (events.isEmpty && state.hasTimedOut) {
+      cur.foreach(s => out += Session(userId,
+        new Timestamp(s.start), new Timestamp(s.last), s.n))
+      state.remove()
+      return out.iterator
+    }
+    for (e <- events.toSeq.sortBy(_.ts.getTime)) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last <= GapMs =>
+          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+        case Some(s) => // gap breached: close the old session, open new
+          out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last + GapMs)
+    }
+    out.iterator
+  }
+}

@@ -75,6 +75,18 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Set(2L, 3L))
   }
 
+  test("saltedJoin equals the plain join (skew-safe rewrite)") {
+    val sf = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select("o_orderkey", "c_name")
+    val salted = saltedJoin(o, c, "o_custkey", "c_custkey", $"o_orderkey", 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("rolePlayingJoin: same dim under two roles, missing key -> null") {
     val fact = Seq((1L, 10L), (2L, 99L)).toDF("fk", "dimkey")
     val dim = Seq((10L, "ten")).toDF("k", "name")

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+/** Sessionization: batch gaps-and-islands vs streaming
+  * flatMapGroupsWithState must agree on closed sessions.
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+
+  private val events = Seq(
+    Event(1, ts(0), "view"), Event(1, ts(10), "click"), Event(1, ts(25), "view"),
+    Event(1, ts(90), "view"),                    // gap > 30min → new session
+    Event(2, ts(5), "signup"),
+    Event(2, ts(50), "view"), Event(2, ts(70), "purchase"))
+
+  private val expectedClosed = Set(
+    // user 1: [0..25] 3 events (second session [90] still open at stream end)
+    (1L, ts(0), ts(25), 3),
+    // user 2: [5] 1 event, then [50..70] open
+    (2L, ts(5), ts(5), 1))
+
+  test("batch gaps-and-islands finds all sessions incl. open tails") {
+    val got = Sessionize.sessionizeBatch(events.toDF())
+      .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
+    assert(got == expectedClosed ++ Set((1L, ts(90), ts(90), 1), (2L, ts(50), ts(70), 2)))
+  }
+
+  test("streaming flatMapGroupsWithState closes gap-breached sessions") {
+    val input = MemoryStream[Event](spark)
+    val q = Sessionize.sessionizeStream(spark, input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sessions_out").as[Session].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+    // only gap-breached (closed) sessions are emitted in append mode
+    assert(got == expectedClosed)
+  }
+}
