@@ -32,7 +32,7 @@ object SimilarityQueries {
   val annTopK: QueryDef = QueryDef.sql(
     "x_ann_topk",
     s"""WITH q AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
        |  FROM embeddings)
        |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |       $qcosSql AS sim
@@ -63,7 +63,7 @@ object SimilarityQueries {
   val embedNearDup: QueryDef = QueryDef.sql(
     "x_embed_neardup",
     s"""WITH q AS (
-       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
        |  FROM embeddings)
        |SELECT * FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
@@ -92,7 +92,7 @@ object SimilarityQueries {
   val annLshBuckets: QueryDef = QueryDef.sql(
     "x_ann_lsh_buckets",
     """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qe
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
       |  FROM embeddings),
       |dots AS (
       |  SELECT vec_id, p.i AS plane,
