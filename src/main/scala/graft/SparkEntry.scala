@@ -12,7 +12,7 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     ReportPipelines.all ++ EntityPipelines.all ++ ScalarQueries.all ++
       AggQueries.all ++ JoinQueries.all ++ FanoutQueries.all ++
-      ProfileQueries.all ++ AnalyticsQueries.all ++
+      ProfileQueries.all ++ AnalyticsQueries.all ++ SqlQueries.all ++
       llm.DedupQueries.all ++ llm.SimilarityQueries.all ++
       llm.TextQueries.all ++ llm.MultimodalQueries.all
 
