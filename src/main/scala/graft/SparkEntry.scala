@@ -21,8 +21,12 @@ object SparkEntry {
     ReportPipelines.opportunityExport.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = registry.map(_.name)
+    val dups = names.diff(names.distinct)
+    require(dups.isEmpty, s"duplicate query names would be silently dropped: $dups")
     registry.map(q => q.name -> q.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -65,7 +65,8 @@ object DedupQueries {
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
-      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 2 <= len(tok)),
       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -108,12 +109,12 @@ object DedupQueries {
   }
 
   /** (doc, sid) postings keyed by dictionary id — shared by MinHash
-    * and SimHash.
-    */
-  /** Cached + materialized: the postings index fans out to several
-    * branches (signature, counts, both verify sides) — without the
-    * cache the whole tokenize/shingle chain recomputes per branch.
-    * The eager count() is the index-build step of the pipeline.
+    * and SimHash. Cached + materialized: the index fans out to several
+    * branches (signature, counts, both verify sides) and would
+    * otherwise recompute per branch; the eager count() is the
+    * index-build step. Repeated calls across queries in one session do
+    * NOT stack copies — Spark's CacheManager dedupes identical logical
+    * plans — and Bench clears the cache between queries anyway.
     */
   private def sidPostings(s: org.apache.spark.sql.SparkSession, d: String) = {
     val sh = shinglePostings(Tables.documents(s, d), 3)
@@ -127,7 +128,8 @@ object DedupQueries {
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
-      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 2 <= len(tok)),
       |dict AS (
       |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
       |  FROM (SELECT DISTINCT shingle FROM sh)),
@@ -286,7 +288,8 @@ object DedupQueries {
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
-      |  FROM toks, generate_series(1, 1000) t(i) WHERE i + 2 <= len(tok)),
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 2 <= len(tok)),
       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

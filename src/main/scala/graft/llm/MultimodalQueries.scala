@@ -56,29 +56,35 @@ object MultimodalQueries {
       doc_id: Long, width: Int, height: Int, format: String,
       n_frames: Int, features: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * library (none available in this container). Real byte access,
+  /** STUB batch decoder — deterministic fake standing in for an
+    * image/audio library (none available in this container). The
+    * BATCH signature is the real contract: a native decoder is handed
+    * the whole batch once (one JNI/subprocess crossing per 64 items,
+    * reusing decode state), not one call per row. Real byte access,
     * fake pixels: dimensions/features derive from payload bytes so the
     * pipeline is testable and reproducible.
     */
-  private def stubDecode(m: MediaRow): DecodedMedia = {
-    val bytes = m.payload
-    val n = bytes.length
-    // ??? real decoder goes here (e.g. javax.imageio / ffmpeg JNI);
-    // deterministic fake below keeps the plumbing exercised.
-    val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
-    DecodedMedia(
-      doc_id = m.doc_id,
-      width = (n % 640) + 1,
-      height = ((n * 7) % 480) + 1,
-      format = m.mime,
-      n_frames = (n % 24) + 1,
-      features = Array.tabulate(8)(i => ((checksum >> (i * 4)) & 0xff).toFloat / 255f))
+  private def stubDecodeBatch(batch: Seq[MediaRow]): Seq[DecodedMedia] = {
+    // ??? real batch decoder goes here (e.g. ffmpeg/imageio handed the
+    // full buffer set); deterministic per-item fake keeps the plumbing
+    // exercised.
+    batch.map { m =>
+      val bytes = m.payload
+      val n = bytes.length
+      val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      DecodedMedia(
+        doc_id = m.doc_id,
+        width = (n % 640) + 1,
+        height = ((n * 7) % 480) + 1,
+        format = m.mime,
+        n_frames = (n % 24) + 1,
+        features = Array.tabulate(8)(i => ((checksum >> (i * 4)) & 0xff).toFloat / 255f))
+    }
   }
 
-  /** Partition-batched decode: mapPartitions with micro-batching
-    * (grouped(64)) — the JVM analog of an Arrow-batched decode UDF.
-    * Rows-only check (feature floats are stub-derived).
+  /** Partition-batched decode: mapPartitions feeding 64-item batches
+    * to the batch decoder — the JVM analog of an Arrow-batched decode
+    * UDF. Rows-only check (feature floats are stub-derived).
     */
   val multimodalDecode: QueryDef = QueryDef.rowsOnly("x_multimodal_decode") { (s, d) =>
     val spark: SparkSession = s
@@ -92,7 +98,7 @@ object MultimodalQueries {
           .otherwise("webp").as("mime"))
       .as[MediaRow]
     media
-      .mapPartitions(_.grouped(64).flatMap(batch => batch.map(stubDecode)))
+      .mapPartitions(_.grouped(64).flatMap(stubDecodeBatch))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("format"),
         col("n_frames"), round(element_at(col("features"), 1) * 1000).cast("long").as("f0_q"))

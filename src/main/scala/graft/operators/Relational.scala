@@ -112,7 +112,14 @@ object Relational {
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       saltSource: Column, buckets: Int, joinType: String = "left"): DataFrame = {
-    val salted = fact.withColumn("__salt", pmod(saltSource, lit(buckets)))
+    // only fact-preserving joins are equivalent under dim replication
+    // (an unmatched dim row would otherwise be emitted `buckets` times)
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    // null saltSource must still land in a bucket, or the row would
+    // match no dim copy and silently diverge from the plain join
+    val salt = pmod(coalesce(saltSource.cast("long"), lit(0L)), lit(buckets))
+    val salted = fact.withColumn("__salt", salt)
     val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated,
         salted(factKey) === replicated(dimKey) && salted("__salt") === replicated("__salt"),

@@ -37,8 +37,10 @@ object Sessionize {
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
       .withColumn("new_session",
+        // unix_millis keeps sub-second precision — cast-to-long would
+        // truncate to seconds and disagree with the streaming path
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > GapMs / 1000, 1)
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > GapMs, 1)
           .otherwise(0))
       .withColumn("session_idx", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -32,6 +32,20 @@ class SessionizeSpec extends SparkSpec {
     assert(got == expectedClosed ++ Set((1L, ts(90), ts(90), 1), (2L, ts(50), ts(70), 2)))
   }
 
+  test("batch sessionization honors sub-second gaps (no second-truncation)") {
+    // gap = 30min + 800ms: a seconds-truncated compare would see
+    // exactly 1800s and (wrongly) keep one session
+    val e = Seq(
+      Event(9, new Timestamp(1700000000100L), "view"),
+      Event(9, new Timestamp(1700000000100L + Sessionize.GapMs + 800), "view"))
+    assert(Sessionize.sessionizeBatch(e.toDF()).count() == 2)
+    // and exactly at the gap boundary: still ONE session (gap is strict >)
+    val f = Seq(
+      Event(9, new Timestamp(1700000000100L), "view"),
+      Event(9, new Timestamp(1700000000100L + Sessionize.GapMs), "view"))
+    assert(Sessionize.sessionizeBatch(f.toDF()).count() == 1)
+  }
+
   test("streaming flatMapGroupsWithState closes gap-breached sessions") {
     val input = MemoryStream[Event](spark)
     val q = Sessionize.sessionizeStream(spark, input.toDS())
