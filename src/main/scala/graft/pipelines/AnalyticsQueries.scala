@@ -55,11 +55,18 @@ object AnalyticsQueries {
   val quantiles: QueryDef = QueryDef.sql(
     "x_quantiles",
     """SELECT l_returnflag,
-      |       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+      |       quantile_cont(l_quantity, 0.25) AS q25,
+      |       quantile_cont(l_quantity, 0.5) AS q50,
+      |       quantile_cont(l_quantity, 0.75) AS q75
       |FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    // scalar columns rather than one array value: flat schemas are
+    // what generic hash-comparators handle robustly
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("q25"),
+        expr("percentile(l_quantity, 0.5D)").as("q50"),
+        expr("percentile(l_quantity, 0.75D)").as("q75"))
   }
 
   /** Sketch-based profiling — the 100 TB path where exact distincts
@@ -70,7 +77,8 @@ object AnalyticsQueries {
     Tables.lineitem(s, d).agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)").as("price_p50_p99"))
+      expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("price_p50"),
+      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("price_p99"))
   }
 
   val all: Seq[QueryDef] = Seq(rollup, pivotCounts, quantiles, approxProfile)
