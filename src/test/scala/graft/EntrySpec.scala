@@ -25,6 +25,20 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("oracle-checked queries emit flat schemas (comparator-safe)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val bad = SparkEntry.queries(name)(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"nested output columns risk the driver's hash compare:\n${offenders.mkString("\n")}")
+  }
+
   test("queries that should always produce rows do") {
     val mustBeNonEmpty = Seq(
       "org_export", "opportunity_export", "quote_export", "task_export",
