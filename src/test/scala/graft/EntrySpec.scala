@@ -39,6 +39,13 @@ class EntrySpec extends SparkSpec {
       s"nested output columns risk the driver's hash compare:\n${offenders.mkString("\n")}")
   }
 
+  test("all five reference trigger compositions produce non-empty reports") {
+    val reports = pipelines.Triggers.allReports(spark, sf)
+    assert(reports.size == 8)
+    val empty = reports.collect { case (n, df) if df.isEmpty => n }
+    assert(empty.isEmpty, s"empty reports: $empty")
+  }
+
   test("queries that should always produce rows do") {
     val mustBeNonEmpty = Seq(
       "org_export", "opportunity_export", "quote_export", "task_export",
