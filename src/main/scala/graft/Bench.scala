@@ -24,12 +24,16 @@ object Bench {
       def once(): Double = {
         spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        // noop sink: materializes EVERY column of every row (count()
+        // would let Catalyst prune the very projections being timed)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
-      // runaway guard: don't double a pathological run
-      val b = if (a >= 0 && a < 30) once() else a
+      // Always take the second sample: on this host a slow FIRST run is
+      // usually contention noise, exactly when sample two is the signal.
+      val b = if (a >= 0) once() else a
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

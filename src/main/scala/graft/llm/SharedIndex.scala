@@ -1,8 +1,8 @@
 package graft.llm
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
-import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
@@ -28,32 +28,46 @@ import graft.Tables
   * The parquet lives under a per-JVM temp directory: each driver run
   * (Verify, Bench, tests) builds its own copy, so a code change never
   * reads a stale index, and benchmark runs honestly pay the one-time
-  * build in the first dedup query they execute.
+  * build in the first dedup query they execute. A shutdown hook
+  * removes the directory recursively (deleteOnExit alone can't — it
+  * only deletes empty dirs).
   */
 object SharedIndex {
 
   // per-JVM root; paths never collide across runs
   private lazy val root = {
     val dir = Files.createTempDirectory("graft-sidindex-")
-    dir.toFile.deleteOnExit()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
     dir
   }
 
-  private val builtPaths = TrieMap.empty[String, String]
+  private val builtPaths = mutable.HashMap.empty[String, String]
 
   /** The `(doc_id, sid)` postings for the documents table under `dir`,
-    * building + persisting on first use.
+    * building + persisting on first use. The whole check-and-build runs
+    * under one lock so concurrent first callers can't race a rebuild of
+    * the same path; the key is the normalized absolute path so spelling
+    * variants (trailing slash, relative) share one index.
     */
   def sidPostings(spark: SparkSession, dir: String): DataFrame = {
-    val path = builtPaths.getOrElseUpdate(dir, this.synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val p = root.resolve(s"sid_postings_$tag").toString
-      val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
-      sh.join(TextOps.shingleDict(sh), "shingle")
-        .select("doc_id", "sid")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val path = builtPaths.synchronized {
+      builtPaths.getOrElseUpdate(key, {
+        val tag = key.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = root.resolve(s"sid_postings_$tag").toString
+        val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
+        sh.join(TextOps.shingleDict(sh), "shingle")
+          .select("doc_id", "sid")
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+    }
     spark.read.parquet(path)
   }
 }

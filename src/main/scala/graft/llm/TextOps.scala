@@ -58,12 +58,17 @@ object TextOps {
     val distinct = postings.select("shingle").distinct()
     // range partitions are ordered by pid: every shingle in pid i
     // sorts before every shingle in pid i+1 (AQE coalescing merges
-    // contiguous partitions, preserving this).
+    // contiguous partitions, preserving this). The cache pins one pid
+    // assignment: the plan fans out below, and without it the fan-out
+    // branches agree only while exchange reuse dedupes the identical
+    // range shuffle — re-sampled boundaries would silently skew sids.
     val parted = distinct.repartitionByRange(col("shingle"))
       .withColumn("pid", spark_partition_id())
+      .cache()
     val local = parted.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy("shingle")).cast("long"))
-    val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    // per-partition sizes fall out of the window for free: cnt = max lr
+    val counts = local.groupBy("pid").agg(max("lr").as("cnt"))
     val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
     // offset(p) = Σ cnt over pid < p: a triangular join over the tiny
     // per-partition counts (avoids another no-partition window).

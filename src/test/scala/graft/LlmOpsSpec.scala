@@ -69,6 +69,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("shingleDict: sid = global sorted rank, independent of exchange reuse") {
+    // Many docs + overlapping vocab → distinct shingles span several
+    // range partitions. Disable exchange reuse: sids must STILL be the
+    // global rank (the dict pins one pid assignment via cache; it must
+    // not depend on Spark deduping the two scans of the range shuffle).
+    val docs = (1L to 60L).map { i =>
+      (i, (0 to 25).map(j => s"w${(i * 7 + j * 13) % 151}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = shinglePostings(docs, 3)
+    val expect = sh.select("shingle").distinct().as[String].collect().sorted
+      .zipWithIndex.map { case (str, i) => str -> (i + 1L) }.toMap
+    assert(expect.size > 20)
+    val reuseWas = spark.conf.getOption("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val got = shingleDict(sh).as[(String, Long)].collect().toMap
+      assert(got == expect)
+    } finally {
+      reuseWas match {
+        case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+        case None    => spark.conf.unset("spark.sql.exchange.reuse")
+      }
+    }
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame) =
