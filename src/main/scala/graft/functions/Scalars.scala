@@ -23,10 +23,11 @@ object Scalars {
     trim(regexp_replace(c, "[\\r\\n]", " "))
 
   /** F2 `format_date` (quote.py:175-182): "yyyy-MM-dd HH:mm:ss" →
-    * "25-Aug-25 8:41 PM"; malformed input passes through unchanged.
+    * "25-Aug-25 8:41 PM" (`%d-%b-%y %-I:%M %p` — day zero-padded, hour
+    * not); malformed input passes through unchanged.
     */
   def formatDate(c: Column): Column =
-    coalesce(date_format(try_to_timestamp(c, lit(SrcFmt)), "d-MMM-yy h:mm a"), c)
+    coalesce(date_format(try_to_timestamp(c, lit(SrcFmt)), "dd-MMM-yy h:mm a"), c)
 
   /** F3 `format_date_only` (organisation.py:108-116): → "MM/dd/yyyy",
     * pass-through on parse failure.
@@ -81,7 +82,7 @@ object Scalars {
   def shareToken(url: Column): Column = {
     // Spark's base64 may MIME-chunk with CRLF every 76 chars; strip first.
     val b64 = regexp_replace(base64(url.cast("binary")), "[\\r\\n]", "")
-    concat(lit("u!"), translate(rtrim(b64, "="), "/+", "_-"))
+    concat(lit("u!"), translate(regexp_replace(b64, "=+$", ""), "/+", "_-"))
   }
 
   /** F11 URL basename (opportunity_stage.py:103-115). */

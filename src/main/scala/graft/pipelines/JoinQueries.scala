@@ -22,7 +22,7 @@ object JoinQueries {
     """SELECT o.o_orderkey, o.o_custkey,
       |       COALESCE(c.c_name, '') AS org_name,
       |       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
-      |       strftime(o.o_orderdate, '%-d-%b-%y %-I:%M %p') AS created
+      |       strftime(o.o_orderdate, '%d-%b-%y %-I:%M %p') AS created
       |FROM orders o
       |LEFT JOIN customer c ON o.o_custkey = c.c_custkey""") { (s, d) =>
     val o = Tables.orders(s, d)

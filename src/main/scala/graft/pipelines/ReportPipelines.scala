@@ -118,7 +118,7 @@ object ReportPipelines {
       |  CASE o.o_orderkey % 3 WHEN 0 THEN 'FOB' WHEN 1 THEN 'CIF' ELSE 'EXW' END AS shipping_terms,
       |  COALESCE(c.c_name, '') AS org_name,
       |  COALESCE(c2.c_name, '') AS sales_person,
-      |  strftime(o.o_orderdate, '%-d-%b-%y %-I:%M %p') AS created,
+      |  strftime(o.o_orderdate, '%d-%b-%y %-I:%M %p') AS created,
       |  strftime(o.o_orderdate, '%m/%d/%Y') AS expiration
       |FROM orders o
       |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
@@ -196,7 +196,7 @@ object ReportPipelines {
       |  CAST(o.o_orderkey % 100 AS DOUBLE) AS probability,
       |  CASE o.o_orderkey % 4 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' WHEN 2 THEN 'GBP' ELSE 'JPY' END AS bid_currency,
       |  strftime(o.o_orderdate, '%m/%d/%Y') AS forecast_close,
-      |  strftime(o.o_orderdate, '%-d-%b-%y %-I:%M %p') AS created,
+      |  strftime(o.o_orderdate, '%d-%b-%y %-I:%M %p') AS created,
       |  COALESCE(st.site_names, '') AS site_names,
       |  COALESCE(CAST(pr.l_partkey AS VARCHAR), '') AS pid,
       |  COALESCE(p.p_name, '') AS product_name,

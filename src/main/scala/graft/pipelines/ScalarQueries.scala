@@ -24,7 +24,7 @@ object ScalarQueries {
       |  FROM events)
       |SELECT event_id, ds,
       |       CASE WHEN event_id % 7 = 0 THEN ds
-      |            ELSE strftime(strptime(ds, '%Y-%m-%d %H:%M:%S'), '%-d-%b-%y %-I:%M %p') END AS d_quote,
+      |            ELSE strftime(strptime(ds, '%Y-%m-%d %H:%M:%S'), '%d-%b-%y %-I:%M %p') END AS d_quote,
       |       CASE WHEN event_id % 7 = 0 THEN ds
       |            ELSE strftime(strptime(ds, '%Y-%m-%d %H:%M:%S'), '%m/%d/%Y') END AS d_only,
       |       CASE WHEN event_id % 7 = 0 THEN ds

@@ -40,4 +40,47 @@ class PagedRestSourceSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "total"))
     assert(df.agg(sum("id")).as[Long].head() == (0L until 100L).sum)
   }
+
+  // --- S7 retry/backoff (safe_get, quote.py:52-70) ---
+
+  private def faultySrc(total: Long, page: Int, opts: (String, String)*) = {
+    val base = spark.read.format("graft.sources.PagedRestSource")
+      .option("entity", "quotation")
+      .option("totalRows", total)
+      .option("pageSize", page)
+      .option("retryBaseDelayMs", 1) // keep test backoff sleeps negligible
+    opts.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("S7: a page that fails twice is retried and yields byte-identical results") {
+    val clean = src(1234, 100).collect().map(_.toSeq).sortBy(_.head.toString)
+    val retried = faultySrc(1234, 100, "failAttemptsPerPage" -> "2")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(retried.toSeq == clean.toSeq)
+  }
+
+  test("S7: global every-nth-request flakiness is absorbed by retries") {
+    val clean = src(1000, 100).collect().map(_.toSeq).sortBy(_.head.toString)
+    val flaky = faultySrc(1000, 100,
+      "failEveryNthRequest" -> "3", "faultDomain" -> "spec-every-nth")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(flaky.toSeq == clean.toSeq)
+  }
+
+  test("S7: exhausted retries fail the read by default") {
+    val e = intercept[Exception] {
+      faultySrc(200, 100, "failAttemptsPerPage" -> "5", "maxRetries" -> "5").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[graft.sources.TransientPageException]))
+  }
+
+  test("S7: skipOnExhaustedRetries skips the failed page (reference skip-on-error)") {
+    // every request fails -> every page exhausts its 3 attempts -> skipped
+    val df = faultySrc(300, 100,
+      "failEveryNthRequest" -> "1", "faultDomain" -> "spec-skip",
+      "maxRetries" -> "3", "skipOnExhaustedRetries" -> "true")
+    assert(df.count() == 0)
+  }
 }

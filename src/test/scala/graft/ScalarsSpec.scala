@@ -17,8 +17,9 @@ class ScalarsSpec extends SparkSpec {
 
   test("F2 formatDate: valid timestamp renders reference style") {
     assert(one(formatDate($"v"), "2025-08-25 20:41:07") == "25-Aug-25 8:41 PM")
-    assert(one(formatDate($"v"), "2025-08-05 08:05:07") == "5-Aug-25 8:05 AM")
-    assert(one(formatDate($"v"), "2025-08-05 00:00:00") == "5-Aug-25 12:00 AM")
+    // %d pads the day; %-I does not pad the hour (quote.py:180)
+    assert(one(formatDate($"v"), "2025-08-05 08:05:07") == "05-Aug-25 8:05 AM")
+    assert(one(formatDate($"v"), "2025-08-05 00:00:00") == "05-Aug-25 12:00 AM")
   }
 
   test("F2-F4 malformed input passes through unchanged (quote.py:181-182)") {
