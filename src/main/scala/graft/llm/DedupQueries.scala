@@ -13,21 +13,33 @@ import graft.{QueryDef, Tables}
   * Scale design: every algorithm here is the posting-list formulation —
   * no doc×doc cross join ever materializes. Candidate generation is a
   * shuffle on shingle/band/chunk keys whose fan-out is bounded by the
-  * data (banding for MinHash, 15-bit chunks for SimHash), then exact
+  * data (banding for MinHash, bit-chunks for SimHash), then exact
   * verification runs only on candidates. This is the shape that holds
-  * at 100 TB; thresholds are data-independent constants.
+  * at 100 TB.
   *
-  * All five shingle-based queries run on [[SharedIndex.sidPostings]] —
-  * the `(doc_id, sid)` inverted index materialized once per (JVM,
-  * sf-dir) and reused across the family, the way a production pipeline
+  * MinHash (permutation count, band layout) and SimHash (signature
+  * bits, chunk count, hamming radius) are PARAMETERS of the builders
+  * below — at larger corpus sizes you raise permutations/bits so bucket
+  * occupancy (and the quadratic within-bucket pairing) stays bounded.
+  * The default-config queries use 8 perms / 4 bands and 60 bits / 4
+  * chunks; `x_minhash_lsh_pairs_p16` and `x_dedup_simhash_b48` run the
+  * same builders at non-default configs, oracle-checked, to pin that
+  * the parameterization is real.
+  *
+  * All shingle-based queries run on [[SharedIndex.sidPostings]] — the
+  * `(doc_id, sid)` inverted index materialized once per (JVM, sf-dir)
+  * and reused across the family, the way a production pipeline
   * amortizes its index build across the whole dedup job family.
   */
 object DedupQueries {
 
   private val P = 1000000007L
-  // 8 minhash permutations h_i(x) = (A_i·x + B_i) mod P
-  private val A = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L)
-  private val B = Seq(17L, 29L, 43L, 59L, 71L, 89L, 97L, 113L)
+  // minhash permutation pool h_i(x) = (A_i·x + B_i) mod P; the default
+  // config uses the first 8, the wide config the first 16.
+  private val A = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L,
+    907L, 1009L, 1103L, 1201L, 1301L, 1409L, 1511L, 1601L)
+  private val B = Seq(17L, 29L, 43L, 59L, 71L, 89L, 97L, 113L,
+    127L, 139L, 151L, 163L, 179L, 191L, 199L, 223L)
 
   /** Exact dedup: fingerprint = md5 of the whitespace-normalized text;
     * group members point at the minimum doc_id as keeper.
@@ -74,25 +86,33 @@ object DedupQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** 8-permutation MinHash signature per doc (columns h0..h7). */
-  private def minhashSig(post: DataFrame): DataFrame =
+  /** `perms`-permutation MinHash signature per doc (columns h0..h_{n-1}). */
+  private def minhashSig(post: DataFrame, perms: Int): DataFrame = {
+    val ab = A.zip(B).take(perms)
     post.groupBy("doc_id").agg(
-      min((col("sid") * A(0) + B(0)) % P).as("h0"),
-      A.zip(B).zipWithIndex.tail.map { case ((a, b), i) =>
+      min((col("sid") * ab.head._1 + ab.head._2) % P).as("h0"),
+      ab.zipWithIndex.tail.map { case ((a, b), i) =>
         min((col("sid") * a + b) % P).as(s"h$i")
       }: _*)
+  }
 
-  /** Candidate pairs that share a MinHash band bucket (4 bands × 2
-    * rows). The signature is unpivoted into (band, key) rows so ONE
-    * equi-join covers all bands — no OR-join blowup; sub-quadratic at
-    * any corpus size.
+  /** Candidate pairs that share a MinHash band bucket (`bands` bands ×
+    * perms/bands rows). The signature is unpivoted into (band, key)
+    * rows so ONE equi-join covers all bands — no OR-join blowup;
+    * sub-quadratic at any corpus size. The band key is the base-P
+    * digit encoding of its rows (each h < P), exact in a Long for up
+    * to 2 rows per band.
     */
-  private def bandCandidates(post: DataFrame): DataFrame = {
-    val sig = minhashSig(post)
+  private def bandCandidates(post: DataFrame, perms: Int = 8, bands: Int = 4): DataFrame = {
+    require(perms % bands == 0 && perms / bands <= 2 && perms <= A.size,
+      s"unsupported band layout: $perms perms / $bands bands")
+    val rpb = perms / bands
+    val sig = minhashSig(post, perms)
     val banded = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(bnd =>
+      (0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
-          (col(s"h${2 * bnd}") * P + col(s"h${2 * bnd + 1}")).as("key"))): _*)).as("bk"))
+          (0 until rpb).map(r => col(s"h${rpb * bnd + r}"))
+            .reduceLeft((k, h) => k * P + h).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -121,6 +141,133 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
         (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
   }
+
+  /** SimHash near-dup pairs at a given signature width: `bits`-bit
+    * signature from per-shingle multiplicative hashes, bit-majority
+    * vote, then `chunks`-way bit-chunk banding (pigeonhole: pairs
+    * within the hamming radius share ≥1 identical chunk as long as
+    * hamming < chunks·… in expectation) + exact hamming filter.
+    *
+    * The bit-vote is ONE groupBy(doc_id) with `bits` conditional sums
+    * over the hash column directly — not an explode(0..bits-1) (which
+    * would amplify the postings `bits`× through the shuffle). One
+    * shuffle, fully codegen'd, row volume = postings count.
+    */
+  private def simhashPairs(post: DataFrame, bits: Int, chunks: Int, hammingMax: Int): DataFrame = {
+    require(bits % chunks == 0 && bits <= 62, s"unsupported simhash layout: $bits bits / $chunks chunks")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val hashes = post.select(col("doc_id"),
+      ((col("sid") * 2654435761L) % (1L << bits)).as("h"))
+    val voteCols = (0 until bits).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val votes = hashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sim = votes.select(col("doc_id"),
+      (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_no"))
+      .withColumn("chunk", expr(s"(simhash >> ($chunkBits * chunk_no)) & $mask"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+      col("chunk_no"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+      col("chunk_no").as("chunk_no_b"), col("chunk").as("chunk_b"))
+    a.join(b, col("chunk_no") === col("chunk_no_b") && col("chunk") === col("chunk_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= hammingMax)
+      .distinct()
+  }
+
+  // ----------------------------------------------------------------
+  // Oracle-SQL builders — generated from the SAME parameters as the
+  // Spark builders, so engine and oracle can't drift.
+  // ----------------------------------------------------------------
+
+  private val sidPostingsSql =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 2 <= len(tok)),
+      |dict AS (
+      |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      |  FROM (SELECT DISTINCT shingle FROM sh)),
+      |post AS (SELECT s.doc_id, d2.sid FROM sh s JOIN dict d2 ON s.shingle = d2.shingle)""".stripMargin
+
+  /** `min((A_i*sid + B_i) % P) AS h_i` lines for a signature SELECT. */
+  private def minhashSigSqlCols(perms: Int, indent: String): String =
+    A.zip(B).take(perms).zipWithIndex.map { case ((a, b), i) =>
+      s"$indent min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")
+
+  /** The OR-of-bands join condition over signature columns. */
+  private def bandCondSql(perms: Int, bands: Int): String = {
+    val rpb = perms / bands
+    (0 until bands).map { bnd =>
+      (0 until rpb).map(r => s"a.h${rpb * bnd + r} = b.h${rpb * bnd + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+  }
+
+  /** Full MinHash+LSH pairs oracle at a given config. */
+  private def minhashLshSql(perms: Int, bands: Int): String =
+    s"""WITH $sidPostingsSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |${minhashSigSqlCols(perms, "        ")}
+       |  FROM post GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+       |    ${bandCondSql(perms, bands)})),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.doc_a
+       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
+       |  GROUP BY 1, 2)
+       |SELECT v.doc_a, v.doc_b,
+       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+       |FROM ver v
+       |JOIN cnt ca ON v.doc_a = ca.doc_id
+       |JOIN cnt cb ON v.doc_b = cb.doc_id
+       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin
+
+  /** Full SimHash pairs oracle at a given config. */
+  private def simhashSql(bits: Int, chunks: Int, hammingMax: Int): String = {
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    s"""WITH $sidPostingsSql,
+       |hashes AS (
+       |  SELECT doc_id, (sid * 2654435761) % ${1L << bits} AS h FROM post),
+       |votes AS (
+       |  SELECT doc_id,
+       |${(0 until bits).map(b =>
+           s"         sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+           .mkString(",\n")}
+       |  FROM hashes GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST(
+       |${(0 until bits).map(b =>
+           s"    (CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+           .mkString(" +\n")}
+       |  AS BIGINT) AS simhash FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c.c AS chunk_no, (simhash >> ($chunkBits * c.c)) & $mask AS chunk
+       |  FROM sim, generate_series(0, ${chunks - 1}) c(c))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $hammingMax""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // Queries
+  // ----------------------------------------------------------------
 
   /** N-gram Jaccard near-dup, two-phase: rare-shingle candidates, then
     * exact overlap/union verified on the FULL shingle sets. Runs on the
@@ -158,18 +305,6 @@ object DedupQueries {
     verifiedPairs(post, rareShingleCandidates(post))
   }
 
-  private val sidPostingsSql =
-    """toks AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
-      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
-      |  WHERE i + 2 <= len(tok)),
-      |dict AS (
-      |  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      |  FROM (SELECT DISTINCT shingle FROM sh)),
-      |post AS (SELECT s.doc_id, d2.sid FROM sh s JOIN dict d2 ON s.shingle = d2.shingle)""".stripMargin
-
   /** MinHash signatures: 8 modular permutations over dictionary ids,
     * min per doc. Exact integers → engine-reproducible.
     */
@@ -177,104 +312,52 @@ object DedupQueries {
     "x_minhash_signature",
     s"""WITH $sidPostingsSql
        |SELECT doc_id,
-       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-           s"       min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
+       |${minhashSigSqlCols(8, "      ")}
        |FROM post GROUP BY doc_id""".stripMargin) { (s, d) =>
-    minhashSig(SharedIndex.sidPostings(s, d))
+    minhashSig(SharedIndex.sidPostings(s, d), 8)
   }
 
-  /** MinHash+LSH near-dup pairs: 4 bands × 2 rows; candidates share a
-    * band bucket; candidates are then verified with the exact Jaccard
-    * (same inverted-index formulation as x_dedup_ngram), j ≥ 0.8.
-    * The band join is what makes this sub-quadratic at scale.
+  /** MinHash+LSH near-dup pairs, default config: 4 bands × 2 rows;
+    * candidates share a band bucket; candidates are then verified with
+    * the exact Jaccard (same inverted-index formulation as
+    * x_dedup_ngram), j ≥ 0.8. The band join is what makes this
+    * sub-quadratic at scale.
     */
   val minhashLshPairs: QueryDef = QueryDef.sql(
-    "x_minhash_lsh_pairs",
-    s"""WITH $sidPostingsSql,
-       |sig AS (
-       |  SELECT doc_id,
-       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-           s"         min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
-       |  FROM post GROUP BY doc_id),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-       |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-       |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
-       |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
-       |ver AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
-       |  FROM cand c
-       |  JOIN post pa ON pa.doc_id = c.doc_a
-       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
-       |  GROUP BY 1, 2)
-       |SELECT v.doc_a, v.doc_b,
-       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
-       |FROM ver v
-       |JOIN cnt ca ON v.doc_a = ca.doc_id
-       |JOIN cnt cb ON v.doc_b = cb.doc_id
-       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
+    "x_minhash_lsh_pairs", minhashLshSql(perms = 8, bands = 4)) { (s, d) =>
     val post = SharedIndex.sidPostings(s, d)
-    verifiedPairs(post, bandCandidates(post))
+    verifiedPairs(post, bandCandidates(post, perms = 8, bands = 4))
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** SimHash: 60-bit signature from per-shingle multiplicative hashes,
-    * bit-majority vote; near-dup pairs via 15-bit chunk banding +
-    * hamming ≤ 10 (bit_count of xor — exact ints).
-    *
-    * The bit-vote is ONE groupBy(doc_id) with 60 conditional sums over
-    * the hash column directly — not an explode(0..59) (which would
-    * amplify the postings 60× through the shuffle). One shuffle, fully
-    * codegen'd, row volume = postings count.
+  /** MinHash+LSH at the scale config: 16 permutations / 8 bands × 2
+    * rows — the knob you turn when corpus growth raises per-bucket
+    * occupancy (more, narrower bands keep recall while each bucket
+    * stays small). Same verification; oracle-checked like the default.
+    */
+  val minhashLshPairsP16: QueryDef = QueryDef.sql(
+    "x_minhash_lsh_pairs_p16", minhashLshSql(perms = 16, bands = 8)) { (s, d) =>
+    val post = SharedIndex.sidPostings(s, d)
+    verifiedPairs(post, bandCandidates(post, perms = 16, bands = 8))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash, default config: 60-bit signature, 15-bit chunk banding
+    * (4 chunks), hamming ≤ 10 (bit_count of xor — exact ints).
     */
   val dedupSimhash: QueryDef = QueryDef.sql(
-    "x_dedup_simhash",
-    s"""WITH $sidPostingsSql,
-       |hashes AS (
-       |  SELECT doc_id, (sid * 2654435761) % 1152921504606846976 AS h FROM post),
-       |votes AS (
-       |  SELECT doc_id,
-       |${(0 until 60).map(b =>
-           s"         sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-           .mkString(",\n")}
-       |  FROM hashes GROUP BY doc_id),
-       |sim AS (
-       |  SELECT doc_id, CAST(
-       |${(0 until 60).map(b =>
-           s"    (CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
-           .mkString(" +\n")}
-       |  AS BIGINT) AS simhash FROM votes),
-       |chunks AS (
-       |  SELECT doc_id, simhash, c.c AS chunk_no, (simhash >> (15 * c.c)) & 32767 AS chunk
-       |  FROM sim, generate_series(0, 3) c(c))
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM chunks a JOIN chunks b
-       |  ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin) { (s, d) =>
-    val post = SharedIndex.sidPostings(s, d)
-    val hashes = post.select(col("doc_id"),
-      ((col("sid") * 2654435761L) % 1152921504606846976L).as("h"))
-    val voteCols = (0 until 60).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
-    val votes = hashes.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sim = votes.select(col("doc_id"),
-      (0 until 60).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as("simhash"))
-    val chunks = sim.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk_no"))
-      .withColumn("chunk", expr("(simhash >> (15 * chunk_no)) & 32767"))
-    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("chunk_no"), col("chunk"))
-    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("chunk_no").as("chunk_no_b"), col("chunk").as("chunk_b"))
-    a.join(b, col("chunk_no") === col("chunk_no_b") && col("chunk") === col("chunk_b") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .where(col("hamming") <= 10)
-      .distinct()
+    "x_dedup_simhash", simhashSql(bits = 60, chunks = 4, hammingMax = 10)) { (s, d) =>
+    simhashPairs(SharedIndex.sidPostings(s, d), bits = 60, chunks = 4, hammingMax = 10)
+  }
+
+  /** SimHash at a non-default width: 48-bit signature in 6 × 8-bit
+    * chunks, hamming ≤ 8. More, narrower chunks = higher candidate
+    * recall per pigeonhole at the cost of more (band, chunk) rows —
+    * the tradeoff you re-balance as the corpus grows.
+    */
+  val dedupSimhashB48: QueryDef = QueryDef.sql(
+    "x_dedup_simhash_b48", simhashSql(bits = 48, chunks = 6, hammingMax = 8)) { (s, d) =>
+    simhashPairs(SharedIndex.sidPostings(s, d), bits = 48, chunks = 6, hammingMax = 8)
   }
 
   /** End-to-end corpus dedup — the operation an LLM data pipeline
@@ -304,14 +387,12 @@ object DedupQueries {
        |  JOIN post b ON a.sid = b.sid AND a.doc_id < b.doc_id),
        |sig AS (
        |  SELECT doc_id,
-       |${A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-           s"         min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")}
+       |${minhashSigSqlCols(8, "        ")}
        |  FROM post GROUP BY doc_id),
        |cand_band AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-       |    (a.h0 = b.h0 AND a.h1 = b.h1) OR (a.h2 = b.h2 AND a.h3 = b.h3) OR
-       |    (a.h4 = b.h4 AND a.h5 = b.h5) OR (a.h6 = b.h6 AND a.h7 = b.h7))),
+       |    ${bandCondSql(perms = 8, bands = 4)})),
        |cand AS (
        |  SELECT doc_a, doc_b FROM cand_ngram
        |  UNION
@@ -342,7 +423,7 @@ object DedupQueries {
     // both generators over the ONE shared index (no pipeline re-run)
     val post = SharedIndex.sidPostings(s, d)
     val cand = rareShingleCandidates(post)
-      .unionAll(bandCandidates(post)).distinct()
+      .unionAll(bandCandidates(post, perms = 8, bands = 4)).distinct()
     val nearDrop = verifiedPairs(post, cand)
       .select(col("doc_b").as("drop_id")).distinct()
     val drops = exactDrop.unionAll(nearDrop).distinct()
@@ -351,5 +432,6 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, dedupSimhash, dedupCorpus)
+    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, minhashLshPairsP16,
+      dedupSimhash, dedupSimhashB48, dedupCorpus)
 }

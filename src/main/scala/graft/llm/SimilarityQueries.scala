@@ -116,9 +116,33 @@ object SimilarityQueries {
 
   /** ANN via the LSH index: candidates share a bucket; exact cosine on
     * candidates only; top-3 per query. Sub-quadratic — the join key is
-    * the bucket, never vec × vec.
+    * the bucket, never vec × vec. The oracle composes the (already
+    * oracled) bucket CTE with the pair join and the quantized-integer
+    * cosine, so the whole path is hash-checked end to end.
     */
-  val annLshPairs: QueryDef = QueryDef.rowsOnly("x_ann_lsh_pairs") { (s, d) =>
+  val annLshPairs: QueryDef = QueryDef.sql(
+    "x_ann_lsh_pairs",
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p.i AS plane,
+       |         list_sum(list_transform(generate_series(1, len(qe)),
+       |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
+       |  FROM q, generate_series(0, 15) p(i)),
+       |bkt AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         $qcosSql AS sim
+       |  FROM bkt ba
+       |  JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+       |  JOIN q a ON a.vec_id = ba.vec_id
+       |  JOIN q b ON b.vec_id = bb.vec_id)
+       |SELECT vec_a, vec_b, sim FROM pairs
+       |QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= 3""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
