@@ -16,6 +16,15 @@ object Bench {
     // so the first timed query isn't charged Spark's cold start.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // The shared shingle index is built once per (JVM, sf-dir) and
+    // amortized across the whole dedup family (SharedIndex). Pay it
+    // HERE, as its own metric line, so (a) every per-query number below
+    // is a warm-index measurement, and (b) the one-time build cost is
+    // reported instead of landing in — and being min()'d out of — the
+    // first dedup query's first sample.
+    val ib0 = System.nanoTime()
+    llm.SharedIndex.sidPostings(spark, sfDir).count()
+    val indexBuild = (System.nanoTime() - ib0) / 1e9
     // Best-of-2 per query: this host's timings vary 2-3× run to run
     // under identical plans, so a single sample is mostly noise. The
     // first run also pays one-time Janino codegen; the min of two is
@@ -36,9 +45,10 @@ object Bench {
       val b = if (a >= 0) once() else a
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results + ("index_build" -> indexBuild))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.sum + indexBuild
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

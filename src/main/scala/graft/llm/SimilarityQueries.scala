@@ -83,27 +83,24 @@ object SimilarityQueries {
       .where(col("sim") >= 0.4)
   }
 
-  /** LSH bucket index (scale path for ANN): 16 deterministic
-    * pseudo-random hyperplanes; bucket = sign-bit string. Output is
-    * the index itself (vec → bucket) — candidate generation is then an
-    * equi-join on bucket (demonstrated in x_ann_lsh_pairs).
-    * Plane weights: ((i*97 + j*31 + 7) mod 21) - 10 ∈ [-10, 10].
-    */
-  val annLshBuckets: QueryDef = QueryDef.sql(
-    "x_ann_lsh_buckets",
-    """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-      |  FROM embeddings),
-      |dots AS (
-      |  SELECT vec_id, p.i AS plane,
-      |         list_sum(list_transform(generate_series(1, len(qe)),
-      |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
-      |  FROM q, generate_series(0, 15) p(i))
-      |SELECT vec_id,
-      |       CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
-      |FROM dots GROUP BY vec_id""") { (s, d) =>
+  // ----------------------------------------------------------------
+  // Random-hyperplane LSH — parameterized by plane count. More planes
+  // = narrower buckets: the knob you raise as the corpus grows so that
+  // within-bucket pairing (the only quadratic term) stays bounded.
+  // Plane weights: ((i*97 + j*31 + 7) mod 21) - 10 ∈ [-10, 10] —
+  // deterministic, so engine and oracle derive identical planes.
+  // The bucket is the sign-bit string packed into a Long (planes ≤ 62).
+  // Spark and SQL builders take the SAME parameter, so the two sides
+  // can't drift.
+  // ----------------------------------------------------------------
+
+  /** vec → bucket index at a given plane count (Spark side). */
+  private def lshBuckets(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int): org.apache.spark.sql.DataFrame = {
+    require(planes > 0 && planes <= 62, s"unsupported plane count: $planes")
     val e = Tables.embeddings(s, d).select(col("vec_id"), quantize(col("embedding")).as("qe"))
-    val dots = e.select(col("vec_id"), col("qe"), explode(sequence(lit(0), lit(15))).as("plane"))
+    val dots = e.select(col("vec_id"), col("qe"),
+        explode(sequence(lit(0), lit(planes - 1))).as("plane"))
       .select(col("vec_id"), col("plane"),
         aggregate(
           zip_with(col("qe"), sequence(lit(0), size(col("qe")) - 1),
@@ -114,26 +111,24 @@ object SimilarityQueries {
         .otherwise(0L)).as("bucket"))
   }
 
-  /** ANN via the LSH index: candidates share a bucket; exact cosine on
-    * candidates only; top-3 per query. Sub-quadratic — the join key is
-    * the bucket, never vec × vec. The oracle composes the (already
-    * oracled) bucket CTE with the pair join and the quantized-integer
-    * cosine, so the whole path is hash-checked end to end.
-    */
-  val annLshPairs: QueryDef = QueryDef.sql(
-    "x_ann_lsh_pairs",
-    s"""WITH q AS (
+  /** The q + dots + bkt CTE chain at a given plane count (oracle side). */
+  private def lshBucketCtes(planes: Int): String =
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
        |  FROM embeddings),
        |dots AS (
        |  SELECT vec_id, p.i AS plane,
        |         list_sum(list_transform(generate_series(1, len(qe)),
        |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
-       |  FROM q, generate_series(0, 15) p(i)),
+       |  FROM q, generate_series(0, ${planes - 1}) p(i)),
        |bkt AS (
        |  SELECT vec_id,
        |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY vec_id),
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Full bucketed-pairs oracle at a given config. */
+  private def lshPairsSql(planes: Int, topK: Int): String =
+    s"""WITH ${lshBucketCtes(planes)},
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         $qcosSql AS sim
@@ -142,12 +137,18 @@ object SimilarityQueries {
        |  JOIN q a ON a.vec_id = ba.vec_id
        |  JOIN q b ON b.vec_id = bb.vec_id)
        |SELECT vec_a, vec_b, sim FROM pairs
-       |QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= 3""".stripMargin) { (s, d) =>
+       |QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= $topK""".stripMargin
+
+  /** ANN pairs via the LSH index: candidates share a bucket; exact
+    * cosine on candidates only; top-`topK` per left vector.
+    * Sub-quadratic — the join key is the bucket, never vec × vec.
+    */
+  private def lshPairsDf(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int, topK: Int): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val buckets = annLshBuckets.run(s, d)
-    val withB = e.join(buckets, "vec_id")
+    val withB = e.join(lshBuckets(s, d, planes), "vec_id")
     val a = withB.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val b = withB.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -157,7 +158,38 @@ object SimilarityQueries {
         (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
-      .where(col("rn") <= 3).drop("rn")
+      .where(col("rn") <= topK).drop("rn")
+  }
+
+  /** LSH bucket index (scale path for ANN), default 16 planes. Output
+    * is the index itself (vec → bucket) — candidate generation is then
+    * an equi-join on bucket (demonstrated in x_ann_lsh_pairs).
+    */
+  val annLshBuckets: QueryDef = QueryDef.sql(
+    "x_ann_lsh_buckets",
+    s"""WITH ${lshBucketCtes(16)}
+       |SELECT vec_id, bucket FROM bkt""".stripMargin) { (s, d) =>
+    lshBuckets(s, d, 16)
+  }
+
+  /** ANN via the LSH index at the default config (16 planes, top-3).
+    * The oracle composes the (already oracled) bucket CTE with the
+    * pair join and the quantized-integer cosine, so the whole path is
+    * hash-checked end to end.
+    */
+  val annLshPairs: QueryDef = QueryDef.sql(
+    "x_ann_lsh_pairs", lshPairsSql(planes = 16, topK = 3)) { (s, d) =>
+    lshPairsDf(s, d, planes = 16, topK = 3)
+  }
+
+  /** LSH ANN at the scale config: 24 planes — the setting for a larger
+    * corpus, where narrower buckets keep the within-bucket quadratic
+    * term bounded at the cost of some recall. Oracle-checked like the
+    * default, pinning that the parameterization is real.
+    */
+  val annLshPairsPl24: QueryDef = QueryDef.sql(
+    "x_ann_lsh_pairs_pl24", lshPairsSql(planes = 24, topK = 3)) { (s, d) =>
+    lshPairsDf(s, d, planes = 24, topK = 3)
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path:
@@ -202,5 +234,6 @@ object SimilarityQueries {
       .where(col("rn") <= 5).drop("rn")
   }
 
-  val all: Seq[QueryDef] = Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annIvf)
+  val all: Seq[QueryDef] =
+    Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf)
 }

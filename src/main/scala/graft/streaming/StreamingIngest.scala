@@ -89,4 +89,45 @@ object StreamingIngest {
         ()
       }
       .start()
+
+  /** foreachBatch sink through the FULL K2 upsert protocol
+    * ([[UpsertSink]]): each micro-batch is rendered as a single-file
+    * report (K1) and upserted into the target folder under one stable
+    * name — resolve → find-child → replace — exactly the reference's
+    * per-run report publish (one_drive.py:186-208). Re-running the
+    * stream replaces the report in place instead of accumulating
+    * copies.
+    */
+  def startUpsertReportSink(
+      spark: SparkSession, dir: String, folderLink: String,
+      fileName: String): StreamingQuery =
+    windowedCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val folder = UpsertSink.resolveFolder(folderLink).getOrElse(
+          throw new IllegalArgumentException(s"cannot resolve report folder: $folderLink"))
+        // K1 single-file render: one part file in a scratch dir, then
+        // that file IS the staged content for the atomic upsert.
+        val scratch = java.nio.file.Files.createTempDirectory("graft-report-")
+        try {
+          batch.coalesce(1).write.mode("overwrite").parquet(s"$scratch/out")
+          val part = Option(new java.io.File(s"$scratch/out").listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error("no part file produced"))
+          UpsertSink.upsert(folder, fileName, { tmp =>
+            java.nio.file.Files.copy(part.toPath, tmp,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          })
+          ()
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(scratch.toFile)
+        }
+      }
+      .start()
 }

@@ -94,6 +94,43 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash plan shape: bit-vote is one aggregate, no bit-unpivot explode") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val df = llm.DedupQueries.dedupSimhash.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    // Only the 4-chunk banding explode may generate rows, and only
+    // ABOVE the vote aggregate. A 60-way bit unpivot under the vote
+    // would amplify the postings 60× through the shuffle — the round-2
+    // anti-pattern this test pins. (sequence(0, 3) is constant-folded
+    // to a literal array by the optimizer, so assert on the folded
+    // array's width, not on the expression text.)
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.nonEmpty)
+    gens.foreach { g =>
+      val width = g.generator.children.collectFirst {
+        case Literal(arr: ArrayData, _) => arr.numElements()
+      }
+      assert(width.exists(_ <= 8),
+        s"non-constant or wide generator in SimHash plan: ${g.generator} (width $width)")
+      assert(g.child.collect { case a: Aggregate => a }.nonEmpty,
+        "chunk explode must sit ABOVE the vote aggregate")
+    }
+    // the vote aggregate (60 conditional sums) consumes the postings
+    // scan directly — no Generate beneath it. CollapseProject folds the
+    // simhash projection INTO the aggregate's output expressions, so
+    // count the nested AggregateExpression nodes, not the output width.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val votes = plan.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .flatMap(_.collect { case ae: AggregateExpression => ae }).size >= 60 => a
+    }
+    assert(votes.nonEmpty, "vote aggregate (60 conditional sums) not found")
+    votes.foreach(a => assert(a.collect { case g: Generate => g }.isEmpty,
+      "a Generate feeds the vote aggregate - the 60x explode anti-pattern returned"))
+  }
+
   test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame) =

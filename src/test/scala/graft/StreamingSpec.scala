@@ -22,6 +22,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("K2 upsert protocol: resolve → find-child → replace, atomically, in a temp dir") {
+    import graft.streaming.{Created, Replaced, UpsertSink}
+    import java.nio.file.Files
+    val folder = Files.createTempDirectory("graftupsert")
+    // step 1: resolve — a directory resolves, anything else is None
+    // (the reference logs and skips unresolvable links)
+    assert(UpsertSink.resolveFolder(folder.toString).contains(folder.toAbsolutePath.normalize))
+    assert(UpsertSink.resolveFolder(folder.resolve("missing").toString).isEmpty)
+    // step 2 + 3b: not among the children → upload-as-new leg
+    assert(UpsertSink.findFileInFolder(folder, "report.csv").isEmpty)
+    assert(UpsertSink.upsert(folder, "report.csv", p => { Files.writeString(p, "v1"); () }) == Created)
+    assert(Files.readString(folder.resolve("report.csv")) == "v1")
+    // step 2 + 3a: found by name → replace in place, new content wins
+    assert(UpsertSink.findFileInFolder(folder, "report.csv").isDefined)
+    assert(UpsertSink.upsert(folder, "report.csv", p => { Files.writeString(p, "v2"); () }) == Replaced)
+    assert(Files.readString(folder.resolve("report.csv")) == "v2")
+    // still exactly one child: no duplicates, no staging leftovers
+    assert(folder.toFile.listFiles.map(_.getName).toSeq == Seq("report.csv"))
+  }
+
+  test("K2 upsert sink end-to-end: report lands as one named file; re-run replaces it") {
+    val folder = java.nio.file.Files.createTempDirectory("graftupsert2")
+    def runOnce(): Unit = {
+      val q = StreamingIngest.startUpsertReportSink(
+        spark, "/root/testdata/sf0.001", folder.toString, "events_report.parquet")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(folder.toFile.listFiles.map(_.getName).toSeq == Seq("events_report.parquet"))
+    val report = folder.resolve("events_report.parquet").toString
+    val n = spark.read.parquet(report).count()
+    assert(n > 0)
+    runOnce() // the reference re-publishes the same report every run
+    assert(folder.toFile.listFiles.map(_.getName).toSeq == Seq("events_report.parquet"))
+    assert(spark.read.parquet(report).count() == n)
+  }
+
   test("foreachBatch sink writes then publishes (K2/K3 commit protocol)") {
     val out = java.nio.file.Files.createTempDirectory("graftsink").toString
     val q = StreamingIngest.startForeachBatchSink(spark, "/root/testdata/sf0.001", out)
