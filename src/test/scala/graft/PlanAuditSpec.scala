@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Global scale-invariant audit over EVERY registered query's physical
+  * plan (pre-AQE, planning only — nothing executes). Pins the two
+  * properties the 100 TB design depends on and that a local-mode test
+  * run can't catch by timing alone:
+  *
+  *   1. No `CartesianProduct` anywhere — a data×data cartesian works
+  *      at sf0.001 and detonates at scale.
+  *   2. `BroadcastNestedLoopJoin` only where the build side is a
+  *      deliberate 1-row scalar broadcast (dim-cardinality / max-ts
+  *      anchors) or the broadcast ANN query set — enumerated below, so
+  *      an accidental non-equi join in any OTHER query fails the
+  *      suite instead of shipping as a silent quadratic term.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries where a BroadcastNestedLoopJoin is a reviewed, deliberate
+    * scalar/bounded broadcast (see PLANS.md audit summary).
+    */
+  private val bnljAllowed = Set(
+    "equipment_export", "opportunity_export", "p_time_topn",
+    "stage_report", "x_ann_ivf", "x_ann_topk")
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  test("no query plans a CartesianProduct; BNLJ only in the scalar-broadcast whitelist") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = physical(name)
+      val cartesian = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      val bad = Seq(
+        if (cartesian.nonEmpty) Some(s"$name: CartesianProduct") else None,
+        if (bnlj.nonEmpty && !bnljAllowed(name))
+          Some(s"$name: unreviewed BroadcastNestedLoopJoin") else None
+      ).flatten
+      bad
+    }
+    assert(offenders.isEmpty, s"scale-hostile joins planned:\n${offenders.mkString("\n")}")
+  }
+}
