@@ -68,6 +68,24 @@ object StreamingIngest {
       .queryName(name)
       .start()
 
+  /** Dedup-at-ingest: drop records whose key columns repeat within the
+    * watermark horizon. This is the streaming counterpart of the batch
+    * exact-dedup family (x_dedup_exact) — dedup WHERE the data lands,
+    * instead of re-scanning the corpus afterwards.
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is
+    * the 100 TB-viable form: per-key state is evicted once the
+    * watermark passes it, so state size is bounded by arrival-rate ×
+    * `delay` instead of growing with every key ever seen. The contract
+    * is correspondingly scoped: duplicates separated by more than the
+    * watermark delay are NOT caught — pick `delay` ≥ the real-world
+    * duplicate window (retry storms, at-least-once replays).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** foreachBatch sink — the write-then-publish commit protocol of the
     * reference's OneDrive upsert (K2/K3, one_drive.py:164-211 /
     * callable.py:102-116): each micro-batch is written atomically

@@ -22,6 +22,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup-at-ingest: duplicates within the watermark are dropped, state bounded") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val deduped = graft.streaming.StreamingIngest.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "payload"),
+      keys = Seq("event_id"), tsCol = "ts", delay = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two distinct keys, one at-least-once replay of key 1
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "a-replay"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      // batch 2: late replay of key 2 still inside the horizon (drop),
+      // plus an advancing event that moves the watermark
+      input.addData((2L, ts(5), "b-replay"), (3L, ts(30), "c"))
+      q.processAllAvailable()
+      // batch 3: key 1 again, but the watermark (30min - 10min delay)
+      // has passed its state — by design it is re-admitted
+      input.addData((1L, ts(40), "a-again"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out")
+      .as[(Long, Timestamp, String)].collect().map(r => (r._1, r._3)).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c"), (1L, "a-again")),
+      s"unexpected dedup output: $got")
+  }
+
   test("K2 upsert protocol: resolve → find-child → replace, atomically, in a temp dir") {
     import graft.streaming.{Created, Replaced, UpsertSink}
     import java.nio.file.Files
