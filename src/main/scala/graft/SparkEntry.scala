@@ -14,7 +14,8 @@ object SparkEntry {
       AggQueries.all ++ JoinQueries.all ++ FanoutQueries.all ++
       ProfileQueries.all ++ AnalyticsQueries.all ++ SqlQueries.all ++
       llm.DedupQueries.all ++ llm.SimilarityQueries.all ++
-      llm.TextQueries.all ++ llm.MultimodalQueries.all
+      llm.TextQueries.all ++ llm.MultimodalQueries.all ++
+      llm.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

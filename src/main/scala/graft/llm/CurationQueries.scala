@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.llm.TextOps._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  * deterministic stratified sampling, token-budget shard packing, and
+  * an end-to-end curation pipeline (quality filter → exact dedup →
+  * stratified sample).
+  *
+  * Scale design:
+  *   - Sampling is HASH-based (md5 of the doc id → uniform bucket),
+  *     not `rand()`-based: zero shuffle, embarrassingly parallel, and
+  *     reproducible — re-running the job, or re-running one failed
+  *     partition, selects the identical sample. That reproducibility
+  *     is the whole point of deterministic sampling at 100 TB.
+  *   - Shard packing needs a GLOBAL running sum; a no-partition window
+  *     would funnel the entire corpus through one task. It is computed
+  *     as the standard two-phase distributed prefix sum instead:
+  *     range-partition by doc_id, running-sum locally per partition
+  *     (parallel), then add broadcast per-partition offsets — the same
+  *     shape as [[TextOps.shingleDict]]'s distributed rank.
+  */
+object CurationQueries {
+
+  /** Uniform bucket in [0, 1000) from the doc id: polynomial rolling
+    * hash over the first 8 hex chars of md5(doc_id) — both engines
+    * produce identical md5 hex, and the modular-int fold is the same
+    * primitive already oracle-pinned by x_fingerprint.
+    */
+  private def hashBucket(docId: Column): Column =
+    aggregate(
+      filter(split(substring(md5(docId.cast("string").cast("binary")), 1, 8), ""),
+        c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L) % 1000
+
+  private val hashBucketSql =
+    """list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+      |      c -> CAST(ascii(c) AS BIGINT))),
+      |  (a, b) -> (a * 31 + b) % 1000000007) % 1000""".stripMargin
+
+  /** Deterministic stratified sampling: per-language target rates
+    * (en 50%, de 30%, everything else 10%) applied via the hash
+    * bucket — the reproducible way to compose a training mix from a
+    * multilingual corpus. Narrow plan, no shuffle, no rand().
+    */
+  val sampleStratified: QueryDef = QueryDef.sql(
+    "x_sample_stratified",
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, $hashBucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket FROM h
+       |WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300 ELSE 100 END""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), hashBucket(col("doc_id")).as("bucket"))
+      .where(col("bucket") <
+        when(col("lang") === "en", 500)
+          .when(col("lang") === "de", 300)
+          .otherwise(100))
+  }
+
+  /** Token-budget shard packing: documents are packed, in doc_id
+    * order, into training shards of ~`budget` tokens each —
+    * shard_id = exclusive-prefix-sum(n_tokens) div budget. The prefix
+    * sum is distributed (see class doc); the per-partition offset
+    * table has one row per partition (bounded by cluster config, not
+    * data) so it broadcasts.
+    */
+  def tokenPackDf(s: SparkSession, d: String, budget: Long): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // cache pins one pid assignment: the plan fans out into the window
+    // branch and the per-pid totals below, and without it the branches
+    // agree only while exchange reuse dedupes the identical range
+    // shuffle (same hazard as TextOps.shingleDict, same fix).
+    val parted = toks.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    val local = parted.withColumn("run",
+      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+    val counts = local.groupBy("pid").agg(max("run").as("cnt"))
+    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
+    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + col("run")).as("cum_tokens"))
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $budget"))
+  }
+
+  val tokenPack: QueryDef = QueryDef.sql(
+    "x_token_pack",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_tokens, (cum_tokens - n_tokens) // 2000 AS shard_id
+      |FROM c""".stripMargin) { (s, d) => tokenPackDf(s, d, budget = 2000L) }
+
+  /** End-to-end corpus curation: quality floor (x_text_stats's
+    * uniq-ratio × (1 − stop-ratio) score) → exact dedup keeper
+    * (x_dedup_exact's min-doc_id-per-fingerprint rule) → deterministic
+    * 50% sample. The composed shape of a real pre-training data prep
+    * job; every stage reuses an operator that is independently
+    * oracle-checked above.
+    */
+  val corpusCurate: QueryDef = QueryDef.sql(
+    "x_corpus_curate",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, norm,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) *
+       |           (1 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / nullif(len(toks), 0)) AS quality
+       |  FROM t),
+       |qf AS (
+       |  SELECT * FROM q WHERE n_tokens >= 5 AND quality >= 0.3),
+       |keep AS (
+       |  SELECT doc_id, lang, n_tokens, quality,
+       |         row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+       |  FROM qf),
+       |h AS (
+       |  SELECT doc_id, lang, n_tokens, quality, $hashBucketSql AS bucket
+       |  FROM keep WHERE rn = 1)
+       |SELECT doc_id, lang, n_tokens, quality FROM h
+       |WHERE bucket < 500""".stripMargin) { (s, d) =>
+    val stop = Seq("the", "a")
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"),
+      tokens(col("text")).as("toks"))
+    val q = t.select(
+        col("doc_id"), col("lang"), col("norm"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        ((size(array_distinct(col("toks"))).cast("double") / nullif(size(col("toks")), lit(0))) *
+          (lit(1) - size(filter(col("toks"), x => x.isin(stop: _*))).cast("double") /
+            nullif(size(col("toks")), lit(0)))).as("quality"))
+      .where(col("n_tokens") >= 5 && col("quality") >= 0.3)
+    val keep = q.withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("norm"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+    keep
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .where(col("bucket") < 500)
+      .drop("bucket")
+  }
+
+  val all: Seq[QueryDef] = Seq(sampleStratified, tokenPack, corpusCurate)
+}

@@ -198,10 +198,41 @@ object SimilarityQueries {
     * pass), and a query probes only its 2 nearest centroid lists
     * instead of the full corpus. Search cost drops from O(N) to
     * O(N·nprobe/ncells) per query; the assignment is a broadcast of
-    * the (tiny) centroid set. Rows-only check — recall vs brute force
-    * is asserted in LlmOpsSpec instead.
+    * the (tiny) centroid set. Every step is deterministic (quantized
+    * integer dots, fixed tie-breaks), so the whole index → assign →
+    * probe → search path is oracle-checked end to end; recall vs
+    * brute force is additionally asserted in LlmOpsSpec.
     */
-  val annIvf: QueryDef = QueryDef.rowsOnly("x_ann_ivf") { (s, d) =>
+  val annIvf: QueryDef = QueryDef.sql(
+    "x_ann_ivf",
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, qe,
+      |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+      |  FROM q),
+      |cent AS (
+      |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0),
+      |scored_cent AS (
+      |  SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+      |           (e.nrm * c.cent_nrm) AS csim
+      |  FROM e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+      |  FROM scored_cent),
+      |assigned AS (SELECT vec_id, qe, nrm, cent_id AS cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm, cent_id AS probe_cell
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(p.q_qe)), i -> p.q_qe[i] * a.qe[i])) AS DOUBLE) /
+      |           (p.q_nrm * a.nrm) AS sim
+      |  FROM assigned a JOIN probes p ON a.cell = p.probe_cell AND p.query_id != a.vec_id)
+      |SELECT query_id, neighbor_id, sim FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))

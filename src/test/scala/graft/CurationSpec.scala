@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.CurationQueries
+
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("token packing: distributed prefix sum equals the single-partition reference") {
+    val got = CurationQueries.tokenPackDf(spark, sf, budget = 2000L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive reference: one global window (fine on test-sized data only)
+    val ref = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(llm.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(Window.orderBy("doc_id")))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
+  test("token packing survives spark.sql.exchange.reuse=false (no hidden reliance on exchange dedup)") {
+    val prev = spark.conf.getOption("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val df = CurationQueries.tokenPackDf(spark, sf, budget = 2000L)
+      val bad = df.withColumn("expected_shard", expr("(cum_tokens - n_tokens) div 2000"))
+        .where(col("shard_id") =!= col("expected_shard"))
+      assert(bad.isEmpty)
+      // cumulative sums must still be strictly increasing in doc_id order
+      val cums = df.orderBy("doc_id").select("cum_tokens").collect().map(_.getLong(0))
+      assert(cums.sameElements(cums.sorted))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+        case None    => spark.conf.unset("spark.sql.exchange.reuse")
+      }
+    }
+  }
+
+  test("stratified sample is partitioning-invariant (pure hash of doc_id, no rand())") {
+    val run = CurationQueries.sampleStratified.run
+    val a = run(spark, sf).select("doc_id").collect().map(_.getLong(0)).toSet
+    // same query over a differently-partitioned scan must select the identical docs
+    val reparted = Tables.documents(spark, sf).repartition(7)
+    reparted.createOrReplaceTempView("curation_reparted")
+    val b = reparted
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        aggregate(
+          filter(split(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), ""),
+            c => length(c) > 0),
+          lit(0L), (acc, c) => (acc * 31 + ascii(c)) % 1000000007L) % 1000)
+      .where(col("bucket") <
+        when(col("lang") === "en", 500).when(col("lang") === "de", 300).otherwise(100))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("corpus curation: output is quality-floored, token-floored, and fingerprint-unique") {
+    val out = CurationQueries.corpusCurate.run(spark, sf).cache()
+    assert(out.where(col("quality") < 0.3 || col("n_tokens") < 5).isEmpty)
+    // no two surviving docs share an exact fingerprint
+    val fps = out.join(Tables.documents(spark, sf), "doc_id")
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+    out.unpersist()
+  }
+}

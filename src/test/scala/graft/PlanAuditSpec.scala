@@ -22,10 +22,13 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Queries where a BroadcastNestedLoopJoin is a reviewed, deliberate
     * scalar/bounded broadcast (see PLANS.md audit summary).
+    * x_token_pack: the triangular `pid_b < pid` offsets join of the
+    * two-phase prefix sum — both sides have one row per shuffle
+    * partition (bounded by cluster config, not data).
     */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
-    "stage_report", "x_ann_ivf", "x_ann_topk")
+    "stage_report", "x_ann_ivf", "x_ann_topk", "x_token_pack")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
