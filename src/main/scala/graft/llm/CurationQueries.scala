@@ -161,5 +161,27 @@ object CurationQueries {
       .drop("bucket")
   }
 
-  val all: Seq[QueryDef] = Seq(sampleStratified, tokenPack, corpusCurate)
+  /** Per-source document cap: keep at most 10 docs per source, chosen
+    * by hash-bucket order (reproducible "random" subset, no rand())
+    * with doc_id tie-break — the standard domain-balancing op that
+    * stops one crawl domain from dominating a training mix. Only the
+    * narrow (doc_id, source, bucket) triple moves through the shuffle
+    * — the text column is pruned at the scan; at 100 TB the survivors
+    * are fetched by a later id semi-join.
+    */
+  val sourceCap: QueryDef = QueryDef.sql(
+    "x_source_cap",
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $hashBucketSql AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, bucket FROM h
+       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) <= 10""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), hashBucket(col("doc_id")).as("bucket"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("bucket"), col("doc_id"))))
+      .where(col("rn") <= 10).drop("rn")
+  }
+
+  val all: Seq[QueryDef] = Seq(sampleStratified, tokenPack, corpusCurate, sourceCap)
 }

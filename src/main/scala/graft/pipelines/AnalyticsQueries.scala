@@ -81,5 +81,65 @@ object AnalyticsQueries {
       expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("price_p99"))
   }
 
-  val all: Seq[QueryDef] = Seq(rollup, pivotCounts, quantiles, approxProfile)
+  /** As-of join: each click event enriched with the user's most
+    * recent prior-or-simultaneous purchase (id/value), left-outer —
+    * clicks with no prior purchase keep nulls. The Spark side is the
+    * union-scan [[graft.operators.AsOfJoin]] (one shuffle on user_id,
+    * linear per-partition scan); the oracle is DuckDB's native
+    * ASOF LEFT JOIN — two entirely different formulations, hash-matched.
+    * Purchases are pre-deduped to one row per (user, ts) (max
+    * event_id wins) so the match is deterministic.
+    */
+  val asofJoin: QueryDef = QueryDef.sql(
+    "x_asof_join",
+    """WITH a AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      |SELECT a.event_id, a.user_id, a.ts,
+      |       b.event_id AS prior_event_id, b.ts AS prior_ts, b.value AS prior_value
+      |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "value")
+    graft.operators.AsOfJoin.asofJoin(
+        clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("event_id", "value"))
+      .select("event_id", "user_id", "ts", "prior_event_id", "prior_ts", "prior_value")
+  }
+
+  /** Range join: same-user event pairs within 30 minutes of each
+    * other (ordered by event_id so each unordered pair appears once),
+    * with the exact µs gap. The Spark side is the banded equi-join
+    * [[graft.operators.RangeJoin]] (time quantized to tolerance-wide
+    * bands, 3× probe fan-out, shuffle on (user, band) — never a
+    * per-key nested loop); the oracle is the naive inequality join,
+    * affordable for DuckDB at oracle scale.
+    */
+  val rangeJoin: QueryDef = QueryDef.sql(
+    "x_range_join",
+    """SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+      |       date_diff('microsecond', a.ts, b.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND abs(date_diff('microsecond', a.ts, b.ts)) <= 1800000000""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
+    val b = ev.select(col("event_id").as("event_b"), col("user_id"), col("ts").as("ts_b"))
+    graft.operators.RangeJoin.rangeJoin(a, b, key = "user_id",
+        lts = "ts_a", rts = "ts_b", toleranceSec = 1800L)
+      .where(col("event_a") < col("event_b"))
+      .select(col("event_a"), col("event_b"), col("user_id"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin)
 }
