@@ -33,11 +33,16 @@ object RangeJoin {
       lts: String, rts: String, toleranceSec: Long): DataFrame = {
     require(toleranceSec > 0, s"tolerance must be positive: $toleranceSec")
     val tolUs = toleranceSec * 1000000L
-    val l = left.withColumn("__lband", floor(unix_micros(col(lts)) / tolUs))
+    // exact integer floor-division (pmod keeps it correct for negative
+    // epochs): a float `floor(us / tol)` could misplace an exactly-on-
+    // boundary timestamp by one band via double rounding.
+    def band(ts: String) =
+      expr(s"(unix_micros($ts) - pmod(unix_micros($ts), ${tolUs}L)) div ${tolUs}L")
+    val l = left.withColumn("__lband", band(lts))
       .withColumn("__band",
         explode(array(col("__lband") - 1, col("__lband"), col("__lband") + 1)))
       .drop("__lband")
-    val r = right.withColumn("__band", floor(unix_micros(col(rts)) / tolUs))
+    val r = right.withColumn("__band", band(rts))
     l.join(r, Seq(key, "__band"))
       .where(abs(unix_micros(col(rts)) - unix_micros(col(lts))) <= tolUs)
       .drop("__band")

@@ -56,4 +56,55 @@ class PropertySpec extends SparkSpec {
       got == a.orElse(b).getOrElse("")
     }, n = 15)
   }
+
+  // timestamps clustered around band multiples of the 100s tolerance so
+  // boundary/edge cases (exactly-on-band, ±1µs, negative epochs) are hit
+  private val genEventTs: Gen[Long] = for {
+    b <- Gen.choose(-3L, 3L)
+    off <- Gen.oneOf(Gen.choose(-2L, 2L), Gen.choose(-100000000L, 100000000L))
+  } yield b * 100000000L + off
+
+  test("range join equals the naive inequality join on arbitrary clustered timestamps") {
+    val genRows = Gen.listOfN(24, Gen.zip(Gen.choose(1L, 3L), genEventTs))
+    check(Prop.forAll(genRows) { rows =>
+      val withIds = rows.zipWithIndex.map { case ((k, us), i) => (i.toLong, k, us) }
+      val df = withIds.toDF("id", "k", "us")
+        .select(col("id"), col("k"), timestamp_micros(col("us")).as("ts"))
+      val a = df.select(col("id").as("id_a"), col("k"), col("ts").as("ts_a"))
+      val b = df.select(col("id").as("id_b"), col("k").as("k_b"), col("ts").as("ts_b"))
+      val banded = graft.operators.RangeJoin
+        .rangeJoin(a, b.withColumnRenamed("k_b", "k"), "k", "ts_a", "ts_b", 100L)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = (for {
+        (ia, ka, ta) <- withIds
+        (ib, kb, tb) <- withIds
+        if ka == kb && math.abs(tb - ta) <= 100000000L
+      } yield (ia, ib)).toSet
+      banded == naive
+    }, n = 10)
+  }
+
+  test("as-of join equals the per-row scala reference on arbitrary clustered timestamps") {
+    val genL = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
+    val genR = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
+    check(Prop.forAll(Gen.zip(genL, genR)) { case (lRows, rRows) =>
+      val l = lRows.zipWithIndex.map { case ((k, us), i) => (i.toLong, k, us) }
+      // right side unique per (key, ts) — the operator's contract
+      val r = rRows.distinctBy(x => (x._1, x._2))
+        .zipWithIndex.map { case ((k, us), i) => (1000L + i, k, us) }
+      val lDf = l.toDF("event_id", "user_id", "us")
+        .select(col("event_id"), col("user_id"), timestamp_micros(col("us")).as("ts"))
+      val rDf = r.toDF("rid", "user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("rid"))
+      val got = graft.operators.AsOfJoin
+        .asofJoin(lDf, rDf, "user_id", "ts", Seq("rid"))
+        .select("event_id", "prior_rid").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+      val ref = l.map { case (id, k, us) =>
+        val cand = r.filter(x => x._2 == k && x._3 <= us)
+        id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._3)._1))
+      }.toMap
+      got == ref
+    }, n = 10)
+  }
 }
