@@ -86,6 +86,40 @@ object StreamingIngest {
       delay: String): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: the streaming counterpart of the batch
+    * broadcast lookup joins (J1–J12) — each micro-batch probes the
+    * broadcast dimension, no stream-side state at all. The dim is
+    * re-resolvable per batch, so a slowly-changing dimension picks up
+    * updates without restarting the query.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join — the streaming counterpart of the
+    * batch banded range join (operators.RangeJoin): left and right
+    * event streams pair when they share `lKey`/`rKey` and their event
+    * times are within `withinSec` of each other.
+    *
+    * Both sides carry a watermark, and the join condition bounds
+    * right-time relative to left-time in BOTH directions — that pair
+    * of facts is what lets Spark evict matched state: each side's
+    * buffer holds only `delay` + `withinSec` of events, so state is
+    * bounded by arrival rate × horizon, not by stream length. Without
+    * the two-sided time bound the state store grows forever — the
+    * streaming analog of the batch cartesian.
+    *
+    * Column contract: the two sides must have disjoint column names
+    * (rename before calling), including the key.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      lKey: String, rKey: String, lts: String, rts: String,
+      withinSec: Long, delay: String): DataFrame =
+    left.withWatermark(lts, delay).join(
+      right.withWatermark(rts, delay),
+      col(lKey) === col(rKey) &&
+        col(rts) >= col(lts) - expr(s"INTERVAL $withinSec SECOND") &&
+        col(rts) <= col(lts) + expr(s"INTERVAL $withinSec SECOND"))
+
   /** foreachBatch sink — the write-then-publish commit protocol of the
     * reference's OneDrive upsert (K2/K3, one_drive.py:164-211 /
     * callable.py:102-116): each micro-batch is written atomically
