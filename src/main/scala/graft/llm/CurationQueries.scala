@@ -30,13 +30,18 @@ object CurationQueries {
     * hash over the first 8 hex chars of md5(doc_id) — both engines
     * produce identical md5 hex, and the modular-int fold is the same
     * primitive already oracle-pinned by x_fingerprint.
+    *
+    * The 8-step fold is UNROLLED into built-in arithmetic (not an
+    * `aggregate` HOF): HOF lambdas run interpreted (CodegenFallback),
+    * while this composition stays inside whole-stage codegen — on a
+    * per-row hot path at corpus scale that is the difference that
+    * matters. Values are identical to the HOF/`list_reduce` form.
     */
-  private def hashBucket(docId: Column): Column =
-    aggregate(
-      filter(split(substring(md5(docId.cast("string").cast("binary")), 1, 8), ""),
-        c => length(c) > 0),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L) % 1000
+  private def hashBucket(docId: Column): Column = {
+    val h = md5(docId.cast("string").cast("binary"))
+    (1 to 8).foldLeft(lit(0L))(
+      (acc, i) => (acc * 31 + ascii(substring(h, i, 1))) % 1000000007L) % 1000
+  }
 
   private val hashBucketSql =
     """list_reduce(
