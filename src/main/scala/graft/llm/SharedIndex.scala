@@ -64,11 +64,13 @@ object SharedIndex {
       builtPaths.getOrElseUpdate(key, {
         val tag = key.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = root.resolve(s"sid_postings_$tag").toString
-        // `sh` is consumed twice (dict derivation + final join) and
-        // deliberately NOT persisted: the fully-codegen'd tokenize→
-        // shingle pipeline recomputes cheaper than the postings
-        // materialize (measured ~10.2 s vs ~11.1 s cold build at
-        // sf0.1/local[32], 3-trial means).
+        // Two measured non-wins keep this formulation as-is (3-trial
+        // cold builds at sf0.1/local[32], baseline ~10.2 s): persisting
+        // `sh` before its two consumers costs ~+1 s (the codegen'd
+        // shingle pipeline recomputes cheaper than it materializes),
+        // and a "one-pass" dense_rank directly over the postings costs
+        // ~+3 s (sorting every posting row dwarfs ranking the distinct
+        // set plus joining back).
         val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
         sh.join(TextOps.shingleDict(sh), "shingle")
           .select("doc_id", "sid")
