@@ -431,7 +431,50 @@ object DedupQueries {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Incremental (delta-vs-corpus) near-dup: which docs of an
+    * arriving batch (here: doc_id % 10 = 0) duplicate the EXISTING
+    * corpus — the shape a daily-ingest pipeline runs, where you never
+    * re-pair the whole corpus, only delta × corpus. Candidates form
+    * on rare shingles with the DELTA on the probe side, so candidate
+    * volume is bounded by |delta| × df, not corpus²; verification is
+    * the same exact-Jaccard as the batch family (j ≥ 0.8).
+    */
+  val dedupIncremental: QueryDef = QueryDef.sql(
+    "x_dedup_incremental",
+    s"""WITH $sidPostingsSql,
+       |rare AS (SELECT sid FROM post GROUP BY sid HAVING count(*) <= 8),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM post a JOIN rare r ON a.sid = r.sid
+       |  JOIN post b ON a.sid = b.sid
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |ver AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.doc_a
+       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
+       |  GROUP BY 1, 2)
+       |SELECT v.doc_a AS doc_new, v.doc_b AS doc_old,
+       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+       |FROM ver v
+       |JOIN cnt ca ON v.doc_a = ca.doc_id
+       |JOIN cnt cb ON v.doc_b = cb.doc_id
+       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
+    val post = SharedIndex.sidPostings(s, d)
+    val rare = post.groupBy("sid").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 8).select("sid")
+    val delta = post.where(col("doc_id") % 10 === 0)
+      .join(rare, "sid").select(col("doc_id").as("doc_a"), col("sid"))
+    val corpus = post.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("doc_b"), col("sid").as("sid_r"))
+    val cand = delta.join(corpus, col("sid") === col("sid_r"))
+      .select("doc_a", "doc_b").distinct()
+    verifiedPairs(post, cand)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jaccard"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, minhashLshPairsP16,
-      dedupSimhash, dedupSimhashB48, dedupCorpus)
+      dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental)
 }
