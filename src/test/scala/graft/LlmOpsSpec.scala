@@ -69,6 +69,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental dedup pairs only delta docs against the existing corpus") {
+    val out = graft.llm.DedupQueries.dedupIncremental
+      .run(spark, "/root/testdata/sf0.001")
+      .select("doc_new", "doc_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every left id is in the delta (doc_id % 10 == 0), every right id
+    // is in the existing corpus — no delta×delta or corpus×corpus pair
+    assert(out.forall { case (n, o) => n % 10 == 0 && o % 10 != 0 })
+  }
+
   test("shingleDict: sid = global sorted rank, independent of exchange reuse") {
     // Many docs + overlapping vocab → distinct shingles span several
     // range partitions. Disable exchange reuse: sids must STILL be the
