@@ -227,6 +227,33 @@ object CurationQueries {
         least(lit(40L), col("n") - col("chunk_id") * 32).as("n_chunk_tokens"))
   }
 
+  /** PII-style redaction: scrub email addresses and URLs from the
+    * text (the sanitization pass of training-data prep), with per-doc
+    * redaction counts for audit. Pure per-row regex work — zero
+    * shuffle, fully codegen'd; patterns are kept to the regex subset
+    * where Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  val redact: QueryDef = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val url = "https?://[^ ]+"
+    QueryDef.sql(
+      "x_redact",
+      s"""SELECT doc_id,
+         |       regexp_replace(
+         |         regexp_replace(lower(text), '$email', '<EMAIL>', 'g'),
+         |         '$url', '<URL>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(lower(text), '$email')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(lower(text), '$url')) AS BIGINT) AS n_urls
+         |FROM documents""".stripMargin) { (s, d) =>
+      val t = lower(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(t, email, "<EMAIL>"), url, "<URL>").as("redacted"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_urls"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks)
+    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact)
 }

@@ -94,6 +94,26 @@ class CurationSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() == docsN)
   }
 
+  test("redaction scrubs emails and urls and counts them (testdata has none - pin on synthetic rows)") {
+    import spark.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val url = "https?://[^ ]+"
+    val docs = Seq(
+      (1L, "Mail a.b@c.org or bob@d.co.uk today"),
+      (2L, "see https://x.io/p?q=1 and http://y.z/"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val t = lower(col("text"))
+    val got = docs.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(t, email, "<EMAIL>"), url, "<URL>").as("redacted"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_urls"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("mail <EMAIL> or <EMAIL> today", 2L, 0L)))
+    assert(got(2L) == (("see <URL> and <URL>", 0L, 2L)))
+    assert(got(3L) == (("nothing here", 0L, 0L)))
+  }
+
   test("corpus curation: output is quality-floored, token-floored, and fingerprint-unique") {
     val out = CurationQueries.corpusCurate.run(spark, sf).cache()
     assert(out.where(col("quality") < 0.3 || col("n_tokens") < 5).isEmpty)
