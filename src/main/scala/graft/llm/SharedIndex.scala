@@ -9,8 +9,9 @@ import graft.Tables
 
 /** Shared, materialized shingle-postings index for the dedup family.
   *
-  * Five queries (ngram, MinHash signature, MinHash+LSH pairs, SimHash,
-  * corpus dedup) all run on the same inverted index
+  * Eight queries (ngram, MinHash signature, MinHash+LSH pairs ×2,
+  * SimHash ×2, incremental, corpus dedup) all run on the same
+  * inverted index
   * `(doc_id, sid)` — one row per distinct (document, 3-shingle), with
   * the shingle replaced by its dense dictionary id. Round 1 rebuilt
   * tokenize → shingle → dict inside every query (~62% of total bench
