@@ -83,7 +83,11 @@ object CurationQueries {
     // cache pins one pid assignment: the plan fans out into the window
     // branch and the per-pid totals below, and without it the branches
     // agree only while exchange reuse dedupes the identical range
-    // shuffle (same hazard as TextOps.shingleDict, same fix).
+    // shuffle (same hazard as TextOps.shingleDict, same fix). The
+    // handle is narrow ((doc_id, n_tokens, pid)) and lives until the
+    // caller's session clears it — Bench clearCache()s between
+    // queries; a long-lived service should unpersist after
+    // materializing.
     val parted = toks.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .cache()
@@ -196,6 +200,24 @@ object CurationQueries {
     * slice): zero shuffle, scales linearly, and the fan-out is
     * bounded by document length / stride.
     */
+  /** The chunking dataflow on any (doc_id, text) frame — exposed so
+    * tests pin the PRODUCTION expressions on synthetic docs instead
+    * of a re-implementation.
+    */
+  def chunkDf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    t.withColumn("max_k",
+        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("max_k"))).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"), (col("chunk_id") * 32 + 1).cast("int"), lit(40)), " ")
+          .as("chunk_text"),
+        least(lit(40L), col("n") - col("chunk_id") * 32).as("n_chunk_tokens"))
+  }
+
   val docChunks: QueryDef = QueryDef.sql(
     "x_doc_chunks",
     """WITH t AS (
@@ -212,20 +234,7 @@ object CurationQueries {
       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
       |       array_to_string(list_slice(toks, k * 32 + 1, k * 32 + 40), ' ') AS chunk_text,
       |       CAST(least(40, n - k * 32) AS BIGINT) AS n_chunk_tokens
-      |FROM ks""".stripMargin) { (s, d) =>
-    val t = Tables.documents(s, d).select(
-      col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    t.withColumn("max_k",
-        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), col("max_k"))).as("chunk_id"))
-      .select(
-        col("doc_id"), col("chunk_id"),
-        array_join(slice(col("toks"), (col("chunk_id") * 32 + 1).cast("int"), lit(40)), " ")
-          .as("chunk_text"),
-        least(lit(40L), col("n") - col("chunk_id") * 32).as("n_chunk_tokens"))
-  }
+      |FROM ks""".stripMargin) { (s, d) => chunkDf(Tables.documents(s, d)) }
 
   /** PII-style redaction: scrub email addresses and URLs from the
     * text (the sanitization pass of training-data prep), with per-doc
@@ -233,26 +242,31 @@ object CurationQueries {
     * shuffle, fully codegen'd; patterns are kept to the regex subset
     * where Java regex (Spark) and RE2 (DuckDB) agree.
     */
-  val redact: QueryDef = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val url = "https?://[^ ]+"
-    QueryDef.sql(
-      "x_redact",
-      s"""SELECT doc_id,
-         |       regexp_replace(
-         |         regexp_replace(lower(text), '$email', '<EMAIL>', 'g'),
-         |         '$url', '<URL>', 'g') AS redacted,
-         |       CAST(len(regexp_extract_all(lower(text), '$email')) AS BIGINT) AS n_emails,
-         |       CAST(len(regexp_extract_all(lower(text), '$url')) AS BIGINT) AS n_urls
-         |FROM documents""".stripMargin) { (s, d) =>
-      val t = lower(col("text"))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        regexp_replace(regexp_replace(t, email, "<EMAIL>"), url, "<URL>").as("redacted"),
-        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_urls"))
-    }
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val urlRe = "https?://[^ ]+"
+
+  /** The redaction dataflow on any (doc_id, text) frame — exposed so
+    * tests pin the PRODUCTION expressions on synthetic docs (the
+    * driver corpus contains no emails/URLs).
+    */
+  def redactDf(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), urlRe, "<URL>").as("redacted"),
+      size(regexp_extract_all(t, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(urlRe), lit(0))).cast("long").as("n_urls"))
   }
+
+  val redact: QueryDef = QueryDef.sql(
+    "x_redact",
+    s"""SELECT doc_id,
+       |       regexp_replace(
+       |         regexp_replace(lower(text), '$emailRe', '<EMAIL>', 'g'),
+       |         '$urlRe', '<URL>', 'g') AS redacted,
+       |       CAST(len(regexp_extract_all(lower(text), '$emailRe')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(lower(text), '$urlRe')) AS BIGINT) AS n_urls
+       |FROM documents""".stripMargin) { (s, d) => redactDf(Tables.documents(s, d)) }
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact)

@@ -144,9 +144,16 @@ object DedupQueries {
 
   /** SimHash near-dup pairs at a given signature width: `bits`-bit
     * signature from per-shingle multiplicative hashes, bit-majority
-    * vote, then `chunks`-way bit-chunk banding (pigeonhole: pairs
-    * within the hamming radius share ≥1 identical chunk as long as
-    * hamming < chunks·… in expectation) + exact hamming filter.
+    * vote, then `chunks`-way bit-chunk banding + exact hamming filter.
+    *
+    * Candidate recall: pigeonhole GUARANTEES a shared chunk only for
+    * pairs with hamming < `chunks`; between `chunks` and `hammingMax`
+    * recall is probabilistic (differing bits must concentrate so no
+    * chunk is clean — increasingly unlikely but possible), the
+    * standard SimHash-banding trade-off. Raise `chunks` to push the
+    * guaranteed radius up at the cost of more candidate rows; the
+    * oracle uses the same banding, so engine and oracle agree on
+    * exactly which pairs are surfaced.
     *
     * The bit-vote is ONE groupBy(doc_id) with `bits` conditional sums
     * over the hash column directly — not an explode(0..bits-1) (which

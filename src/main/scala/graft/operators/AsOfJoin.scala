@@ -33,24 +33,32 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String]): DataFrame = {
-    val payload = rightCols.map(c => s"prior_$c")
     // side: 0 = right, 1 = left, so rights sort before lefts at equal
     // ts and an exactly-simultaneous right row matches (<= semantics).
+    // The right payload travels as ONE struct and the window fills
+    // that struct atomically — filling each column independently with
+    // its own last(ignoreNulls) would tear rows: a NULL field in the
+    // matched right row would be silently backfilled from an OLDER
+    // right row. Null-ts right rows are excluded (no event time = can
+    // never be "the most recent at or before t").
     val lTagged = left.withColumn("side", lit(1))
     val rTagged = right
-      .select(col(key) +: col(ts).as("prior_ts_src") +:
-        rightCols.map(c => col(c).as(s"prior_$c")): _*)
-      .withColumn(ts, col("prior_ts_src"))
-      .withColumn("side", lit(0))
+      .where(col(ts).isNotNull)
+      .select(col(key), col(ts),
+        struct(col(ts).as(s"prior_$ts") +:
+          rightCols.map(c => col(c).as(s"prior_$c")): _*).as("__prior"),
+        lit(0).as("side"))
     // unionByName fills each side's missing columns with typed nulls
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     val w = Window.partitionBy(key).orderBy(col(ts).asc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = ("prior_ts_src" +: payload).foldLeft(unioned)(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.where(col("side") === 1)
-      .withColumnRenamed("prior_ts_src", s"prior_$ts")
-      .drop("side")
+    val outCols = left.columns.toSeq.map(col) ++
+      (s"prior_$ts" +: rightCols.map(c => s"prior_$c"))
+        .map(c => col(s"__prior.$c").as(c))
+    unioned
+      .withColumn("__prior", last(col("__prior"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(outCols: _*)
   }
 }

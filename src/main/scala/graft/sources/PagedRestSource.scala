@@ -210,18 +210,25 @@ class PagedReaderFactory(
         * loss must be opted into).
         */
       private def fetchPageWithRetry(): Boolean = {
+        // at least one attempt always runs: maxRetries <= 0 must not
+        // short-circuit into "page served without any request"
+        val attempts = math.max(1, retry.maxRetries)
         var attempt = 0
-        while (attempt < retry.maxRetries) {
+        while (attempt < attempts) {
           try {
             serverRequest(attempt)
             return true
           } catch {
             case e: TransientPageException =>
-              logWarning(s"Network error on attempt ${attempt + 1}/${retry.maxRetries}: ${e.getMessage}")
+              logWarning(s"Network error on attempt ${attempt + 1}/$attempts: ${e.getMessage}")
               attempt += 1
-              if (attempt < retry.maxRetries)
-                Thread.sleep(math.min(retry.baseDelayMs << (attempt - 1), retry.maxDelayMs))
-              else if (retry.skipOnExhausted) {
+              if (attempt < attempts) {
+                // cap the shift before shifting: an unbounded
+                // `base << n` overflows Long past n≈57 and a negative
+                // Thread.sleep throws instead of backing off
+                val shift = math.min(attempt - 1, 20)
+                Thread.sleep(math.min(retry.baseDelayMs << shift, retry.maxDelayMs))
+              } else if (retry.skipOnExhausted) {
                 logError(s"Max retries reached. Skipping page [$start,$end).")
                 return false
               } else throw e

@@ -51,6 +51,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((1L, None, None, None)))
   }
 
+  test("a NULL field in the matched right row stays NULL (no torn rows from older rows)") {
+    val l = left((1L, 7L, 200L))
+    val r = Seq((7L, 50L, 10L, Some(1.0)), (7L, 150L, 11L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = run(l, r)
+    // the matched row IS (ts=150, id=11, value=NULL); value must not
+    // be backfilled from the older (ts=50, value=1.0) row
+    assert(got == Set((1L, Some(11L), Some(150L), None)))
+  }
+
+  test("right rows with NULL ts never match") {
+    val l = left((1L, 7L, 200L))
+    val r = Seq((7L, Option.empty[Long], 11L, Some(2.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = run(l, r)
+    assert(got == Set((1L, None, None, None)))
+  }
+
   test("matches a per-row subquery reference on the events table") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)

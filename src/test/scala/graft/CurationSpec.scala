@@ -67,18 +67,9 @@ class CurationSpec extends SparkSpec {
     // (second chunk = tokens 33..41); 104 = 32*2+40 -> exactly 3 chunks
     val docs = Seq(doc(1, 10), doc(2, 40), doc(3, 41), doc(4, 104))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("chunk_docs")
     val out = CurationQueries.docChunks.run(spark, "/root/testdata/sf0.001")
-    // semantics checked on the synthetic docs via the same builder:
-    val t = docs.select(col("doc_id"), graft.llm.TextOps.tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-    val got = t.withColumn("max_k",
-        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
-      .select(col("doc_id"), explode(sequence(lit(0L), col("max_k"))).as("k"),
-        col("toks"), col("n"))
-      .select(col("doc_id"), col("k"),
-        array_join(slice(col("toks"), (col("k") * 32 + 1).cast("int"), lit(40)), " ").as("txt"),
-        least(lit(40L), col("n") - col("k") * 32).as("nt"))
+    // semantics pinned on synthetic docs through the PRODUCTION builder
+    val got = CurationQueries.chunkDf(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     assert(byDoc(1L).map(_._4).toSeq == Seq(10L))
@@ -96,18 +87,12 @@ class CurationSpec extends SparkSpec {
 
   test("redaction scrubs emails and urls and counts them (testdata has none - pin on synthetic rows)") {
     import spark.implicits._
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val url = "https?://[^ ]+"
     val docs = Seq(
       (1L, "Mail a.b@c.org or bob@d.co.uk today"),
       (2L, "see https://x.io/p?q=1 and http://y.z/"),
       (3L, "nothing here")).toDF("doc_id", "text")
-    val t = lower(col("text"))
-    val got = docs.select(
-        col("doc_id"),
-        regexp_replace(regexp_replace(t, email, "<EMAIL>"), url, "<URL>").as("redacted"),
-        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(t, lit(url), lit(0))).cast("long").as("n_urls"))
+    // through the PRODUCTION builder, not a re-implementation
+    val got = CurationQueries.redactDf(docs)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got(1L) == (("mail <EMAIL> or <EMAIL> today", 2L, 0L)))
     assert(got(2L) == (("see <URL> and <URL>", 0L, 2L)))

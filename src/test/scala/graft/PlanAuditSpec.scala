@@ -4,9 +4,11 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Global scale-invariant audit over EVERY registered query's physical
-  * plan (pre-AQE, planning only — nothing executes). Pins the two
-  * properties the 100 TB design depends on and that a local-mode test
-  * run can't catch by timing alone:
+  * plan (pre-AQE; none of the audited plans execute, though building
+  * the dedup family's DataFrames does trigger the one-time
+  * SharedIndex build as a construction-time side effect). Pins the
+  * two properties the 100 TB design depends on and that a local-mode
+  * test run can't catch by timing alone:
   *
   *   1. No `CartesianProduct` anywhere — a data×data cartesian works
   *      at sf0.001 and detonates at scale.
