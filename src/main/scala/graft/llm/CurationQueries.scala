@@ -268,6 +268,47 @@ object CurationQueries {
        |       CAST(len(regexp_extract_all(lower(text), '$urlRe')) AS BIGINT) AS n_urls
        |FROM documents""".stripMargin) { (s, d) => redactDf(Tables.documents(s, d)) }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-gram with the held-out benchmark set (here: every 25th doc) —
+    * the standard train/test contamination check, which operates at
+    * the n-gram level rather than document-level similarity (one
+    * verbatim benchmark sentence inside an otherwise-unrelated doc
+    * must flag it; Jaccard would miss it).
+    *
+    * Scale shape: an equi-join on the 8-gram between training
+    * postings and the DISTINCT benchmark n-gram set. The benchmark
+    * side is tiny relative to the corpus (eval sets are fixed-size),
+    * so it broadcasts; the training side never self-joins.
+    */
+  val decontaminate: QueryDef = QueryDef.sql(
+    "x_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 7), ' ') AS ng
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 7 <= len(tok)),
+      |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0)
+      |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
+      |FROM g JOIN bench USING (ng)
+      |WHERE g.doc_id % 25 != 0
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    decontaminateDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
+  }
+
+  /** The decontamination dataflow on any (doc_id, text) frame with a
+    * caller-supplied benchmark-membership predicate.
+    */
+  def decontaminateDf(docs: DataFrame, isBench: Column): DataFrame = {
+    val grams = shinglePostings(docs, 8)
+    val bench = grams.where(isBench)
+      .select(col("shingle").as("ng")).distinct()
+    grams.where(!isBench)
+      .join(broadcast(bench), col("shingle") === col("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact)
+    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact,
+      decontaminate)
 }

@@ -99,6 +99,19 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == (("nothing here", 0L, 0L)))
   }
 
+  test("decontamination flags a doc embedding a verbatim benchmark 8-gram, not unrelated docs") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"   // exactly one 8-gram
+    val docs = Seq(
+      (100L, benchText),                                              // the benchmark doc
+      (1L, s"prefix words here $benchText suffix tail"),              // contaminated
+      (2L, "totally unrelated words that share no long ngram at all many of them here")
+    ).toDF("doc_id", "text")
+    val out = CurationQueries.decontaminateDf(docs, col("doc_id") === 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
   test("corpus curation: output is quality-floored, token-floored, and fingerprint-unique") {
     val out = CurationQueries.corpusCurate.run(spark, sf).cache()
     assert(out.where(col("quality") < 0.3 || col("n_tokens") < 5).isEmpty)
