@@ -84,6 +84,32 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("chunking covers every token and overlaps consecutive chunks by exactly 8") {
+    val genLen = Gen.oneOf(Gen.choose(0, 45), Gen.choose(30, 140),
+      Gen.oneOf(39, 40, 41, 71, 72, 73, 104))
+    check(Prop.forAll(Gen.listOfN(6, genLen)) { lens =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val chunks = graft.llm.CurationQueries.chunkDf(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      lens.zipWithIndex.forall { case (n, i) =>
+        val cs = chunks(i.toLong)
+        val toks = cs.map(_.split(" ").filter(_.nonEmpty).toSeq)
+        // coverage: concatenating chunks minus overlaps = the doc
+        val rebuilt = toks.head ++ toks.tail.flatMap(_.drop(8))
+        val expected = (1 to n).map(j => s"w$j")
+        rebuilt == expected &&
+          // overlap: each later chunk starts with the previous one's last 8
+          toks.sliding(2).forall {
+            case Seq(a, b) => b.take(8) == a.takeRight(40).slice(32, 40)
+            case _ => true
+          }
+      }
+    }, n = 10)
+  }
+
   test("as-of join equals the per-row scala reference on arbitrary clustered timestamps") {
     val genL = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
     val genR = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
