@@ -24,9 +24,11 @@ object Compaction {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
 
-    def parquetFiles(p: String): Seq[java.nio.file.Path] =
-      Files.list(Paths.get(p)).iterator().asScala.toSeq
-        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
+      val s = Files.list(Paths.get(p))
+      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
 
     val before = parquetFiles(dir)
     val totalBytes = before.map(Files.size).sum
@@ -48,7 +50,9 @@ object Compaction {
     val moved = newFiles.map { f =>
       Files.move(f, Paths.get(dir).resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val w = Files.walk(staging)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally w.close()
     (before.size, moved.size)
   }
 }
