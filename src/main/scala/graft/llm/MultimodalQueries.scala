@@ -104,5 +104,33 @@ object MultimodalQueries {
         col("n_frames"), round(element_at(col("features"), 1) * 1000).cast("long").as("f0_q"))
   }
 
-  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode)
+  /** Frame sampling (keyframe selection): every 4th frame plus the
+    * final frame of each media item — the standard subsample-before-
+    * decode step for video, so the expensive decode only ever sees
+    * the sampled set. Pure index arithmetic over the (deterministic)
+    * frame count: per-row fan-out bounded by frames-per-item, zero
+    * shuffle, and — unlike the decode itself — fully oracle-checkable.
+    */
+  val frameSample: QueryDef = QueryDef.sql(
+    "x_frame_sample",
+    """WITH m AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_no
+      |  FROM m)
+      |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, n_frames
+      |FROM f
+      |WHERE frame_no % 4 = 0 OR frame_no = n_frames - 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (length(col("text").cast("binary")) % 24 + 1).cast("long").as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"),
+        col("n_frames"))
+      .where(col("frame_no") % 4 === 0 || col("frame_no") === col("n_frames") - 1)
+      .select("doc_id", "frame_no", "n_frames")
+  }
+
+  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, frameSample)
 }
