@@ -276,9 +276,9 @@ object CurationQueries {
     * must flag it; Jaccard would miss it).
     *
     * Scale shape: an equi-join on the 8-gram between training
-    * postings and the DISTINCT benchmark n-gram set. The benchmark
-    * side is tiny relative to the corpus (eval sets are fixed-size),
-    * so it broadcasts; the training side never self-joins.
+    * postings and the DISTINCT benchmark n-gram set. With a real
+    * fixed-size eval set the bench side is tiny and AQE broadcasts
+    * it; the training side never self-joins.
     */
   val decontaminate: QueryDef = QueryDef.sql(
     "x_decontaminate",
@@ -297,14 +297,18 @@ object CurationQueries {
   }
 
   /** The decontamination dataflow on any (doc_id, text) frame with a
-    * caller-supplied benchmark-membership predicate.
+    * caller-supplied benchmark-membership predicate. No broadcast
+    * hint: a REAL eval set is tiny and AQE auto-broadcasts it; a
+    * large `isBench` selection (like the demo's every-25th-doc)
+    * degrades gracefully to a shuffled equi-join instead of
+    * collecting terabytes to the driver.
     */
   def decontaminateDf(docs: DataFrame, isBench: Column): DataFrame = {
     val grams = shinglePostings(docs, 8)
     val bench = grams.where(isBench)
       .select(col("shingle").as("ng")).distinct()
     grams.where(!isBench)
-      .join(broadcast(bench), col("shingle") === col("ng"))
+      .join(bench, col("shingle") === col("ng"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 

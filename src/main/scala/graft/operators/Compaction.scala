@@ -11,48 +11,78 @@ import org.apache.spark.sql.SparkSession
   * Strategy: read, `coalesce` down to a target file count sized by
   * total bytes / target file size (coalesce, not repartition — no
   * shuffle, it only merges read partitions), write to a staging dir,
-  * then atomically swap. The swap keeps readers consistent: they see
-  * the old file set or the new one, never a mix.
+  * then swap: move the new (uniquely-named) files in FIRST, delete
+  * the old ones after. A crash mid-swap leaves transient duplicates —
+  * recoverable by re-running — never an empty table; the reverse
+  * order would risk a window with zero data files.
+  *
+  * Plain directories give no transactional swap — a CONCURRENT reader
+  * in the window can see duplicates. That is the gap transactional
+  * table formats (snapshot manifest + atomic commit) close; on a raw
+  * directory, run compaction in the dataset's maintenance window.
+  *
+  * Flat layouts only: a `partitionBy` dataset must be compacted per
+  * partition directory (each leaf dir IS a flat dataset) — compacting
+  * the root would collapse the partition columns into data files and
+  * corrupt partition discovery, so that case is rejected.
   */
 object Compaction {
 
-  /** Compact the parquet dataset at `dir` toward `targetFileBytes`
-    * per file. Returns (filesBefore, filesAfter).
+  /** Compact the flat parquet dataset at `dir` toward
+    * `targetFileBytes` per file. Returns (filesBefore, filesAfter).
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
 
-    def parquetFiles(p: String): Seq[java.nio.file.Path] = {
-      val s = Files.list(Paths.get(p))
-      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    val root = Paths.get(dir).toAbsolutePath.normalize
 
-    val before = parquetFiles(dir)
+    def list(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def parquetFiles(p: Path): Seq[Path] =
+      list(p).filter(_.getFileName.toString.endsWith(".parquet"))
+
+    val entries = list(root)
+    val subdirs = entries.filter(Files.isDirectory(_))
+    require(subdirs.isEmpty,
+      s"$dir has subdirectories (partitioned layout?) — compact each leaf partition " +
+        s"directory instead; compacting the root would corrupt partition discovery: " +
+        subdirs.map(_.getFileName).mkString(", "))
+
+    val before = parquetFiles(root)
     val totalBytes = before.map(Files.size).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val staging = Files.createTempDirectory(Paths.get(dir).getParent, ".compact-")
-    val stagingOut = staging.resolve("out").toString
-    spark.read.parquet(dir).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(stagingOut)
+    val staging = Files.createTempDirectory(root.getParent, ".compact-")
+    val stagingOut = staging.resolve("out")
+    spark.read.parquet(root.toString).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(stagingOut.toString)
 
-    // swap: remove the old files, then move the new ones in. Plain
-    // directories give no transactional swap — a concurrent reader in
-    // the window sees partial data. That is exactly the gap
-    // transactional table formats (snapshot manifest + atomic commit)
-    // exist to close; on a raw directory, run compaction in the
-    // dataset's maintenance window, as production pipelines do.
+    // move new data files (and their checksum siblings) in first …
     val newFiles = parquetFiles(stagingOut)
-    before.foreach(Files.delete)
-    val moved = newFiles.map { f =>
-      Files.move(f, Paths.get(dir).resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
+    val toMove = newFiles ++ newFiles.flatMap { f =>
+      val crc = stagingOut.resolve("." + f.getFileName.toString + ".crc")
+      if (Files.exists(crc)) Some(crc) else None
     }
+    toMove.foreach { f =>
+      Files.move(f, root.resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
+    }
+    // … then drop the old data files plus their stale checksum/_SUCCESS
+    // artifacts (leaving them would accumulate hidden-file garbage on
+    // every run and fail local-FS checksum verification).
+    before.foreach { f =>
+      Files.deleteIfExists(root.resolve("." + f.getFileName.toString + ".crc"))
+      Files.delete(f)
+    }
+    Files.deleteIfExists(root.resolve("_SUCCESS"))
+    Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
+
     val w = Files.walk(staging)
     try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     finally w.close()
-    (before.size, moved.size)
+    (before.size, newFiles.size)
   }
 }

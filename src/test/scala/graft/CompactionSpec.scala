@@ -24,4 +24,22 @@ class CompactionSpec extends SparkSpec {
     val (b2, a2) = Compaction.compactParquet(spark, dir)
     assert(b2 == 1 && a2 == 1)
   }
+
+  test("compaction refuses a partitioned root (per-partition leaves compact fine)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcompactpart").resolve("t").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // compacting the root would collapse partition columns into data
+    // files and corrupt partition discovery - must be rejected, not
+    // silently doubled
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned"))
+    // each leaf partition IS a flat dataset and compacts normally
+    val leaf = new java.io.File(dir).listFiles.filter(_.isDirectory).head.toString
+    val rows = spark.read.parquet(leaf).count()
+    val (_, nAfter) = Compaction.compactParquet(spark, leaf)
+    assert(nAfter == 1 && spark.read.parquet(leaf).count() == rows)
+  }
 }

@@ -103,7 +103,7 @@ class PropertySpec extends SparkSpec {
         rebuilt == expected &&
           // overlap: each later chunk starts with the previous one's last 8
           toks.sliding(2).forall {
-            case Seq(a, b) => b.take(8) == a.takeRight(40).slice(32, 40)
+            case Seq(a, b) => b.take(8) == a.takeRight(8)
             case _ => true
           }
       }
