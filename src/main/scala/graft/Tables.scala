@@ -12,6 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan automatically because every downstream op stays declarative.
   */
 object Tables {
+  /** events.parquet carries Parquet TIMESTAMP(NANOS); reading it
+    * requires this legacy conf so the nanos column arrives as a long.
+    * It must be set at SESSION BUILD time (see Bench/Verify/Smoke and
+    * the test bootstrap) — a library loader must not silently flip a
+    * session-global flag as a side effect of one read.
+    */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private[graft] def requireNanosConf(s: SparkSession): Unit =
+    require(s.conf.get(NanosAsLongKey, "false") == "true",
+      s"events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
+        s".config(\"$NanosAsLongKey\", \"true\") (session-global legacy conf; " +
+        "setting it here as a side effect would silently affect every other read)")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -27,7 +41,7 @@ object Tables {
     * microsecond timestamp (the data is µs-precise, so lossless).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(s)
     table(s, d, "events").withColumn(
       "ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

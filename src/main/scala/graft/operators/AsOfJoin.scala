@@ -33,6 +33,19 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String]): DataFrame = {
+    // Internal working names and the emitted prior_* names must be free
+    // on the inputs — a silent withColumn overwrite would replace user
+    // data with the operator's tag constant with no error.
+    val internal = Set("side", "__prior")
+    val emitted = (ts +: rightCols).map("prior_" + _).toSet
+    val lClash = left.columns.filter(c => internal(c) || emitted(c))
+    require(lClash.isEmpty,
+      s"asofJoin: left columns collide with internal/emitted names: ${lClash.mkString(", ")}")
+    val rClash = right.columns.filter(internal)
+    require(rClash.isEmpty,
+      s"asofJoin: right columns collide with internal names: ${rClash.mkString(", ")}")
+    require(!rightCols.contains(ts),
+      s"asofJoin: rightCols must not repeat the ts column '$ts' (prior_$ts is emitted already)")
     // side: 0 = right, 1 = left, so rights sort before lefts at equal
     // ts and an exactly-simultaneous right row matches (<= semantics).
     // The right payload travels as ONE struct and the window fills

@@ -32,6 +32,11 @@ object RangeJoin {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
       lts: String, rts: String, toleranceSec: Long): DataFrame = {
     require(toleranceSec > 0, s"tolerance must be positive: $toleranceSec")
+    // the banding working columns must be free on both inputs — a
+    // silent withColumn overwrite would corrupt the join, not error.
+    val clash = (left.columns ++ right.columns).filter(Set("__band", "__lband"))
+    require(clash.isEmpty,
+      s"rangeJoin: input columns collide with internal names: ${clash.distinct.mkString(", ")}")
     val tolUs = toleranceSec * 1000000L
     // exact integer floor-division (pmod keeps it correct for negative
     // epochs): a float `floor(us / tol)` could misplace an exactly-on-

@@ -30,9 +30,13 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of the events parquet with the nanos→micros fix. */
+  /** Streaming read of the events parquet with the nanos→micros fix.
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * build (see [[graft.Tables.NanosAsLongKey]]) — fail fast rather
+    * than silently flipping a session-global flag.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.requireNanosConf(spark)
     spark.readStream
       .schema(rawSchema)
       // FileStreamSource needs a directory; select just the events

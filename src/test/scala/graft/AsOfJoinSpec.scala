@@ -69,6 +69,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((1L, None, None, None)))
   }
 
+  test("rejects inputs whose columns collide with internal/emitted names") {
+    val l = left((1L, 7L, 100L))
+    val r = right((7L, 50L, 10L, 1.0))
+    // left 'side' would be silently overwritten by the tag constant
+    val e1 = intercept[IllegalArgumentException] {
+      asofJoin(l.withColumn("side", lit("x")), r, "user_id", "ts", Seq("value"))
+    }
+    assert(e1.getMessage.contains("side"))
+    // left column equal to an emitted prior_* name would be clobbered
+    val e2 = intercept[IllegalArgumentException] {
+      asofJoin(l.withColumn("prior_value", lit(0)), r, "user_id", "ts", Seq("value"))
+    }
+    assert(e2.getMessage.contains("prior_value"))
+    // right '__prior' collides with the working struct
+    val e3 = intercept[IllegalArgumentException] {
+      asofJoin(l, r.withColumn("__prior", lit(1)), "user_id", "ts", Seq("value"))
+    }
+    assert(e3.getMessage.contains("__prior"))
+    // rightCols repeating ts would duplicate the prior_ts struct field
+    val e4 = intercept[IllegalArgumentException] {
+      asofJoin(l, r, "user_id", "ts", Seq("ts", "value"))
+    }
+    assert(e4.getMessage.contains("ts"))
+  }
+
   test("matches a per-row subquery reference on the events table") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)

@@ -31,6 +31,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(run(l, r, 100L) == Set((1L, 10L), (2L, 10L)))
   }
 
+  test("rejects inputs whose columns collide with the banding names") {
+    val l = mk("l", "id_a", "ts_a", (1L, 7L, 95L))
+    val r = mk("r", "id_b", "ts_b", (2L, 7L, 105L))
+    val e1 = intercept[IllegalArgumentException] {
+      rangeJoin(l.withColumn("__band", lit(0)), r, "user_id", "ts_a", "ts_b", 100L)
+    }
+    assert(e1.getMessage.contains("__band"))
+    val e2 = intercept[IllegalArgumentException] {
+      rangeJoin(l, r.withColumn("__lband", lit(0)), "user_id", "ts_a", "ts_b", 100L)
+    }
+    assert(e2.getMessage.contains("__lband"))
+  }
+
   test("equals the naive inequality join on the events table") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
