@@ -84,9 +84,33 @@ object MultimodalQueries {
 
   /** Partition-batched decode: mapPartitions feeding 64-item batches
     * to the batch decoder — the JVM analog of an Arrow-batched decode
-    * UDF. Rows-only check (feature floats are stub-derived).
+    * UDF. Fully oracle-checked: the stub is a deterministic function
+    * of the payload bytes (rolling `(a*31+b) mod 1e9+7` checksum and
+    * modular dims), and the testdata text is ASCII, so DuckDB
+    * reproduces the same values by folding `ascii(c)` over the
+    * characters — the same primitive x_fingerprint already pins.
+    * `f0_q` quantizes feature[0]: the float step (2^-24 relative) is
+    * 100× smaller than the closest any `(x/255)*1000` value comes to
+    * a rounding boundary (1/102), so float-vs-double rounding agrees.
     */
-  val multimodalDecode: QueryDef = QueryDef.rowsOnly("x_multimodal_decode") { (s, d) =>
+  val multimodalDecode: QueryDef = QueryDef.sql(
+    "x_multimodal_decode",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         octet_length(encode(text)) AS n,
+      |         CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS mime,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(n % 640 + 1 AS BIGINT) AS width,
+      |       CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
+      |       mime AS format,
+      |       CAST(n % 24 + 1 AS BIGINT) AS n_frames,
+      |       CAST(round((CAST((checksum & 255) AS DOUBLE) / 255) * 1000) AS BIGINT) AS f0_q
+      |FROM m""") { (s, d) =>
     val spark: SparkSession = s
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(s, d)
@@ -100,8 +124,12 @@ object MultimodalQueries {
     media
       .mapPartitions(_.grouped(64).flatMap(stubDecodeBatch))
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("format"),
-        col("n_frames"), round(element_at(col("features"), 1) * 1000).cast("long").as("f0_q"))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("format"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(element_at(col("features"), 1).cast("double") * 1000).cast("long").as("f0_q"))
   }
 
   /** Frame sampling (keyframe selection): every 4th frame plus the

@@ -58,13 +58,17 @@ object TextOps {
     val distinct = postings.select("shingle").distinct()
     // range partitions are ordered by pid: every shingle in pid i
     // sorts before every shingle in pid i+1 (AQE coalescing merges
-    // contiguous partitions, preserving this). The cache pins one pid
-    // assignment: the plan fans out below, and without it the fan-out
-    // branches agree only while exchange reuse dedupes the identical
-    // range shuffle — re-sampled boundaries would silently skew sids.
+    // contiguous partitions, preserving this). The eager
+    // localCheckpoint pins one pid assignment: the plan fans out
+    // below, and without pinning the fan-out branches agree only
+    // while exchange reuse dedupes the identical range shuffle —
+    // re-sampled boundaries would silently skew sids. Unlike
+    // .cache(), checkpointed blocks are released by the
+    // ContextCleaner once unreferenced (no CacheManager entry), so
+    // the dict build does not pin storage for the session lifetime.
     val parted = distinct.repartitionByRange(col("shingle"))
       .withColumn("pid", spark_partition_id())
-      .cache()
+      .localCheckpoint()
     val local = parted.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy("shingle")).cast("long"))
     // per-partition sizes fall out of the window for free: cnt = max lr

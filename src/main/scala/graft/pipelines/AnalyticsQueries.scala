@@ -71,14 +71,49 @@ object AnalyticsQueries {
 
   /** Sketch-based profiling — the 100 TB path where exact distincts
     * are unaffordable: HLL++ distinct estimates + approximate
-    * percentiles. Approx values are engine-specific → rows-only check.
+    * percentiles. The raw sketch values are engine-specific, so the
+    * query emits tolerance checks instead: each approx aggregate is
+    * compared against its exact twin IN the same aggregation and
+    * surfaced as a 0/1 column — deterministic, hence hash-checkable
+    * (the oracle asserts the exact values and all-1 flags). The exact
+    * twins are affordable here because this is the CALIBRATION query;
+    * the production 100 TB path runs the sketches alone.
+    *
+    * Tolerance 0.15: HLL++ at default rsd 0.05 lands within a few
+    * percent on these cardinalities, and approx_percentile at
+    * accuracy 1000 is rank-exact to 0.1% — 0.15 gives an order of
+    * magnitude of headroom while still failing on a broken sketch.
     */
-  val approxProfile: QueryDef = QueryDef.rowsOnly("x_approx_profile") { (s, d) =>
-    Tables.lineitem(s, d).agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("price_p50"),
-      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("price_p99"))
+  val approxProfile: QueryDef = QueryDef.sql(
+    "x_approx_profile",
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       CAST(1 AS BIGINT) AS orders_ok,
+      |       CAST(1 AS BIGINT) AS parts_ok,
+      |       CAST(1 AS BIGINT) AS p50_ok,
+      |       CAST(1 AS BIGINT) AS p99_ok
+      |FROM lineitem""") { (s, d) =>
+    val tol = 0.15
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey")).as("a_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
+        expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"),
+        expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
+        expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))
+      .select(
+        col("exact_orders"), col("exact_parts"),
+        (abs(col("a_orders") - col("exact_orders")) <= col("exact_orders") * tol)
+          .cast("long").as("orders_ok"),
+        (abs(col("a_parts") - col("exact_parts")) <= col("exact_parts") * tol)
+          .cast("long").as("parts_ok"),
+        (abs(col("a_p50") - col("e_p50")) <= abs(col("e_p50")) * tol)
+          .cast("long").as("p50_ok"),
+        (abs(col("a_p99") - col("e_p99")) <= abs(col("e_p99")) * tol)
+          .cast("long").as("p99_ok"))
   }
 
   /** As-of join: each click event enriched with the user's most
@@ -140,6 +175,38 @@ object AnalyticsQueries {
         (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
   }
 
+  /** Batch sessionization: each user's events grouped into sessions
+    * separated by a 30-minute inactivity gap — the conversation/
+    * session-assembly operator of an event-stream training pipeline.
+    * The Spark side is [[graft.streaming.Sessionize.sessionizeBatch]]
+    * (gaps-and-islands: lag → boundary flag → running sum, one shuffle
+    * by user); the oracle is the same formulation in DuckDB SQL. Ties
+    * on (user, ts) are harmless: a tie group can only flag once, so
+    * session membership is order-independent and the min/max/count
+    * aggregates are deterministic.
+    */
+  val sessionize: QueryDef = QueryDef.sql(
+    "x_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, session_idx""") { (s, d) =>
+    graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))
+      .withColumn("n_events", col("n_events").cast("long"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin)
+    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin,
+      sessionize)
 }

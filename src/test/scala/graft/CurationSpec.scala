@@ -29,9 +29,18 @@ class CurationSpec extends SparkSpec {
       val bad = df.withColumn("expected_shard", expr("(cum_tokens - n_tokens) div 2000"))
         .where(col("shard_id") =!= col("expected_shard"))
       assert(bad.isEmpty)
-      // cumulative sums must still be strictly increasing in doc_id order
-      val cums = df.orderBy("doc_id").select("cum_tokens").collect().map(_.getLong(0))
-      assert(cums.sameElements(cums.sorted))
+      // cum_tokens must EQUAL the single-window prefix sum — not merely
+      // be monotone: a re-sampled pid assignment between the fan-out
+      // branches would still be monotone but globally wrong. This is
+      // red if the pid-pinning snapshot in tokenPackDf is removed.
+      val got = df.select("doc_id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = Tables.documents(spark, sf)
+        .select(col("doc_id"), size(llm.TextOps.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("cum", sum("n").over(Window.orderBy("doc_id")))
+        .select("doc_id", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
