@@ -160,5 +160,79 @@ object MultimodalQueries {
       .select("doc_id", "frame_no", "n_frames")
   }
 
-  val all: Seq[QueryDef] = Seq(multimodalMeta, multimodalDecode, frameSample)
+  /** One sampled frame awaiting decode: the frame's own byte slice of
+    * the media payload plus the container mime.
+    */
+  final case class FrameRow(doc_id: Long, frame_no: Long, payload: Array[Byte], mime: String)
+
+  final case class DecodedFrame(doc_id: Long, frame_no: Long,
+      width: Long, height: Long, f0_q: Long)
+
+  /** Frame-level batch decode: same 64-item batch contract as
+    * [[stubDecodeBatch]], re-used per frame slice.
+    */
+  private def decodeFrameBatch(batch: Seq[FrameRow]): Seq[DecodedFrame] = {
+    val dec = stubDecodeBatch(batch.map(f => MediaRow(f.doc_id, f.payload, f.mime)))
+    batch.zip(dec).map { case (f, m) =>
+      DecodedFrame(f.doc_id, f.frame_no, m.width.toLong, m.height.toLong,
+        math.round(m.features(0).toDouble * 1000))
+    }
+  }
+
+  /** Sample-before-decode, end to end: the frame sampler (every 4th
+    * frame + the final frame) runs FIRST, so the expensive batched
+    * decode only ever touches the sampled subset — the composed shape
+    * of a video-preprocessing pipeline, where decoding all frames
+    * would dominate the job. Each sampled frame decodes its own byte
+    * slice of the payload (suffix at the frame offset — deterministic,
+    * so the checksum/dims are oracle-checkable per frame exactly like
+    * x_multimodal_decode). Zero shuffle: sample, slice, and decode are
+    * all partition-local.
+    */
+  val framesDecoded: QueryDef = QueryDef.sql(
+    "x_frames_decoded",
+    """WITH m AS (
+      |  SELECT doc_id, text, CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_no
+      |  FROM m),
+      |s AS (
+      |  SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |         substr(text, CAST(frame_no + 1 AS INTEGER)) AS ftext
+      |  FROM f
+      |  WHERE frame_no % 4 = 0 OR frame_no = n_frames - 1),
+      |c AS (
+      |  SELECT doc_id, frame_no,
+      |         octet_length(encode(ftext)) AS n,
+      |         list_reduce(
+      |           list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(ftext, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+      |  FROM s)
+      |SELECT doc_id, frame_no,
+      |       CAST(n % 640 + 1 AS BIGINT) AS width,
+      |       CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
+      |       CAST(round((CAST((checksum & 255) AS DOUBLE) / 255) * 1000) AS BIGINT) AS f0_q
+      |FROM c""") { (s, d) =>
+    val spark: SparkSession = s
+    import spark.implicits._
+    val frames = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (length(col("text").cast("binary")) % 24 + 1).cast("long").as("n_frames"))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      // the SAMPLER runs before any decode work exists in the plan
+      .where(col("frame_no") % 4 === 0 || col("frame_no") === col("n_frames") - 1)
+      .select(col("doc_id"), col("frame_no"),
+        expr("substring(text, cast(frame_no + 1 as int))").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "jpeg")
+          .when(col("doc_id") % 3 === 1, "png")
+          .otherwise("webp").as("mime"))
+      .as[FrameRow]
+    frames.mapPartitions(_.grouped(64).flatMap(decodeFrameBatch)).toDF()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(multimodalMeta, multimodalDecode, frameSample, framesDecoded)
 }

@@ -265,6 +265,108 @@ object SimilarityQueries {
       .where(col("rn") <= 5).drop("rn")
   }
 
+  /** IVF with a TRAINED coarse quantizer: one deterministic Lloyd
+    * iteration over the fixed seeds (every 100th vector), i.e. the
+    * k-means step real IVF training runs — assign every vector to its
+    * nearest seed, then move each centroid to the re-quantized mean of
+    * its members — followed by the same index → probe → search path as
+    * x_ann_ivf. Every step stays exact-integer/deterministic-double
+    * (member means are re-quantized to longs), so the whole TRAINED
+    * pipeline is oracle-checked end to end, and LlmOpsSpec asserts its
+    * recall is at least the fixed-grid variant's.
+    *
+    * Scale shape: the training pass adds one component-unpivot
+    * aggregation (a bounded 64× fan-out, shuffled by (cell, pos)) and
+    * re-broadcasts the tiny centroid table; everything else is the
+    * x_ann_ivf plan. More Lloyd iterations = repeat the same two
+    * steps; one iteration already separates trained from grid.
+    */
+  val annIvfTrained: QueryDef = QueryDef.sql(
+    "x_ann_ivf_trained",
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, qe,
+      |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+      |  FROM q),
+      |seeds AS (
+      |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0),
+      |a1 AS (
+      |  SELECT vec_id, qe, cell FROM (
+      |    SELECT e.vec_id, e.qe, c.cent_id AS cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+      |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN seeds c)
+      |  WHERE rn = 1),
+      |comp AS (SELECT cell, qe, generate_subscripts(qe, 1) AS i FROM a1),
+      |cmean AS (SELECT cell, i, CAST(round(avg(qe[i])) AS BIGINT) AS v FROM comp GROUP BY cell, i),
+      |trained AS (
+      |  SELECT cell AS cent_id, list(v ORDER BY i) AS cent_qe FROM cmean GROUP BY cell),
+      |tn AS (
+      |  SELECT cent_id, cent_qe,
+      |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(cent_qe)), i -> cent_qe[i] * cent_qe[i])) AS DOUBLE)) AS cent_nrm
+      |  FROM trained),
+      |ranked AS (
+      |  SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |           CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+      |             (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+      |  FROM e CROSS JOIN tn c),
+      |assigned AS (SELECT vec_id, qe, nrm, cent_id AS cell FROM ranked WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm, cent_id AS probe_cell
+      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, len(p.q_qe)), i -> p.q_qe[i] * a.qe[i])) AS DOUBLE) /
+      |           (p.q_nrm * a.nrm) AS sim
+      |  FROM assigned a JOIN probes p ON a.cell = p.probe_cell AND p.query_id != a.vec_id)
+      |SELECT query_id, neighbor_id, sim FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val seeds = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+
+    def nearest(cents: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
+          (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+
+    // one Lloyd step: assign to the seeds, then centroid := re-quantized
+    // component mean of its members (exact longs in, exact longs out)
+    val a1 = nearest(seeds).where(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("cent_id").as("cell"))
+    val cmean = a1.select(col("cell"), posexplode(col("qe")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
+    val trained = cmean.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        t => t.getField("v")).as("cent_qe"))
+      .select(col("cell").as("cent_id"), col("cent_qe"))
+      .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
+
+    // index + probe against the TRAINED centroids — same path as x_ann_ivf
+    val ranked = nearest(trained)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
+    val probes = ranked.where(col("vec_id") % 50 === 0 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"),
+        col("nrm").as("q_nrm"), col("cent_id").as("probe_cell"))
+    assigned.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (qdot(col("q_qe"), col("qe")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rn") <= 5).drop("rn")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf)
+    Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
+      annIvfTrained)
 }

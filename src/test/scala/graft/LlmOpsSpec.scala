@@ -141,16 +141,23 @@ class LlmOpsSpec extends SparkSpec {
       "a Generate feeds the vote aggregate - the 60x explode anti-pattern returned"))
   }
 
-  test("IVF ANN recalls a reasonable fraction of brute-force neighbors") {
+  test("IVF ANN recalls a reasonable fraction of brute-force neighbors; training does not hurt") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val exact = pairs(llm.SimilarityQueries.annTopK.run(spark, sf))
     val ivf = pairs(llm.SimilarityQueries.annIvf.run(spark, sf))
     assert(ivf.nonEmpty)
-    val recall = (exact intersect ivf).size.toDouble / exact.size
+    def recall(got: Set[(Long, Long)]) = (exact intersect got).size.toDouble / exact.size
     // nprobe=2 of ~5 cells: coarse but must beat random cell overlap
-    assert(recall >= 0.3, s"IVF recall $recall too low (exact=${exact.size}, ivf=${ivf.size})")
+    assert(recall(ivf) >= 0.3,
+      s"IVF recall ${recall(ivf)} too low (exact=${exact.size}, ivf=${ivf.size})")
+    // the Lloyd-trained quantizer must be at least as good as the
+    // untrained fixed-grid seeds it starts from
+    val trained = pairs(llm.SimilarityQueries.annIvfTrained.run(spark, sf))
+    assert(trained.nonEmpty)
+    assert(recall(trained) >= recall(ivf),
+      s"trained IVF recall ${recall(trained)} below fixed-grid ${recall(ivf)}")
   }
 
   test("multimodal stub decode: deterministic, one output row per input") {
