@@ -94,16 +94,27 @@ object AnalyticsQueries {
       |       CAST(1 AS BIGINT) AS p99_ok
       |FROM lineitem""") { (s, d) =>
     val tol = 0.15
-    Tables.lineitem(s, d)
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("a_orders"),
-        approx_count_distinct(col("l_partkey")).as("a_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
-        expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"),
-        expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
-        expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))
+    // Three independent 1-row aggregations combined by scalar
+    // cross-joins (whitelisted in PlanAuditSpec). Everything
+    // non-distinct (both sketch families + the exact percentiles)
+    // shares ONE pass; the two exact distinct counts each need their
+    // own two-phase aggregation. Folding the distincts into the main
+    // pass instead would force Spark's multi-distinct Expand — 3× the
+    // rows through a sort aggregate alongside the percentile buffers,
+    // measured 8+ s at sf0.1 vs ~half that in this shape.
+    val li = Tables.lineitem(s, d)
+    val onePass = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a_orders"),
+      approx_count_distinct(col("l_partkey")).as("a_parts"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
+      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"),
+      expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
+      expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))
+    val exactOrders = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("exact_orders"))
+    val exactParts = li.select("l_partkey").distinct()
+      .agg(count(lit(1)).as("exact_parts"))
+    onePass.crossJoin(exactOrders).crossJoin(exactParts)
       .select(
         col("exact_orders"), col("exact_parts"),
         (abs(col("a_orders") - col("exact_orders")) <= col("exact_orders") * tol)

@@ -95,25 +95,18 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L).contains("ten") && m(2L).isEmpty)
   }
 
-  test("x_approx_profile sketches land within tolerance of exact values") {
+  test("x_approx_profile: sketch-tolerance flags all pass and exact counts match") {
     val sf = "/root/testdata/sf0.001"
-    val approx = pipelines.AnalyticsQueries.approxProfile.run(spark, sf).collect().head
-    val li = Tables.lineitem(spark, sf)
-    val exact = li.selectExpr(
+    // the query now carries its own approx-vs-exact comparison: the
+    // *_ok flags must all be 1 (that is exactly what the oracle pins)
+    // and the surfaced exact counts must match a direct computation
+    val row = pipelines.AnalyticsQueries.approxProfile.run(spark, sf).collect().head
+    val exact = Tables.lineitem(spark, sf).selectExpr(
       "count(distinct l_orderkey) AS orders",
-      "count(distinct l_partkey) AS parts",
-      "percentile(l_extendedprice, 0.5D) AS p50",
-      "percentile(l_extendedprice, 0.99D) AS p99").collect().head
-    // HLL++ at default rsd ≈ 5%; allow 10% to keep the test noise-free
-    def within(a: Double, b: Double, tol: Double) = math.abs(a - b) <= tol * b
-    assert(within(approx.getLong(0).toDouble, exact.getLong(0).toDouble, 0.10),
-      s"approx_orders ${approx.getLong(0)} vs exact ${exact.getLong(0)}")
-    assert(within(approx.getLong(1).toDouble, exact.getLong(1).toDouble, 0.10),
-      s"approx_parts ${approx.getLong(1)} vs exact ${exact.getLong(1)}")
-    // approx_percentile returns an element of the column; compare on value
-    assert(within(approx.getDouble(2), exact.getDouble(2), 0.05),
-      s"price_p50 ${approx.getDouble(2)} vs exact ${exact.getDouble(2)}")
-    assert(within(approx.getDouble(3), exact.getDouble(3), 0.05),
-      s"price_p99 ${approx.getDouble(3)} vs exact ${exact.getDouble(3)}")
+      "count(distinct l_partkey) AS parts").collect().head
+    assert(row.getAs[Long]("exact_orders") == exact.getLong(0))
+    assert(row.getAs[Long]("exact_parts") == exact.getLong(1))
+    for (flag <- Seq("orders_ok", "parts_ok", "p50_ok", "p99_ok"))
+      assert(row.getAs[Long](flag) == 1L, s"$flag: sketch outside tolerance")
   }
 }

@@ -28,10 +28,13 @@ class PlanAuditSpec extends SparkSpec {
     * two-phase prefix sum — both sides have one row per shuffle
     * partition (bounded by cluster config, not data).
     */
+  /** x_approx_profile: 1-row×1-row scalar cross-joins combining four
+    * independent single-pass aggregations (see its builder comment).
+    */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
     "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_topk",
-    "x_token_pack")
+    "x_approx_profile", "x_token_pack")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
