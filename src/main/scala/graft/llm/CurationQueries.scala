@@ -315,7 +315,41 @@ object CurationQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Domain-mixture reweighting: per-source token shares and the
+    * resampling weight that would equalize every source's token
+    * contribution — the "compute the mixing weights" step between
+    * corpus profiling and sampled training-mix assembly (the target
+    * mix here is uniform; any target vector composes the same way).
+    *
+    * Scale shape: one narrow aggregation shuffled by source, then
+    * window totals over the AGGREGATED rows — cardinality = number of
+    * sources (a catalog, not data), so the unpartitioned window is
+    * bounded. Shares/weights divide exact long sums, so the doubles
+    * are engine-reproducible.
+    */
+  val mixWeights: QueryDef = QueryDef.sql(
+    "x_mix_weights",
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, n_tokens,
+      |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+      |       (1.0 / count(*) OVER ()) /
+      |         (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS weight
+      |FROM s""") { (s, d) =>
+    val bySource = Tables.documents(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy() // rows = |sources|: bounded, see scaladoc
+    bySource.select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / sum("n_tokens").over(all)).as("token_share"),
+      ((lit(1.0) / count(lit(1)).over(all)) /
+        (col("n_tokens").cast("double") / sum("n_tokens").over(all))).as("weight"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact,
-      decontaminate)
+      decontaminate, mixWeights)
 }

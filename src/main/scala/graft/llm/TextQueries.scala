@@ -125,5 +125,56 @@ object TextQueries {
       (length(col("norm")).cast("long") / 100).cast("long").as("len_band"))
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, langId, fingerprint)
+  /** Repetition/format quality signals — the Gopher-style filter
+    * family beyond x_text_stats's token ratios: duplicate-3-gram
+    * ratio (boilerplate/repetition detector), bullet-line fraction
+    * and longest line (format signals for list/table-heavy pages).
+    * Purely per-row (3-grams built by slicing the token array in
+    * place, lines by splitting on newline): zero shuffle, fan-out
+    * bounded by document length.
+    */
+  val qualitySignals: QueryDef = QueryDef.sql(
+    "x_quality_signals",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+      |         string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lines,
+      |         list_transform(generate_series(1, len(toks) - 2),
+      |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      |       CAST(len(grams) AS BIGINT) AS n_3grams,
+      |       1 - CAST(len(list_distinct(grams)) AS DOUBLE) / nullif(len(grams), 0) AS dup_3gram_ratio,
+      |       CAST(len(lines) AS BIGINT) AS n_lines,
+      |       CAST(len(list_filter(lines,
+      |         l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+      |         / len(lines) AS frac_bullet_lines,
+      |       CAST(list_max(list_transform(lines, l -> length(l))) AS BIGINT) AS max_line_len
+      |FROM g""") { (s, d) =>
+    val t = Tables.documents(s, d).select(
+      col("doc_id"), tokens(col("text")).as("toks"),
+      split(col("text"), "\n").as("lines"))
+    // DuckDB's generate_series(1, n) is empty for n < 1; Spark's
+    // sequence would count DOWN, so guard the short-document case.
+    val g = t.select(col("doc_id"), col("lines"),
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>")).as("grams"))
+    g.select(
+      col("doc_id"),
+      size(col("grams")).cast("long").as("n_3grams"),
+      (lit(1) - size(array_distinct(col("grams"))).cast("double") /
+        nullif(size(col("grams")), lit(0))).as("dup_3gram_ratio"),
+      size(col("lines")).cast("long").as("n_lines"),
+      (size(filter(col("lines"),
+        l => trim(l).startsWith("-") || trim(l).startsWith("*"))).cast("double") /
+        size(col("lines"))).as("frac_bullet_lines"),
+      array_max(transform(col("lines"), l => length(l))).cast("long").as("max_line_len"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textStats, langId, fingerprint, qualitySignals)
 }
