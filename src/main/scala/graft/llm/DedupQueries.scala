@@ -276,15 +276,11 @@ object DedupQueries {
   // Queries
   // ----------------------------------------------------------------
 
-  /** N-gram Jaccard near-dup, two-phase: rare-shingle candidates, then
-    * exact overlap/union verified on the FULL shingle sets. Runs on the
-    * shared sid index — a dictionary id is a bijection of its shingle,
-    * so df counts, overlaps and Jaccard are identical to the string
-    * formulation the oracle uses.
+  /** The toks → shingles → rare-candidates → overlap CTE chain shared
+    * by the n-gram pair query and the cluster query built on top of it.
     */
-  val dedupNgram: QueryDef = QueryDef.sql(
-    "x_dedup_ngram",
-    """WITH toks AS (
+  private val ngramPairCtes =
+    """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
@@ -301,15 +297,70 @@ object DedupQueries {
       |  FROM cand c
       |  JOIN sh pa ON pa.doc_id = c.doc_a
       |  JOIN sh pb ON pb.doc_id = c.doc_b AND pa.shingle = pb.shingle
-      |  GROUP BY 1, 2)
-      |SELECT v.doc_a, v.doc_b, v.overlap, ca.n AS n_a, cb.n AS n_b,
-      |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
-      |FROM ver v
-      |JOIN cnt ca ON v.doc_a = ca.doc_id
-      |JOIN cnt cb ON v.doc_b = cb.doc_id
-      |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""") { (s, d) =>
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** N-gram Jaccard near-dup, two-phase: rare-shingle candidates, then
+    * exact overlap/union verified on the FULL shingle sets. Runs on the
+    * shared sid index — a dictionary id is a bijection of its shingle,
+    * so df counts, overlaps and Jaccard are identical to the string
+    * formulation the oracle uses.
+    */
+  val dedupNgram: QueryDef = QueryDef.sql(
+    "x_dedup_ngram",
+    s"""WITH $ngramPairCtes
+       |SELECT v.doc_a, v.doc_b, v.overlap, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+       |FROM ver v
+       |JOIN cnt ca ON v.doc_a = ca.doc_id
+       |JOIN cnt cb ON v.doc_b = cb.doc_id
+       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
     val post = SharedIndex.sidPostings(s, d)
     verifiedPairs(post, rareShingleCandidates(post))
+  }
+
+  /** Near-dup CLUSTER assembly: the near-dup pairs become undirected
+    * edges and every document is labeled with its connected component
+    * (cluster_id = min doc_id reachable, singletons label themselves)
+    * plus the cluster size — the step that turns pairwise similarity
+    * into the keep-one-per-group decision a dedup pipeline actually
+    * executes (keeper = the doc equal to its cluster_id, mirroring
+    * x_dedup_exact's min-id rule, but now closed over TRANSITIVE
+    * near-duplicates: a~b, b~c groups all three even when a and c
+    * don't pair directly).
+    *
+    * Spark side: [[graft.operators.ConnectedComponents]] min-label
+    * propagation (one join + min-aggregate per round, rounds bounded
+    * by component diameter). Oracle: DuckDB recursive CTE computing
+    * the reachability closure — an entirely different formulation,
+    * hash-matched.
+    */
+  val dedupClusters: QueryDef = QueryDef.sql(
+    "x_dedup_clusters",
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |pairs AS (
+       |  SELECT v.doc_a, v.doc_b
+       |  FROM ver v
+       |  JOIN cnt ca ON v.doc_a = ca.doc_id
+       |  JOIN cnt cb ON v.doc_b = cb.doc_id
+       |  WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc)
+       |SELECT doc AS doc_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab""".stripMargin) { (s, d) =>
+    val post = SharedIndex.sidPostings(s, d)
+    val pairs = verifiedPairs(post, rareShingleCandidates(post))
+      .select("doc_a", "doc_b")
+    graft.operators.ConnectedComponents
+      .components(Tables.documents(s, d).select("doc_id"), pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
   }
 
   /** MinHash signatures: 8 modular permutations over dictionary ids,
@@ -482,6 +533,6 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, minhashSignature, minhashLshPairs, minhashLshPairsP16,
-      dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental)
+    Seq(dedupExact, dedupNgram, dedupClusters, minhashSignature, minhashLshPairs,
+      minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental)
 }

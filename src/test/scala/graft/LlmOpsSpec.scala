@@ -160,6 +160,20 @@ class LlmOpsSpec extends SparkSpec {
       s"trained IVF recall ${recall(trained)} below fixed-grid ${recall(ivf)}")
   }
 
+  test("connected components: chains merge transitively, singletons self-label") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    // 1-2-3 is a chain (1 and 3 never pair directly: needs >1 round);
+    // 5-6 a pair; 4 and 7 singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.ConnectedComponents.components(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // edge direction must not matter
+    val rev = Seq((3L, 2L), (2L, 1L), (6L, 5L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.ConnectedComponents.components(nodes, rev)
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
