@@ -39,9 +39,13 @@ object ConnectedComponents {
     *         component (a singleton's cluster_id is itself)
     */
   def components(nodes: DataFrame, edges: DataFrame, maxIters: Int = 32): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the edge list ONCE before symmetrizing: a union of
+    // the raw frame with its flipped self would execute the (possibly
+    // expensive) edge-producing subtree twice; the symmetrized view is
+    // then two cheap projections of the snapshot per round.
+    val e0 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head.getLong(0)
