@@ -80,20 +80,22 @@ object CurationQueries {
   def tokenPackDf(s: SparkSession, d: String, budget: Long): DataFrame = {
     val toks = Tables.documents(s, d).select(
       col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-    // An EAGER localCheckpoint pins one pid assignment: the plan fans
+    // A LAZY localCheckpoint pins one pid assignment: the plan fans
     // out into the window branch and the per-pid totals below, and
     // without pinning, the branches agree only while exchange reuse
     // dedupes the identical range shuffle (same hazard as
     // TextOps.shingleDict, same fix; regression-pinned with exchange
-    // reuse off in CurationSpec). Unlike the previous .cache(), the
-    // checkpointed blocks are not registered in the session's
-    // CacheManager — the ContextCleaner releases them once the frame
-    // is unreferenced, so repeated calls in a long-lived session no
-    // longer leak pinned storage. The snapshot is narrow:
+    // reuse off in CurationSpec). Lazy (not eager) so that PLANNING
+    // the query stays free — blocks materialize once at the first
+    // action and every branch reads that snapshot. Unlike .cache(),
+    // the blocks are not registered in the session's CacheManager —
+    // the ContextCleaner releases them once the frame is
+    // unreferenced, so repeated calls in a long-lived session don't
+    // leak pinned storage. The snapshot is narrow:
     // (doc_id, n_tokens, pid).
     val parted = toks.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val local = parted.withColumn("run",
       sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
     val counts = local.groupBy("pid").agg(max("run").as("cnt"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -16,6 +16,37 @@ import graft.{QueryDef, Tables}
   * 100 TB corpus decodes embarrassingly parallel with no shuffle.
   */
 object MultimodalQueries {
+
+  /** The container mime sniff the decode queries share (deterministic
+    * stand-in for reading the magic bytes).
+    */
+  private def mimeOf(docId: Column): Column =
+    when(docId % 3 === 0, "jpeg")
+      .when(docId % 3 === 1, "png")
+      .otherwise("webp")
+
+  /** Oracle twin of [[stubDecodeBatch]]'s rolling checksum — the
+    * `(a*31 + byte) mod 1e9+7` fold over the payload bytes, expressed
+    * over `ascii(c)` folds (the testdata text is ASCII, so characters
+    * ARE the bytes; same primitive x_fingerprint pins).
+    */
+  private def checksumSql(textCol: String): String =
+    s"""list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(string_split($textCol, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |           (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** Oracle twins of the stub's modular dims + quantized feature[0],
+    * over CTE columns `n` (byte length) and `checksum`. `f0_q`'s
+    * float-vs-double rounding agrees: the float step (2^-24 relative)
+    * is 100× smaller than the closest any `(x/255)*1000` value comes
+    * to a rounding boundary (1/102).
+    */
+  private val dimsSql =
+    """CAST(n % 640 + 1 AS BIGINT) AS width,
+      |       CAST((n * 7) % 480 + 1 AS BIGINT) AS height""".stripMargin
+  private val f0qSql =
+    "CAST(round((CAST((checksum & 255) AS DOUBLE) / 255) * 1000) AS BIGINT) AS f0_q"
 
   /** Metadata extraction over the binary payload — pure built-in
     * expressions (byte length, format sniff, derived dimensions), all
@@ -39,9 +70,7 @@ object MultimodalQueries {
         length(col("payload")).cast("long").as("n_bytes"),
         (length(col("payload")) % 640 + 1).cast("long").as("width"),
         ((length(col("payload")) * 7) % 480 + 1).cast("long").as("height"),
-        when(col("doc_id") % 3 === 0, "jpeg")
-          .when(col("doc_id") % 3 === 1, "png")
-          .otherwise("webp").as("format"),
+        mimeOf(col("doc_id")).as("format"),
         (length(col("payload")) % 24 + 1).cast("long").as("n_frames"),
         base64(substring(col("source"), 1, 16).cast("binary")).as("thumb_b64"))
   }
@@ -85,41 +114,30 @@ object MultimodalQueries {
   /** Partition-batched decode: mapPartitions feeding 64-item batches
     * to the batch decoder — the JVM analog of an Arrow-batched decode
     * UDF. Fully oracle-checked: the stub is a deterministic function
-    * of the payload bytes (rolling `(a*31+b) mod 1e9+7` checksum and
-    * modular dims), and the testdata text is ASCII, so DuckDB
-    * reproduces the same values by folding `ascii(c)` over the
-    * characters — the same primitive x_fingerprint already pins.
-    * `f0_q` quantizes feature[0]: the float step (2^-24 relative) is
-    * 100× smaller than the closest any `(x/255)*1000` value comes to
-    * a rounding boundary (1/102), so float-vs-double rounding agrees.
+    * of the payload bytes, and DuckDB reproduces the checksum/dims via
+    * [[checksumSql]]/[[dimsSql]].
     */
   val multimodalDecode: QueryDef = QueryDef.sql(
     "x_multimodal_decode",
-    """WITH m AS (
-      |  SELECT doc_id,
-      |         octet_length(encode(text)) AS n,
-      |         CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS mime,
-      |         list_reduce(
-      |           list_prepend(CAST(0 AS BIGINT),
-      |             list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-      |  FROM documents)
-      |SELECT doc_id,
-      |       CAST(n % 640 + 1 AS BIGINT) AS width,
-      |       CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
-      |       mime AS format,
-      |       CAST(n % 24 + 1 AS BIGINT) AS n_frames,
-      |       CAST(round((CAST((checksum & 255) AS DOUBLE) / 255) * 1000) AS BIGINT) AS f0_q
-      |FROM m""") { (s, d) =>
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         octet_length(encode(text)) AS n,
+       |         CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS mime,
+       |         ${checksumSql("text")} AS checksum
+       |  FROM documents)
+       |SELECT doc_id,
+       |       $dimsSql,
+       |       mime AS format,
+       |       CAST(n % 24 + 1 AS BIGINT) AS n_frames,
+       |       $f0qSql
+       |FROM m""".stripMargin) { (s, d) =>
     val spark: SparkSession = s
     import spark.implicits._
     val media: Dataset[MediaRow] = Tables.documents(s, d)
       .select(
         col("doc_id"),
         col("text").cast("binary").as("payload"),
-        when(col("doc_id") % 3 === 0, "jpeg")
-          .when(col("doc_id") % 3 === 1, "png")
-          .otherwise("webp").as("mime"))
+        mimeOf(col("doc_id")).as("mime"))
       .as[MediaRow]
     media
       .mapPartitions(_.grouped(64).flatMap(stubDecodeBatch))
@@ -132,31 +150,44 @@ object MultimodalQueries {
         round(element_at(col("features"), 1).cast("double") * 1000).cast("long").as("f0_q"))
   }
 
-  /** Frame sampling (keyframe selection): every 4th frame plus the
-    * final frame of each media item — the standard subsample-before-
-    * decode step for video, so the expensive decode only ever sees
-    * the sampled set. Pure index arithmetic over the (deterministic)
-    * frame count: per-row fan-out bounded by frames-per-item, zero
-    * shuffle, and — unlike the decode itself — fully oracle-checkable.
+  // ----------------------------------------------------------------
+  // Frame sampling — the subsample-before-decode step, shared by the
+  // standalone sampler query and the composed sample-then-decode one.
+  // ----------------------------------------------------------------
+
+  /** Keyframe selection over the deterministic frame count: every 4th
+    * frame plus the final frame. Adds `n_frames`/`frame_no`, keeps the
+    * input's other columns (the composed query still needs the text).
+    */
+  private def sampledFrames(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_frames", (length(col("text").cast("binary")) % 24 + 1).cast("long"))
+      .withColumn("frame_no", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .where(col("frame_no") % 4 === 0 || col("frame_no") === col("n_frames") - 1)
+
+  /** The matching oracle CTE pair (m → exploded f) and sample filter. */
+  private def frameCtes(carryText: Boolean): String = {
+    val t = if (carryText) "text, " else ""
+    s"""m AS (
+       |  SELECT doc_id, ${t}CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, ${t}n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_no
+       |  FROM m)""".stripMargin
+  }
+  private val frameSamplePredSql = "frame_no % 4 = 0 OR frame_no = n_frames - 1"
+
+  /** Standalone frame sampling: per-row index arithmetic, zero
+    * shuffle, fan-out bounded by frames-per-item — and, unlike the
+    * decode itself, trivially oracle-checkable.
     */
   val frameSample: QueryDef = QueryDef.sql(
     "x_frame_sample",
-    """WITH m AS (
-      |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_no
-      |  FROM m)
-      |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, n_frames
-      |FROM f
-      |WHERE frame_no % 4 = 0 OR frame_no = n_frames - 1""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        (length(col("text").cast("binary")) % 24 + 1).cast("long").as("n_frames"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"),
-        col("n_frames"))
-      .where(col("frame_no") % 4 === 0 || col("frame_no") === col("n_frames") - 1)
+    s"""WITH ${frameCtes(carryText = false)}
+       |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, n_frames
+       |FROM f
+       |WHERE $frameSamplePredSql""".stripMargin) { (s, d) =>
+    sampledFrames(Tables.documents(s, d))
       .select("doc_id", "frame_no", "n_frames")
   }
 
@@ -179,56 +210,38 @@ object MultimodalQueries {
     }
   }
 
-  /** Sample-before-decode, end to end: the frame sampler (every 4th
-    * frame + the final frame) runs FIRST, so the expensive batched
-    * decode only ever touches the sampled subset — the composed shape
-    * of a video-preprocessing pipeline, where decoding all frames
-    * would dominate the job. Each sampled frame decodes its own byte
-    * slice of the payload (suffix at the frame offset — deterministic,
-    * so the checksum/dims are oracle-checkable per frame exactly like
-    * x_multimodal_decode). Zero shuffle: sample, slice, and decode are
-    * all partition-local.
+  /** Sample-before-decode, end to end: [[sampledFrames]] runs FIRST,
+    * so the expensive batched decode only ever touches the sampled
+    * subset — the composed shape of a video-preprocessing pipeline,
+    * where decoding all frames would dominate the job. Each sampled
+    * frame decodes its own byte slice of the payload (suffix at the
+    * frame offset — deterministic, so the checksum/dims are
+    * oracle-checkable per frame exactly like x_multimodal_decode).
+    * Zero shuffle: sample, slice, and decode are all partition-local.
     */
   val framesDecoded: QueryDef = QueryDef.sql(
     "x_frames_decoded",
-    """WITH m AS (
-      |  SELECT doc_id, text, CAST(octet_length(encode(text)) % 24 + 1 AS BIGINT) AS n_frames
-      |  FROM documents),
-      |f AS (
-      |  SELECT doc_id, text, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_no
-      |  FROM m),
-      |s AS (
-      |  SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
-      |         substr(text, CAST(frame_no + 1 AS INTEGER)) AS ftext
-      |  FROM f
-      |  WHERE frame_no % 4 = 0 OR frame_no = n_frames - 1),
-      |c AS (
-      |  SELECT doc_id, frame_no,
-      |         octet_length(encode(ftext)) AS n,
-      |         list_reduce(
-      |           list_prepend(CAST(0 AS BIGINT),
-      |             list_transform(string_split(ftext, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-      |           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-      |  FROM s)
-      |SELECT doc_id, frame_no,
-      |       CAST(n % 640 + 1 AS BIGINT) AS width,
-      |       CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
-      |       CAST(round((CAST((checksum & 255) AS DOUBLE) / 255) * 1000) AS BIGINT) AS f0_q
-      |FROM c""") { (s, d) =>
+    s"""WITH ${frameCtes(carryText = true)},
+       |s AS (
+       |  SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       |         substr(text, CAST(frame_no + 1 AS INTEGER)) AS ftext
+       |  FROM f
+       |  WHERE $frameSamplePredSql),
+       |c AS (
+       |  SELECT doc_id, frame_no,
+       |         octet_length(encode(ftext)) AS n,
+       |         ${checksumSql("ftext")} AS checksum
+       |  FROM s)
+       |SELECT doc_id, frame_no,
+       |       $dimsSql,
+       |       $f0qSql
+       |FROM c""".stripMargin) { (s, d) =>
     val spark: SparkSession = s
     import spark.implicits._
-    val frames = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        (length(col("text").cast("binary")) % 24 + 1).cast("long").as("n_frames"))
-      .select(col("doc_id"), col("text"), col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
-      // the SAMPLER runs before any decode work exists in the plan
-      .where(col("frame_no") % 4 === 0 || col("frame_no") === col("n_frames") - 1)
+    val frames = sampledFrames(Tables.documents(s, d))
       .select(col("doc_id"), col("frame_no"),
         expr("substring(text, cast(frame_no + 1 as int))").cast("binary").as("payload"),
-        when(col("doc_id") % 3 === 0, "jpeg")
-          .when(col("doc_id") % 3 === 1, "png")
-          .otherwise("webp").as("mime"))
+        mimeOf(col("doc_id")).as("mime"))
       .as[FrameRow]
     frames.mapPartitions(_.grouped(64).flatMap(decodeFrameBatch)).toDF()
   }

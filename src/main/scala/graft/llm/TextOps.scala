@@ -58,17 +58,19 @@ object TextOps {
     val distinct = postings.select("shingle").distinct()
     // range partitions are ordered by pid: every shingle in pid i
     // sorts before every shingle in pid i+1 (AQE coalescing merges
-    // contiguous partitions, preserving this). The eager
+    // contiguous partitions, preserving this). The lazy
     // localCheckpoint pins one pid assignment: the plan fans out
     // below, and without pinning the fan-out branches agree only
     // while exchange reuse dedupes the identical range shuffle —
-    // re-sampled boundaries would silently skew sids. Unlike
-    // .cache(), checkpointed blocks are released by the
-    // ContextCleaner once unreferenced (no CacheManager entry), so
-    // the dict build does not pin storage for the session lifetime.
+    // re-sampled boundaries would silently skew sids. Lazy keeps
+    // plan-only paths free (blocks materialize at the first action,
+    // then every branch reads the snapshot); unlike .cache(),
+    // checkpointed blocks are released by the ContextCleaner once
+    // unreferenced (no CacheManager entry), so the dict build does
+    // not pin storage for the session lifetime.
     val parted = distinct.repartitionByRange(col("shingle"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val local = parted.withColumn("lr",
       row_number().over(Window.partitionBy("pid").orderBy("shingle")).cast("long"))
     // per-partition sizes fall out of the window for free: cnt = max lr

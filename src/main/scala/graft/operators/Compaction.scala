@@ -8,34 +8,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (HDFS/parquet sweet spot ~128 MB–1 GB), and scan cost becomes
   * per-file overhead (open + footer + planning) instead of bytes.
   *
-  * Strategy: read, `coalesce` down to a target file count sized by
-  * total bytes / target file size (coalesce, not repartition — no
-  * shuffle, it only merges read partitions), write to a staging dir,
-  * move the new (uniquely-named) files in alongside the old, then
-  * COMMIT by atomically replacing the `_manifest` file — the
-  * newline-separated list of live data files — and finally delete the
-  * old files. This is the poor-man's snapshot of the transactional
-  * table formats: the single manifest rename is the only commit point.
+  * Strategy: read the live set, `coalesce` down to a target file count
+  * sized by total bytes / target file size (coalesce, not repartition —
+  * no shuffle, it only merges read partitions), write to a staging
+  * dir, move the new files in under a recognizable GENERATION prefix
+  * (`compacted-<runid>-…`), then COMMIT by atomically replacing the
+  * `_manifest` file, and finally delete the consumed inputs. This is
+  * the poor-man's snapshot of the transactional table formats: the
+  * single manifest rename is the only commit point.
+  *
+  * The manifest has two kinds of lines: plain names = the committed
+  * live files; `-name` = inputs CONSUMED by that commit, pending
+  * deletion. The live set at any instant is
+  *   manifest live ∪ {un-prefixed files outside the consumed list}
+  * — i.e. files APPENDED by other writers after a commit stay visible
+  * (they carry no generation prefix) and are folded into the next
+  * compaction instead of being mistaken for garbage. Only
+  * `compacted-*` files absent from the manifest are crashed-swap
+  * leftovers and reclaimable.
   *
   * Guarantees, given readers resolve the live set via
-  * [[readCompacted]]:
-  *   - exactly-once at every instant: before the rename they see the
-  *     old file list (still fully present), after it the new one — the
-  *     old+new coexistence window is invisible;
-  *   - crash-safe: on restart, [[compactParquet]] garbage-collects any
-  *     data file NOT in the manifest (leftovers of a crashed swap —
-  *     either un-committed new files or un-deleted old ones), so a
-  *     re-run can never bake duplicated rows into the output.
-  * A plain `spark.read.parquet(dir)` reader ignores `_manifest`
-  * (underscore files are invisible to Spark) and CAN see duplicates
-  * inside the swap window — that reader is only safe in a maintenance
-  * window; manifest-aware readers never see duplicated or missing
-  * ROWS. One residual race remains even for them: a reader that
-  * resolved the old list immediately before the commit can hit
-  * file-not-found when the old-generation delete overtakes its scan —
-  * it must retry, never silently mis-reads. Closing that needs
-  * snapshot retention (defer deletes by a grace period), the next
-  * step toward a full table format.
+  * [[readCompacted]] and compactions don't run concurrently with each
+  * other (single maintainer; concurrent APPENDERS are fine):
+  *   - appended data is never lost: un-prefixed files are live until
+  *     a commit explicitly consumes them;
+  *   - exactly-once rows at every commit state: pre-commit, the new
+  *     generation is invisible (prefixed, unmanifested); post-commit,
+  *     the consumed inputs are excluded even before their deletion;
+  *   - crash-safe: a re-run GCs unmanifested `compacted-*` files and
+  *     still-listed consumed files, then compacts one clean
+  *     generation — duplicated rows can never be baked in. Orphaned
+  *     staging dirs of THIS dataset are also reclaimed on re-run.
+  * A plain `spark.read.parquet(dir)` reader ignores `_manifest` and
+  * CAN see duplicates inside the swap window — that reader is only
+  * safe in a maintenance window. One residual race remains even for
+  * manifest readers: resolving the list immediately before a commit
+  * and then losing the consumed-file delete race ends in
+  * file-not-found (retry), never a silent mis-read; closing it needs
+  * snapshot retention (defer deletes by a grace period).
   *
   * Flat layouts only: a `partitionBy` dataset must be compacted per
   * partition directory (each leaf dir IS a flat dataset) — compacting
@@ -46,10 +56,18 @@ object Compaction {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   import scala.jdk.CollectionConverters._
 
-  /** Name of the live-file list; underscore prefix keeps it invisible
-    * to Spark's file index.
+  /** Name of the live/consumed file list; underscore prefix keeps it
+    * invisible to Spark's file index.
     */
   val ManifestName = "_manifest"
+
+  /** Generation prefix marking files written BY compaction — the
+    * property that lets recovery tell a crashed generation apart from
+    * files appended by other writers.
+    */
+  val GenPrefix = "compacted-"
+
+  private final case class Manifest(live: Seq[String], consumed: Seq[String])
 
   private def list(p: Path): Seq[Path] = {
     val s = Files.list(p)
@@ -58,41 +76,67 @@ object Compaction {
   private def parquetFiles(p: Path): Seq[Path] =
     list(p).filter(_.getFileName.toString.endsWith(".parquet"))
 
-  private def readManifest(root: Path): Option[Seq[String]] = {
+  private def readManifest(root: Path): Option[Manifest] = {
     val m = root.resolve(ManifestName)
-    if (Files.exists(m))
-      Some(Files.readAllLines(m).asScala.toSeq.map(_.trim).filter(_.nonEmpty))
-    else None
+    if (!Files.exists(m)) None
+    else {
+      val lines = Files.readAllLines(m).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+      val (consumed, live) = lines.partition(_.startsWith("-"))
+      Some(Manifest(live, consumed.map(_.drop(1))))
+    }
   }
 
-  /** Publish the live-file list: write-to-temp + atomic rename, so a
+  /** Publish the manifest: write-to-temp + atomic rename, so a
     * concurrent reader sees either the old list or the new one, never
     * a torn file.
     */
-  private def writeManifest(root: Path, names: Seq[String]): Unit = {
+  private def writeManifest(root: Path, m: Manifest): Unit = {
     val tmp = root.resolve(ManifestName + ".tmp")
-    Files.writeString(tmp, names.mkString("\n"))
+    Files.writeString(tmp, (m.live ++ m.consumed.map("-" + _)).mkString("\n"))
     Files.move(tmp, root.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
+  /** The live file set under the manifest protocol: committed files,
+    * plus appended (un-prefixed) files not consumed by the last
+    * commit. Unmanifested `compacted-*` files are a crashed, never-
+    * committed generation and are NOT live.
+    */
+  private def liveFiles(root: Path, m: Option[Manifest]): Seq[Path] = {
+    val onDisk = parquetFiles(root)
+    m match {
+      case None => onDisk
+      case Some(man) =>
+        val committed = man.live.toSet
+        val consumed = man.consumed.toSet
+        val appended = onDisk.map(_.getFileName.toString).filter { n =>
+          !committed(n) && !consumed(n) && !n.startsWith(GenPrefix)
+        }
+        val missing = man.live.filterNot(n => Files.exists(root.resolve(n)))
+        require(missing.isEmpty,
+          s"manifest lists data files missing on disk (corrupted dataset?): " +
+            missing.mkString(", "))
+        (man.live ++ appended).map(root.resolve(_))
+    }
+  }
+
   /** Read the dataset resolving the live file list through `_manifest`
-    * when present (exactly-once across a concurrent compaction swap);
-    * falls back to the plain directory scan for never-compacted dirs.
+    * when present (exactly-once across a concurrent compaction swap,
+    * appended files included); falls back to the plain directory scan
+    * for never-compacted dirs.
     */
   def readCompacted(spark: SparkSession, dir: String): DataFrame = {
     val root = Paths.get(dir).toAbsolutePath.normalize
     readManifest(root) match {
-      case Some(names) =>
-        spark.read.parquet(names.map(n => root.resolve(n).toString): _*)
+      case Some(m) => spark.read.parquet(liveFiles(root, Some(m)).map(_.toString): _*)
       case None => spark.read.parquet(dir)
     }
   }
 
   /** Compact the flat parquet dataset at `dir` toward
     * `targetFileBytes` per file. Returns (filesBefore, filesAfter);
-    * (0, 0) when the directory holds no parquet files.
+    * (0, 0) when the directory holds no live parquet files.
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -107,67 +151,82 @@ object Compaction {
 
     def gc(f: Path): Unit = {
       Files.deleteIfExists(root.resolve("." + f.getFileName.toString + ".crc"))
-      Files.delete(f)
+      Files.deleteIfExists(f)
+      ()
+    }
+    def rmTree(p: Path): Unit = {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
 
-    // Resolve the LIVE set through the manifest. Files on disk but not
-    // in the manifest are leftovers of a crashed swap (un-committed new
-    // files, or old files that outlived their commit) — reclaim them
-    // FIRST so this run compacts exactly one generation.
-    val onDisk = parquetFiles(root)
+    // Recovery sweep. (1) staging dirs of THIS dataset orphaned by a
+    // hard crash (scoped by name — never another dataset's staging);
+    // (2) never-committed generation files; (3) consumed inputs whose
+    // delete didn't finish — so this run compacts one clean generation.
+    list(root.getParent)
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(stagingPrefix(root)))
+      .foreach(rmTree)
     val manifest = readManifest(root)
-    val live: Seq[Path] = manifest match {
-      case Some(names) =>
-        val listed = names.toSet
-        onDisk.filterNot(f => listed(f.getFileName.toString)).foreach(gc)
-        val missing = names.filterNot(n => Files.exists(root.resolve(n)))
-        require(missing.isEmpty,
-          s"manifest lists data files missing on disk (corrupted dataset?): " +
-            missing.mkString(", "))
-        names.map(root.resolve(_))
-      case None => onDisk
+    manifest.foreach { m =>
+      val committed = m.live.toSet
+      parquetFiles(root)
+        .filter { f =>
+          val n = f.getFileName.toString
+          n.startsWith(GenPrefix) && !committed(n)
+        }
+        .foreach(gc)
+      m.consumed.foreach(n => gc(root.resolve(n)))
     }
+
+    val live = liveFiles(root, manifest)
     if (live.isEmpty) return (0, 0)
 
     // Make sure a manifest exists BEFORE any swap step: every crash
-    // window after this point is then recoverable by the GC above.
-    if (manifest.isEmpty) writeManifest(root, live.map(_.getFileName.toString))
+    // window after this point is then recoverable by the sweep above.
+    if (manifest.isEmpty)
+      writeManifest(root, Manifest(live.map(_.getFileName.toString), Nil))
 
     val totalBytes = live.map(Files.size).sum
     val targetFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
 
-    val staging = Files.createTempDirectory(root.getParent, ".compact-")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory(root.getParent, stagingPrefix(root))
     try {
       val stagingOut = staging.resolve("out")
       spark.read.parquet(live.map(_.toString): _*).coalesce(targetFiles)
         .write.mode("overwrite").parquet(stagingOut.toString)
 
-      // move new data files (and their checksum siblings) in alongside
-      // the old — invisible to manifest readers until the commit …
-      val newFiles = parquetFiles(stagingOut)
-      val toMove = newFiles ++ newFiles.flatMap { f =>
-        val crc = stagingOut.resolve("." + f.getFileName.toString + ".crc")
-        if (Files.exists(crc)) Some(crc) else None
+      // move the new generation in under the generation prefix —
+      // invisible to manifest readers until the commit …
+      val genNames = parquetFiles(stagingOut).map { f =>
+        val name = s"$GenPrefix$runId-${f.getFileName.toString}"
+        Files.move(f, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name
       }
-      toMove.foreach { f =>
-        Files.move(f, root.resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE)
-      }
-      // … COMMIT: one atomic rename flips readers old → new …
-      writeManifest(root, newFiles.map(_.getFileName.toString))
-      // … then the old generation is garbage (plus its stale
-      // checksum/_SUCCESS artifacts, which would otherwise accumulate
-      // and fail local-FS checksum verification).
+      // … COMMIT: one atomic rename flips readers old → new; the old
+      // inputs travel as the consumed list so a post-commit crash can
+      // finish their deletion without ever mistaking them for appends …
+      writeManifest(root, Manifest(genNames, live.map(_.getFileName.toString)))
+      // … delete the consumed generation (plus stale checksum/_SUCCESS
+      // artifacts), then drop the consumed list now that it's done.
       live.foreach(gc)
       Files.deleteIfExists(root.resolve("_SUCCESS"))
       Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
-      (live.size, newFiles.size)
+      writeManifest(root, Manifest(genNames, Nil))
+      (live.size, genNames.size)
     } finally {
       // staging is scratch in every outcome — success (files already
       // moved out) or failure (half-written output) — so reclaim it
       // unconditionally; the manifest keeps the dataset consistent.
-      val w = Files.walk(staging)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
+      rmTree(staging)
     }
   }
+
+  /** Staging dirs are scoped per dataset so the crash sweep can never
+    * touch a sibling dataset's in-flight compaction.
+    */
+  private def stagingPrefix(root: Path): String =
+    s".compact-${root.getFileName.toString}-"
 }

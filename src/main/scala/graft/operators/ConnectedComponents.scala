@@ -48,7 +48,11 @@ object ConnectedComponents {
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    // sum over zero rows is NULL — an empty node set must yield an
+    // empty labeling, not an NPE
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -61,7 +65,7 @@ object ConnectedComponents {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum("label")).head.getLong(0)
+      val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       iters += 1

@@ -41,6 +41,30 @@ class CompactionSpec extends SparkSpec {
     assert(b2 == 1 && a2 == 1)
   }
 
+  test("files appended AFTER a compaction stay live and fold into the next one") {
+    val dir = mkDataset(3)
+    val before = rows(dir)
+    Compaction.compactParquet(spark, dir)
+    // another writer appends a plain (un-prefixed) part file
+    val extraSrc = java.nio.file.Files.createTempDirectory("graftappend")
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 3)
+      .coalesce(1).write.mode("overwrite").parquet(extraSrc.resolve("out").toString)
+    val part = extraSrc.resolve("out").toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.move(part, Paths.get(dir).resolve("part-appended-later.parquet"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val appended = spark.read.parquet(Paths.get(dir)
+      .resolve("part-appended-later.parquet").toString).count()
+    assert(appended > 0)
+    // the append is visible through the manifest reader immediately…
+    assert(Compaction.readCompacted(spark, dir).count() == before.size + appended)
+    // …and the next compaction folds it in instead of deleting it
+    val (b, a) = Compaction.compactParquet(spark, dir)
+    assert(b == 2 && a == 1, s"expected 2 live inputs -> 1 file, got ($b, $a)")
+    assert(Compaction.readCompacted(spark, dir).count() == before.size + appended)
+  }
+
   test("compaction refuses a partitioned root (per-partition leaves compact fine)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcompactpart").resolve("t").toString
     Tables.documents(spark, "/root/testdata/sf0.001")
@@ -72,21 +96,21 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("targetFileBytes"))
   }
 
-  test("a crashed swap never bakes duplicates: orphan files are GC'd on the next run") {
+  test("a crashed swap never bakes duplicates: un-committed generation files are GC'd") {
     val dir = mkDataset(5)
     val before = rows(dir)
-    val (_, _) = Compaction.compactParquet(spark, dir) // establishes a manifest
-    // simulate a crash AFTER new files were moved in but BEFORE the
-    // manifest commit: an orphan copy of the data sits beside the live
-    // file, doubling every row for a plain directory reader
+    Compaction.compactParquet(spark, dir) // establishes a manifest
+    // simulate a crash AFTER a new generation was moved in but BEFORE
+    // the manifest commit: a generation-prefixed copy of the data sits
+    // beside the live file, doubling every row for a plain dir reader
     val root = Paths.get(dir)
     val liveFile = root.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath
-    Files.copy(liveFile, root.resolve("part-orphan-from-crashed-run.parquet"),
+    Files.copy(liveFile, root.resolve(s"${Compaction.GenPrefix}deadbeef-part-0.parquet"),
       StandardCopyOption.COPY_ATTRIBUTES)
     assert(spark.read.parquet(dir).count() == 2L * before.size) // the hazard is real
     // manifest-aware reader is unaffected...
     assert(rows(dir) == before)
-    // ...and the recovery run reclaims the orphan instead of compacting it in
+    // ...and the recovery run reclaims the crashed generation
     val (b, a) = Compaction.compactParquet(spark, dir)
     assert(b == 1 && a == 1)
     assert(rows(dir) == before)
@@ -105,33 +129,40 @@ class CompactionSpec extends SparkSpec {
     val scratch = Files.createTempDirectory("graftgen2")
     spark.read.parquet(gen1.toString).coalesce(1)
       .write.mode("overwrite").parquet(scratch.resolve("out").toString)
-    val gen2name = "part-generation-two.parquet"
+    val gen2name = s"${Compaction.GenPrefix}gen2run-part-0.parquet"
     val gen2src = scratch.resolve("out").toFile.listFiles()
       .filter(_.getName.endsWith(".parquet")).head.toPath
     Files.move(gen2src, root.resolve(gen2name), StandardCopyOption.ATOMIC_MOVE)
     assert(rows(dir) == before, "pre-commit: reader must still resolve generation 1 only")
 
-    // COMMIT: atomically swap the manifest to generation 2
+    // COMMIT: atomically swap the manifest — generation 2 live,
+    // generation 1 consumed-pending-delete (the post-commit crash state)
     val tmp = root.resolve("_manifest.swap")
-    Files.writeString(tmp, gen2name)
+    Files.writeString(tmp, s"$gen2name\n-${gen1.getFileName}")
     Files.move(tmp, root.resolve(Compaction.ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     assert(rows(dir) == before,
       "post-commit, pre-delete: reader must resolve generation 2 only, not old+new")
 
-    // recovery run GCs the stale generation-1 file and stays exact
+    // recovery run finishes the consumed delete and stays exact
     val (b, a) = Compaction.compactParquet(spark, dir)
     assert(b == 1 && a == 1)
     assert(rows(dir) == before)
+    assert(!Files.exists(gen1), "consumed generation-1 file must be reclaimed")
   }
 
-  test("a failing compaction write cleans up its staging directory") {
+  test("a failing compaction write cleans up its staging; crashed staging dirs are swept") {
     val dir = java.nio.file.Files.createTempDirectory("graftcompactbad").resolve("t")
     Files.createDirectories(dir)
     Files.write(dir.resolve("broken.parquet"), "this is not parquet".getBytes)
+    // a hard-crash leftover staging dir from a previous run of THIS dataset
+    val orphan = dir.getParent.resolve(s".compact-${dir.getFileName}-orphan123")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk"), "stale")
     intercept[Exception] {
       Compaction.compactParquet(spark, dir.toString)
     }
-    assert(stagingDirs(dir.toString).isEmpty, "staging dir must not leak on failure")
+    assert(stagingDirs(dir.toString).isEmpty,
+      "neither the failed run's staging nor the crash orphan may remain")
   }
 }

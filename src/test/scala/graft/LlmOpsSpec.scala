@@ -172,6 +172,10 @@ class LlmOpsSpec extends SparkSpec {
     val rev = Seq((3L, 2L), (2L, 1L), (6L, 5L)).toDF("doc_a", "doc_b")
     assert(graft.operators.ConnectedComponents.components(nodes, rev)
       .as[(Long, Long)].collect().toMap == got)
+    // empty node set -> empty labeling, not an error
+    val none = Seq.empty[Long].toDF("doc_id")
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.ConnectedComponents.components(none, noEdges).count() == 0)
   }
 
   test("multimodal stub decode: deterministic, one output row per input") {
