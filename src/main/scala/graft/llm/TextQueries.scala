@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.llm.TextOps._
@@ -176,5 +177,65 @@ object TextQueries {
       array_max(transform(col("lines"), l => length(l))).cast("long").as("max_line_len"))
   }
 
-  val all: Seq[QueryDef] = Seq(textStats, langId, fingerprint, qualitySignals)
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * scheme): hash every token 3-gram, slide a 4-hash window, keep
+    * each window's minimum — the guarantee is that any shared
+    * substring of ≥ window+gram tokens contributes at least one
+    * COMMON selected fingerprint, which makes this the robust
+    * substring-level dedup/plagiarism primitive (full-document
+    * fingerprints miss partial overlap; winnowing bounds the
+    * fingerprint density at ~2/(window+1) per token instead of
+    * keeping every gram). Ties select the same VALUE under any
+    * tie-break rule, so emitting the distinct selected-value set is
+    * engine-independent. Purely per-row array work: zero shuffle
+    * before the final distinct on (doc, fingerprint).
+    */
+  val winnowFingerprints: QueryDef = QueryDef.sql(
+    "x_winnow_fingerprints",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams,
+      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      |  FROM g),
+      |w AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(hs) >= 4 THEN list_transform(generate_series(1, len(hs) - 3),
+      |                j -> list_min(list_slice(hs, j, j + 3)))
+      |              WHEN len(hs) > 0 THEN [list_min(hs)]
+      |              ELSE [] END AS sel
+      |  FROM h)
+      |SELECT DISTINCT doc_id, f AS fingerprint
+      |FROM (SELECT doc_id, unnest(sel) AS f FROM w)""") { (s, d) =>
+    val win = 4
+    // same char-fold primitive as x_fingerprint's fp_poly, per gram
+    def charFold(g: Column): Column =
+      aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    // DuckDB's generate_series(1, n) is empty for n < 1; Spark's
+    // sequence would count DOWN, so guard the short cases explicitly.
+    val g = t.select(col("doc_id"),
+      when(size(col("toks")) >= 3,
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>")).as("grams"))
+    val h = g.select(col("doc_id"), transform(col("grams"), charFold(_)).as("hs"))
+    val sel = h.select(col("doc_id"),
+      when(size(col("hs")) >= win,
+        transform(sequence(lit(1), size(col("hs")) - (win - 1)),
+          j => array_min(slice(col("hs"), j, lit(win)))))
+        .when(size(col("hs")) > 0, array(array_min(col("hs"))))
+        .otherwise(array().cast("array<long>")).as("sel"))
+    sel.select(col("doc_id"), explode(col("sel")).as("fingerprint")).distinct()
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints)
 }
