@@ -187,8 +187,15 @@ object TextQueries {
     * fingerprint density at ~2/(window+1) per token instead of
     * keeping every gram). Ties select the same VALUE under any
     * tie-break rule, so emitting the distinct selected-value set is
-    * engine-independent. Purely per-row array work: zero shuffle
-    * before the final distinct on (doc, fingerprint).
+    * engine-independent.
+    *
+    * The Spark side is the posexplode + window formulation (grams via
+    * `lead` like [[TextOps.shinglePostings]], window minima via a
+    * 4-row frame) — array HOFs nested three deep (transform of
+    * aggregate of split) run interpreted and measured minutes at
+    * sf0.1, while this shape keeps everything but the single per-gram
+    * char fold in codegen/WindowExec. One shuffle by doc_id; window
+    * state is 4 rows.
     */
   val winnowFingerprints: QueryDef = QueryDef.sql(
     "x_winnow_fingerprints",
@@ -218,22 +225,31 @@ object TextQueries {
     def charFold(g: Column): Column =
       aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
         (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
-    val t = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-    // DuckDB's generate_series(1, n) is empty for n < 1; Spark's
-    // sequence would count DOWN, so guard the short cases explicitly.
-    val g = t.select(col("doc_id"),
-      when(size(col("toks")) >= 3,
-        transform(sequence(lit(1), size(col("toks")) - 2),
-          i => array_join(slice(col("toks"), i, lit(3)), " ")))
-        .otherwise(array().cast("array<string>")).as("grams"))
-    val h = g.select(col("doc_id"), transform(col("grams"), charFold(_)).as("hs"))
-    val sel = h.select(col("doc_id"),
-      when(size(col("hs")) >= win,
-        transform(sequence(lit(1), size(col("hs")) - (win - 1)),
-          j => array_min(slice(col("hs"), j, lit(win)))))
-        .when(size(col("hs")) > 0, array(array_min(col("hs"))))
-        .otherwise(array().cast("array<long>")).as("sel"))
-    sel.select(col("doc_id"), explode(col("sel")).as("fingerprint")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // (doc, pos, 3-gram) rows via lead — the shinglePostings shape,
+    // but keeping position and duplicates (winnowing needs the stream)
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("gram", concat_ws(" ",
+        col("tok"), lead("tok", 1).over(byDoc), lead("tok", 2).over(byDoc)))
+      .withColumn("gram_complete", lead("tok", 2).over(byDoc).isNotNull)
+      .where(col("gram_complete"))
+    val hashes = grams.select(col("doc_id"), col("pos"), charFold(col("gram")).as("h"))
+    // full 4-hash windows: min over [current, current+3], valid only
+    // where the window is complete
+    val wins = hashes
+      .withColumn("wmin", min("h").over(byDoc.rowsBetween(0, win - 1)))
+      .withColumn("complete", lead("h", win - 1).over(byDoc).isNotNull)
+    val full = wins.where(col("complete"))
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+    // docs with 1..3 grams have no complete window: winnowing then
+    // selects the global minimum
+    val short = hashes.groupBy("doc_id")
+      .agg(count(lit(1)).as("g"), min("h").as("fingerprint"))
+      .where(col("g") < win)
+      .select("doc_id", "fingerprint")
+    full.union(short).distinct()
   }
 
   val all: Seq[QueryDef] =
