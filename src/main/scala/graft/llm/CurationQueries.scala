@@ -77,34 +77,46 @@ object CurationQueries {
     * table has one row per partition (bounded by cluster config, not
     * data) so it broadcasts.
     */
-  def tokenPackDf(s: SparkSession, d: String, budget: Long): DataFrame = {
-    val toks = Tables.documents(s, d).select(
-      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-    // A LAZY localCheckpoint pins one pid assignment: the plan fans
-    // out into the window branch and the per-pid totals below, and
-    // without pinning, the branches agree only while exchange reuse
-    // dedupes the identical range shuffle (same hazard as
-    // TextOps.shingleDict, same fix; regression-pinned with exchange
-    // reuse off in CurationSpec). Lazy (not eager) so that PLANNING
-    // the query stays free — blocks materialize once at the first
-    // action and every branch reads that snapshot. Unlike .cache(),
-    // the blocks are not registered in the session's CacheManager —
-    // the ContextCleaner releases them once the frame is
-    // unreferenced, so repeated calls in a long-lived session don't
-    // leak pinned storage. The snapshot is narrow:
-    // (doc_id, n_tokens, pid).
-    val parted = toks.repartitionByRange(col("doc_id"))
+  /** The two-phase distributed prefix sum over `tokenCol` in
+    * `orderCols` order, generalized so both document-level packing
+    * (x_token_pack) and chunk-level packing (x_pipeline_e2e) share
+    * it. Adds `cum_tokens` = inclusive running sum; keeps the input
+    * columns.
+    *
+    * A LAZY localCheckpoint pins one pid assignment: the plan fans
+    * out into the window branch and the per-pid totals below, and
+    * without pinning, the branches agree only while exchange reuse
+    * dedupes the identical range shuffle (same hazard as
+    * TextOps.shingleDict, same fix; regression-pinned with exchange
+    * reuse off in CurationSpec). Lazy (not eager) so that PLANNING
+    * the query stays free — blocks materialize once at the first
+    * action and every branch reads that snapshot. Unlike .cache(),
+    * the blocks are not registered in the session's CacheManager —
+    * the ContextCleaner releases them once the frame is unreferenced,
+    * so repeated calls in a long-lived session don't leak pinned
+    * storage.
+    */
+  private def packCumSum(df: DataFrame, orderCols: Seq[String],
+      tokenCol: String): DataFrame = {
+    val parted = df.repartitionByRange(orderCols.map(col): _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = false)
     val local = parted.withColumn("run",
-      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+      sum(tokenCol).over(Window.partitionBy("pid").orderBy(orderCols.map(col): _*)))
     val counts = local.groupBy("pid").agg(max("run").as("cnt"))
     val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
     val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
       .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
     local.join(broadcast(offsets), "pid")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("off") + col("run")).as("cum_tokens"))
+      .withColumn("cum_tokens", col("off") + col("run"))
+      .drop("pid", "run", "off")
+  }
+
+  def tokenPackDf(s: SparkSession, d: String, budget: Long): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    packCumSum(toks, Seq("doc_id"), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) div $budget"))
   }
 
@@ -152,7 +164,13 @@ object CurationQueries {
        |  SELECT doc_id, lang, n_tokens, quality, $hashBucketSql AS bucket
        |  FROM keep WHERE rn = 1)
        |SELECT doc_id, lang, n_tokens, quality FROM h
-       |WHERE bucket < 500""".stripMargin) { (s, d) =>
+       |WHERE bucket < 500""".stripMargin) { (s, d) => curatedDf(s, d) }
+
+  /** The curation dataflow (quality floor → exact-dedup keeper →
+    * deterministic 50% sample) — shared by x_corpus_curate and the
+    * end-to-end pipeline query.
+    */
+  private def curatedDf(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a")
     val t = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
@@ -351,7 +369,86 @@ object CurationQueries {
         (col("n_tokens").cast("double") / sum("n_tokens").over(all))).as("weight"))
   }
 
+  /** The full training-data preprocessing DAG as ONE query:
+    * curate (quality floor → exact-dedup keeper → deterministic
+    * sample) → drop benchmark docs and anything decontamination flags
+    * → chunk the survivors into context windows → pack chunks into
+    * ~2000-token training shards via the distributed prefix sum.
+    * Every stage is an operator that is independently oracle-checked
+    * above (x_corpus_curate, x_decontaminate, x_doc_chunks,
+    * x_token_pack); this query pins that they COMPOSE — the shape a
+    * real pre-training data-prep job actually runs end to end.
+    *
+    * Scale: inherits each stage's shape — no stage introduces a new
+    * join or shuffle class beyond its standalone form; the contaminated
+    * set is removed with a left-anti join on doc_id.
+    */
+  val pipelineE2e: QueryDef = QueryDef.sql(
+    "x_pipeline_e2e",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, norm,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         (CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0)) *
+       |           (1 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE) / nullif(len(toks), 0)) AS quality
+       |  FROM t),
+       |qf AS (SELECT * FROM q WHERE n_tokens >= 5 AND quality >= 0.3),
+       |keep AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+       |  FROM qf),
+       |cur AS (
+       |  SELECT doc_id FROM (SELECT doc_id, $hashBucketSql AS bucket FROM keep WHERE rn = 1)
+       |  WHERE bucket < 500),
+       |dtoks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+       |g8 AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 7), ' ') AS ng
+       |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM dtoks)
+       |  WHERE i + 7 <= len(tok)),
+       |bench AS (SELECT DISTINCT ng FROM g8 WHERE doc_id % 25 = 0),
+       |contam AS (
+       |  SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (ng) WHERE g8.doc_id % 25 != 0),
+       |surv AS (
+       |  SELECT doc_id FROM cur
+       |  WHERE doc_id % 25 != 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |ct AS (
+       |  SELECT d.doc_id,
+       |         CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents d JOIN surv USING (doc_id)),
+       |ck AS (
+       |  SELECT doc_id, n, CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 31) // 32 END AS max_k
+       |  FROM ct),
+       |cks AS (
+       |  SELECT doc_id, n, unnest(generate_series(0, max_k)) AS k FROM ck),
+       |chunks AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |         CAST(least(40, n - k * 32) AS BIGINT) AS n_chunk_tokens
+       |  FROM cks),
+       |packed AS (
+       |  SELECT doc_id, chunk_id, n_chunk_tokens,
+       |         CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM chunks)
+       |SELECT doc_id, chunk_id, n_chunk_tokens, cum_tokens,
+       |       (cum_tokens - n_chunk_tokens) // 2000 AS shard_id
+       |FROM packed""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val curated = curatedDf(s, d).select("doc_id")
+    val contaminated = decontaminateDf(docs, col("doc_id") % 25 === 0).select("doc_id")
+    val surv = curated.where(col("doc_id") % 25 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val chunks = chunkDf(docs.join(surv, "doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    packCumSum(chunks, Seq("doc_id", "chunk_id"), "n_chunk_tokens")
+      .withColumn("shard_id", expr("(cum_tokens - n_chunk_tokens) div 2000"))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "cum_tokens", "shard_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact,
-      decontaminate, mixWeights)
+      decontaminate, mixWeights, pipelineE2e)
 }

@@ -30,11 +30,13 @@ class PlanAuditSpec extends SparkSpec {
     */
   /** x_approx_profile: 1-row×1-row scalar cross-joins combining four
     * independent single-pass aggregations (see its builder comment).
+    * x_pipeline_e2e: inherits x_token_pack's triangular offsets join
+    * through the shared packCumSum prefix sum.
     */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
     "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_topk",
-    "x_approx_profile", "x_token_pack")
+    "x_approx_profile", "x_pipeline_e2e", "x_token_pack")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
