@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average — the bench self-reports host contention so
+    * a contaminated artifact is identifiable from the JSON alone
+    * (this host's timings skew 2-3×+ when anything else runs).
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
     // Bootstrap warm-up: initialize codegen/shuffle/scan machinery once
     // so the first timed query isn't charged Spark's cold start.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -26,10 +36,14 @@ object Bench {
     val ib0 = System.nanoTime()
     llm.SharedIndex.sidPostings(spark, sfDir).count()
     val indexBuild = (System.nanoTime() - ib0) / 1e9
-    // Best-of-2 per query: this host's timings vary 2-3× run to run
-    // under identical plans, so a single sample is mostly noise. The
-    // first run also pays one-time Janino codegen; the min of two is
-    // the stable, comparable signal.
+    // Best-of-2 per query (best-of-3 when the first two disagree >3×):
+    // this host's timings vary 2-3× run to run under identical plans,
+    // so a single sample is mostly noise. The first run also pays
+    // one-time Janino codegen; the min of the samples is the stable,
+    // comparable signal. A >3× spread between two samples of the SAME
+    // plan is the contention signature — one extra sample keeps one
+    // unlucky scheduling slice from defining the query's number.
+    var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
@@ -37,20 +51,33 @@ object Bench {
         // noop sink: materializes EVERY column of every row (count()
         // would let Catalyst prune the very projections being timed)
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => return -1.0 }
+        catch {
+          case e: Throwable =>
+            failures ::= s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
+            return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val a = once()
       // Always take the second sample: on this host a slow FIRST run is
       // usually contention noise, exactly when sample two is the signal.
       val b = if (a >= 0) once() else a
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val samples =
+        if (a < 0 || b < 0) Seq(a, b)
+        else if (math.max(a, b) > 3 * math.min(a, b)) Seq(a, b, once())
+        else Seq(a, b)
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
+    // A broken query must fail the bench LOUDLY — a -1.0 sentinel would
+    // silently subtract from the total and render it meaningless.
+    require(failures.isEmpty && results.values.forall(_ >= 0),
+      s"bench queries failed:\n${failures.reverse.mkString("\n")}")
+    val loadEnd = loadAvg()
     val qs = (results + ("index_build" -> indexBuild))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum + indexBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

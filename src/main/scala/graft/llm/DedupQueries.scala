@@ -334,8 +334,7 @@ object DedupQueries {
     * the reachability closure — an entirely different formulation,
     * hash-matched.
     */
-  val dedupClusters: QueryDef = QueryDef.sql(
-    "x_dedup_clusters",
+  private val clustersOracle: String =
     s"""WITH RECURSIVE $ngramPairCtes,
        |pairs AS (
        |  SELECT v.doc_a, v.doc_b
@@ -353,12 +352,33 @@ object DedupQueries {
        |lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc)
        |SELECT doc AS doc_id, cluster_id,
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-       |FROM lab""".stripMargin) { (s, d) =>
+       |FROM lab""".stripMargin
+
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val post = SharedIndex.sidPostings(s, d)
-    val pairs = verifiedPairs(post, rareShingleCandidates(post))
-      .select("doc_a", "doc_b")
+    verifiedPairs(post, rareShingleCandidates(post)).select("doc_a", "doc_b")
+  }
+
+  val dedupClusters: QueryDef = QueryDef.sql(
+    "x_dedup_clusters", clustersOracle) { (s, d) =>
     graft.operators.ConnectedComponents
-      .components(Tables.documents(s, d).select("doc_id"), pairs)
+      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+  }
+
+  /** The same cluster assembly through the alternating
+    * large-star/small-star algorithm ([[graft.operators.
+    * ConnectedComponents.componentsAlternating]]) — the
+    * adversarial-diameter path (polylog rounds vs O(diameter)).
+    * Three independent formulations now hash-match on this output:
+    * min-label propagation (x_dedup_clusters), star-contraction
+    * (this), and the oracle's recursive-CTE closure.
+    */
+  val dedupClustersLss: QueryDef = QueryDef.sql(
+    "x_dedup_clusters_lss", clustersOracle) { (s, d) =>
+    graft.operators.ConnectedComponents
+      .componentsAlternating(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
   }
@@ -533,6 +553,6 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupClusters, minhashSignature, minhashLshPairs,
+    Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental)
 }

@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: propagation converges in O(graph diameter) rounds —
   * near-dup clusters are small and dense, so a handful of rounds in
   * practice (`maxIters` is a safety bound, not the expected count).
-  * For adversarially long chains at 100 TB the same loop would host
-  * the large-star/small-star rewrite (O(log n) rounds) — the
-  * per-round dataflow (join + min-aggregate) is identical, only the
-  * edge rewrite between rounds changes.
+  * For adversarially long chains (diameter ≫ log n) use
+  * [[componentsAlternating]] — the large-star/small-star rewrite with
+  * a polylog round bound; its per-round dataflow is the same
+  * join + min-aggregate class, only the edge rewrite between rounds
+  * changes.
   */
 object ConnectedComponents {
 
@@ -71,8 +72,73 @@ object ConnectedComponents {
       iters += 1
     }
     require(converged, s"component labels did not converge in $maxIters rounds " +
-      "(graph diameter exceeds the bound — raise maxIters or switch the loop " +
-      "body to the large-star/small-star rewrite)")
+      "(graph diameter exceeds the bound — raise maxIters or use " +
+      "componentsAlternating, whose round count is polylog in n)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the adversarial-diameter upgrade over [[components]]:
+    * each round HALVES tree heights instead of walking one hop, so a
+    * path graph of n nodes resolves in O(log n)-ish rounds (the paper
+    * proves a polylog bound for the alternating schedule) where
+    * min-label propagation needs n−1.
+    *
+    * Edges are kept canonically oriented large→small. One round is:
+    *   large-star: every node u links each LARGER neighbor v to
+    *     m = min(Γ(u) ∪ {u})  — emits (v, m);
+    *   small-star: every node u (over its smaller neighbors) links
+    *     each of them, and itself, to that minimum.
+    * Both steps are one groupBy-min + one equi-join + distinct —
+    * fully distributed, same dataflow class as a round of
+    * [[components]]. Endpoints only ever decrease, and the unique
+    * fixpoint is a star per component centered on its minimum, so the
+    * driver-side convergence probe (edge set unchanged over a round:
+    * count equality + one `except`) is exact, not heuristic.
+    */
+  def componentsAlternating(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 40): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mn = sym.groupBy("src").agg(min("dst").as("mnd"))
+      sym.join(mn, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), least(col("mnd"), col("src")).as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is oriented src > dst, so grouping by src ranges over each
+      // node's SMALLER neighbors; m is then min(Γ_small(u) ∪ {u}).
+      val mn = e.groupBy("src").agg(min("dst").as("m"))
+      val linked = e.join(mn, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+      linked.union(mn.select(col("src"), col("m").as("dst"))).distinct()
+    }
+    var e = edges
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact fixpoint test: both sides are distinct canonical sets, so
+      // equal counts + empty one-sided difference ⇔ set equality
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iters += 1
+    }
+    require(converged, s"alternating components did not converge in $maxIters rounds")
+    // fixpoint is a star per component: every non-minimum node carries
+    // exactly one edge (node → component min); minima and singletons
+    // carry none and label themselves
+    val roots = e.groupBy(col("src").as("doc_id")).agg(min("dst").as("root"))
+    nodes.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 }

@@ -178,6 +178,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(graft.operators.ConnectedComponents.components(none, noEdges).count() == 0)
   }
 
+  test("alternating components resolve a long chain min-label propagation cannot") {
+    // Path graph 1..1000: diameter 999, so min-label propagation needs
+    // 999 rounds — far beyond its maxIters=32 safety bound (asserted
+    // below with a reduced bound to keep the failure cheap; the default
+    // bound fails identically, just 24 rounds slower). The alternating
+    // large-star/small-star loop halves tree heights per round and must
+    // resolve the same graph well inside its polylog budget.
+    val n = 1000L
+    val nodes = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.ConnectedComponents
+      .componentsAlternating(nodes, chain)
+      .as[(Long, Long)].collect()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the component min")
+    intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents.components(nodes, chain, maxIters = 8)
+    }
+    // and on a mixed small graph the two algorithms agree exactly
+    val nodes7 = (1L to 7L).toDF("doc_id")
+    val edges7 = Seq((3L, 2L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.ConnectedComponents.componentsAlternating(nodes7, edges7)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
