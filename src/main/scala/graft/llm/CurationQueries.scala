@@ -335,6 +335,61 @@ object CurationQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Fraction-mode decontamination: instead of any-hit flagging, score
+    * every training document by the FRACTION of its distinct 8-grams
+    * that appear in the benchmark set, and gate on a threshold — how
+    * production pipelines actually distinguish a stray idiom (one
+    * shared n-gram in a long document) from near-verbatim benchmark
+    * contamination. Output keeps every scorable training doc, so the
+    * oracle hash pins the zero-hit majority as much as the flagged
+    * tail; `flagged` compares 20·hits ≥ n_grams — exact integers, no
+    * float-threshold edge.
+    *
+    * Scale shape: the standalone any-hit join plus one per-doc gram
+    * count (an aggregation of the SAME postings frame) and a left
+    * join keyed by doc_id — no new join class.
+    */
+  def decontaminateFracDf(docs: DataFrame, isBench: Column): DataFrame = {
+    val grams = shinglePostings(docs, 8)
+    val bench = grams.where(isBench)
+      .select(col("shingle").as("ng")).distinct()
+    val train = grams.where(!isBench)
+    val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val hits = train.join(bench, col("shingle") === col("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_ngrams"))
+          .as("contamination_frac"),
+        when(coalesce(col("n_hits"), lit(0L)) * 20 >= col("n_ngrams"), 1L)
+          .otherwise(0L).as("flagged"))
+  }
+
+  val decontaminateFrac: QueryDef = QueryDef.sql(
+    "x_decontaminate_frac",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 7), ' ') AS ng
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 7 <= len(tok)),
+      |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0),
+      |cnt AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+      |  FROM g WHERE doc_id % 25 != 0 GROUP BY 1),
+      |hit AS (
+      |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM g JOIN bench USING (ng) WHERE g.doc_id % 25 != 0 GROUP BY 1)
+      |SELECT c.doc_id, c.n_ngrams,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams,
+      |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / c.n_ngrams AS contamination_frac,
+      |       CAST(CASE WHEN coalesce(h.n_hits, 0) * 20 >= c.n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM cnt c LEFT JOIN hit h USING (doc_id)""".stripMargin) { (s, d) =>
+    decontaminateFracDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
+  }
+
   /** Domain-mixture reweighting: per-source token shares and the
     * resampling weight that would equalize every source's token
     * contribution — the "compute the mixing weights" step between
@@ -356,17 +411,20 @@ object CurationQueries {
       |SELECT source, n_docs, n_tokens,
       |       CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
       |       (1.0 / count(*) OVER ()) /
-      |         (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS weight
+      |         nullif(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 0) AS weight
       |FROM s""") { (s, d) =>
     val bySource = Tables.documents(s, d).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
     val all = Window.partitionBy() // rows = |sources|: bounded, see scaladoc
+    // nullif guards the zero-token-source edge: a 0 share must yield a
+    // deterministic NULL weight on BOTH engines, not an engine-specific
+    // division-by-zero result (Infinity vs NULL would break the hash).
     bySource.select(
       col("source"), col("n_docs"), col("n_tokens"),
       (col("n_tokens").cast("double") / sum("n_tokens").over(all)).as("token_share"),
       ((lit(1.0) / count(lit(1)).over(all)) /
-        (col("n_tokens").cast("double") / sum("n_tokens").over(all))).as("weight"))
+        nullif(col("n_tokens").cast("double") / sum("n_tokens").over(all), lit(0.0))).as("weight"))
   }
 
   /** The full training-data preprocessing DAG as ONE query:
@@ -450,5 +508,5 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact,
-      decontaminate, mixWeights, pipelineE2e)
+      decontaminate, decontaminateFrac, mixWeights, pipelineE2e)
 }

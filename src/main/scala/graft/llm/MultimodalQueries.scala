@@ -75,6 +75,19 @@ object MultimodalQueries {
         base64(substring(col("source"), 1, 16).cast("binary")).as("thumb_b64"))
   }
 
+  /** The byte ≡ char precondition [[checksumSql]] relies on: the
+    * oracle folds `ascii()` per CHARACTER while [[stubDecodeBatch]]
+    * folds payload BYTES — equal only for pure-ASCII text. This guard
+    * fails the query with a pointed per-doc error on the first
+    * non-ASCII document, so a future testdata change breaks LOUDLY at
+    * the data (not as a baffling hash mismatch in the oracle gate).
+    */
+  private def asciiCheckedPayload(text: Column, docId: Column): Column =
+    when(length(text) === length(text.cast("binary")), text.cast("binary"))
+      .otherwise(raise_error(concat(
+        lit("non-ASCII document violates the byte==char checksum-oracle assumption: doc_id="),
+        docId.cast("string"))).cast("binary"))
+
   /** Input row: media id + opaque payload + declared mime. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
 
@@ -136,7 +149,7 @@ object MultimodalQueries {
     val media: Dataset[MediaRow] = Tables.documents(s, d)
       .select(
         col("doc_id"),
-        col("text").cast("binary").as("payload"),
+        asciiCheckedPayload(col("text"), col("doc_id")).as("payload"),
         mimeOf(col("doc_id")).as("mime"))
       .as[MediaRow]
     media
@@ -240,7 +253,8 @@ object MultimodalQueries {
     import spark.implicits._
     val frames = sampledFrames(Tables.documents(s, d))
       .select(col("doc_id"), col("frame_no"),
-        expr("substring(text, cast(frame_no + 1 as int))").cast("binary").as("payload"),
+        asciiCheckedPayload(expr("substring(text, cast(frame_no + 1 as int))"),
+          col("doc_id")).as("payload"),
         mimeOf(col("doc_id")).as("mime"))
       .as[FrameRow]
     frames.mapPartitions(_.grouped(64).flatMap(decodeFrameBatch)).toDF()

@@ -281,50 +281,75 @@ object SimilarityQueries {
     * x_ann_ivf plan. More Lloyd iterations = repeat the same two
     * steps; one iteration already separates trained from grid.
     */
-  val annIvfTrained: QueryDef = QueryDef.sql(
-    "x_ann_ivf_trained",
-    """WITH q AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-      |  FROM embeddings),
-      |e AS (
-      |  SELECT vec_id, qe,
-      |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
-      |  FROM q),
-      |seeds AS (
-      |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0),
-      |a1 AS (
-      |  SELECT vec_id, qe, cell FROM (
-      |    SELECT e.vec_id, e.qe, c.cent_id AS cell,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
-      |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
-      |    FROM e CROSS JOIN seeds c)
-      |  WHERE rn = 1),
-      |comp AS (SELECT cell, qe, generate_subscripts(qe, 1) AS i FROM a1),
-      |cmean AS (SELECT cell, i, CAST(round(avg(qe[i])) AS BIGINT) AS v FROM comp GROUP BY cell, i),
-      |trained AS (
-      |  SELECT cell AS cent_id, list(v ORDER BY i) AS cent_qe FROM cmean GROUP BY cell),
-      |tn AS (
-      |  SELECT cent_id, cent_qe,
-      |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(cent_qe)), i -> cent_qe[i] * cent_qe[i])) AS DOUBLE)) AS cent_nrm
-      |  FROM trained),
-      |ranked AS (
-      |  SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
-      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |           CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
-      |             (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
-      |  FROM e CROSS JOIN tn c),
-      |assigned AS (SELECT vec_id, qe, nrm, cent_id AS cell FROM ranked WHERE rn = 1),
-      |probes AS (
-      |  SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm, cent_id AS probe_cell
-      |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2),
-      |scored AS (
-      |  SELECT p.query_id, a.vec_id AS neighbor_id,
-      |         CAST(list_sum(list_transform(generate_series(1, len(p.q_qe)), i -> p.q_qe[i] * a.qe[i])) AS DOUBLE) /
-      |           (p.q_nrm * a.nrm) AS sim
-      |  FROM assigned a JOIN probes p ON a.cell = p.probe_cell AND p.query_id != a.vec_id)
-      |SELECT query_id, neighbor_id, sim FROM scored
-      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5""".stripMargin) { (s, d) =>
+  /** Trained-IVF oracle at a given Lloyd iteration count: the base
+    * CTEs, `iters` copies of the assign→re-mean step chained through
+    * `tn{k}`, then the shared index → probe → search tail against the
+    * last centroid table (the seeds themselves when iters = 0).
+    */
+  private def ivfTrainedSql(iters: Int): String = {
+    val base =
+      """q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, qe,
+        |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |seeds AS (
+        |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "seeds" else s"tn${k - 1}"
+      s"""a$k AS (
+         |  SELECT vec_id, qe, cell FROM (
+         |    SELECT e.vec_id, e.qe, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+         |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |comp$k AS (SELECT cell, qe, generate_subscripts(qe, 1) AS i FROM a$k),
+         |cmean$k AS (SELECT cell, i, CAST(round(avg(qe[i])) AS BIGINT) AS v FROM comp$k GROUP BY cell, i),
+         |trained$k AS (
+         |  SELECT cell AS cent_id, list(v ORDER BY i) AS cent_qe FROM cmean$k GROUP BY cell),
+         |tn$k AS (
+         |  SELECT cent_id, cent_qe,
+         |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(cent_qe)), i -> cent_qe[i] * cent_qe[i])) AS DOUBLE)) AS cent_nrm
+         |  FROM trained$k)""".stripMargin
+    }
+    val last = if (iters == 0) "seeds" else s"tn$iters"
+    val tail =
+      s"""ranked AS (
+         |  SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+         |             (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+         |  FROM e CROSS JOIN $last c),
+         |assigned AS (SELECT vec_id, qe, nrm, cent_id AS cell FROM ranked WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, qe AS q_qe, nrm AS q_nrm, cent_id AS probe_cell
+         |  FROM ranked WHERE vec_id % 50 = 0 AND rn <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, len(p.q_qe)), i -> p.q_qe[i] * a.qe[i])) AS DOUBLE) /
+         |           (p.q_nrm * a.nrm) AS sim
+         |  FROM assigned a JOIN probes p ON a.cell = p.probe_cell AND p.query_id != a.vec_id)
+         |SELECT query_id, neighbor_id, sim FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5""".stripMargin
+    (Seq(base) ++ steps ++ Seq(tail)).mkString("WITH ", ",\n", "")
+  }
+
+  /** The trained-IVF dataflow at `iters` Lloyd iterations. Each
+    * iteration is the same two distributed steps — assign every vector
+    * to its nearest current centroid (broadcast of the tiny centroid
+    * table), then move each centroid to the re-quantized component
+    * mean of its members (a bounded 64× unpivot aggregation) — so
+    * training cost is linear in the iteration count and nothing about
+    * the plan shape changes with it. iters = 0 degenerates to the
+    * fixed-seed x_ann_ivf path (used by the recall-monotonicity test).
+    */
+  def ivfTrainedDf(s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    require(iters >= 0, s"negative Lloyd iteration count: $iters")
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
@@ -338,20 +363,24 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
 
-    // one Lloyd step: assign to the seeds, then centroid := re-quantized
-    // component mean of its members (exact longs in, exact longs out)
-    val a1 = nearest(seeds).where(col("rn") === 1)
-      .select(col("vec_id"), col("qe"), col("cent_id").as("cell"))
-    val cmean = a1.select(col("cell"), posexplode(col("qe")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
-    val trained = cmean.groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        t => t.getField("v")).as("cent_qe"))
-      .select(col("cell").as("cent_id"), col("cent_qe"))
-      .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
+    // Lloyd steps: assign to the current centroids, then centroid :=
+    // re-quantized component mean of its members (exact longs in,
+    // exact longs out — each iterate is engine-reproducible)
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val assigned = nearest(cents).where(col("rn") === 1)
+        .select(col("vec_id"), col("qe"), col("cent_id").as("cell"))
+      val cmean = assigned.select(col("cell"), posexplode(col("qe")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
+      cents = cmean.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          t => t.getField("v")).as("cent_qe"))
+        .select(col("cell").as("cent_id"), col("cent_qe"))
+        .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
+    }
 
     // index + probe against the TRAINED centroids — same path as x_ann_ivf
-    val ranked = nearest(trained)
+    val ranked = nearest(cents)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
     val probes = ranked.where(col("vec_id") % 50 === 0 && col("rn") <= 2)
@@ -366,7 +395,23 @@ object SimilarityQueries {
       .where(col("rn") <= 5).drop("rn")
   }
 
+  val annIvfTrained: QueryDef = QueryDef.sql(
+    "x_ann_ivf_trained", ivfTrainedSql(iters = 1)) { (s, d) =>
+    ivfTrainedDf(s, d, iters = 1)
+  }
+
+  /** Trained IVF at two Lloyd iterations — the knob real IVF training
+    * turns until the quantizer stabilizes. Own oracle (the second
+    * assign→re-mean step is chained inside one query), plus a
+    * recall-monotonicity assertion across 0→1→2 iterations in
+    * LlmOpsSpec.
+    */
+  val annIvfTrainedI2: QueryDef = QueryDef.sql(
+    "x_ann_ivf_trained_i2", ivfTrainedSql(iters = 2)) { (s, d) =>
+    ivfTrainedDf(s, d, iters = 2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
-      annIvfTrained)
+      annIvfTrained, annIvfTrainedI2)
 }

@@ -197,53 +197,63 @@ object TextQueries {
     * char fold in codegen/WindowExec. One shuffle by doc_id; window
     * state is 4 rows.
     */
-  val winnowFingerprints: QueryDef = QueryDef.sql(
-    "x_winnow_fingerprints",
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-      |g AS (
-      |  SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
-      |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
-      |  FROM t),
-      |h AS (
-      |  SELECT doc_id, list_transform(grams,
-      |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |         (a, b) -> (a * 31 + b) % 1000000007)) AS hs
-      |  FROM g),
-      |w AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(hs) >= 4 THEN list_transform(generate_series(1, len(hs) - 3),
-      |                j -> list_min(list_slice(hs, j, j + 3)))
-      |              WHEN len(hs) > 0 THEN [list_min(hs)]
-      |              ELSE [] END AS sel
-      |  FROM h)
-      |SELECT DISTINCT doc_id, f AS fingerprint
-      |FROM (SELECT doc_id, unnest(sel) AS f FROM w)""") { (s, d) =>
-    val win = 4
+  /** Winnowing oracle at a given (window, gram) — the same CTE chain
+    * for every config, so the parameterization cannot drift between
+    * engine and oracle.
+    */
+  private def winnowSql(win: Int, gram: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(generate_series(1, len(toks) - ${gram - 1}),
+       |    i -> array_to_string(list_slice(toks, i, i + ${gram - 1}), ' ')) AS grams
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, list_transform(grams,
+       |    s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |         (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(hs) >= $win THEN list_transform(generate_series(1, len(hs) - ${win - 1}),
+       |                j -> list_min(list_slice(hs, j, j + ${win - 1})))
+       |              WHEN len(hs) > 0 THEN [list_min(hs)]
+       |              ELSE [] END AS sel
+       |  FROM h)
+       |SELECT DISTINCT doc_id, f AS fingerprint
+       |FROM (SELECT doc_id, unnest(sel) AS f FROM w)""".stripMargin
+
+  /** The posexplode + window winnowing dataflow at (window, gram). */
+  private def winnowDf(s: org.apache.spark.sql.SparkSession, d: String,
+      win: Int, gram: Int): org.apache.spark.sql.DataFrame = {
+    require(win >= 2 && gram >= 2, s"degenerate winnowing config ($win, $gram)")
     // same char-fold primitive as x_fingerprint's fp_poly, per gram
     def charFold(g: Column): Column =
       aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
         (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // (doc, pos, 3-gram) rows via lead — the shinglePostings shape,
+    // (doc, pos, gram) rows via lead — the shinglePostings shape,
     // but keeping position and duplicates (winnowing needs the stream)
+    val tokAt = (0 until gram).map {
+      case 0 => col("tok")
+      case i => lead("tok", i).over(byDoc)
+    }
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("gram", concat_ws(" ",
-        col("tok"), lead("tok", 1).over(byDoc), lead("tok", 2).over(byDoc)))
-      .withColumn("gram_complete", lead("tok", 2).over(byDoc).isNotNull)
+      .withColumn("gram", concat_ws(" ", tokAt: _*))
+      .withColumn("gram_complete", tokAt.last.isNotNull)
       .where(col("gram_complete"))
     val hashes = grams.select(col("doc_id"), col("pos"), charFold(col("gram")).as("h"))
-    // full 4-hash windows: min over [current, current+3], valid only
-    // where the window is complete
+    // full `win`-hash windows: min over [current, current+win-1], valid
+    // only where the window is complete
     val wins = hashes
       .withColumn("wmin", min("h").over(byDoc.rowsBetween(0, win - 1)))
       .withColumn("complete", lead("h", win - 1).over(byDoc).isNotNull)
     val full = wins.where(col("complete"))
       .select(col("doc_id"), col("wmin").as("fingerprint"))
-    // docs with 1..3 grams have no complete window: winnowing then
+    // docs with 1..win-1 grams have no complete window: winnowing then
     // selects the global minimum
     val short = hashes.groupBy("doc_id")
       .agg(count(lit(1)).as("g"), min("h").as("fingerprint"))
@@ -252,6 +262,23 @@ object TextQueries {
     full.union(short).distinct()
   }
 
+  val winnowFingerprints: QueryDef = QueryDef.sql(
+    "x_winnow_fingerprints", winnowSql(win = 4, gram = 3)) { (s, d) =>
+    winnowDf(s, d, win = 4, gram = 3)
+  }
+
+  /** Winnowing at a second, coarser config (window 5, gram 4) — the
+    * guarantee threshold moves to shared substrings of ≥ w+g = 9
+    * tokens and fingerprint density drops to ~2/(w+1) = 1/3 per token,
+    * the trade a larger corpus makes. Own oracle, pinning that the
+    * (window, gram) parameterization is real on both sides.
+    */
+  val winnowFingerprintsW5: QueryDef = QueryDef.sql(
+    "x_winnow_fingerprints_w5", winnowSql(win = 5, gram = 4)) { (s, d) =>
+    winnowDf(s, d, win = 5, gram = 4)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints)
+    Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
+      winnowFingerprintsW5)
 }

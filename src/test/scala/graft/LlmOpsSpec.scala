@@ -141,7 +141,7 @@ class LlmOpsSpec extends SparkSpec {
       "a Generate feeds the vote aggregate - the 60x explode anti-pattern returned"))
   }
 
-  test("IVF ANN recalls a reasonable fraction of brute-force neighbors; training does not hurt") {
+  test("IVF ANN recalls a reasonable fraction of brute-force neighbors; recall is monotone in Lloyd iterations") {
     val sf = "/root/testdata/sf0.001"
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
@@ -152,12 +152,14 @@ class LlmOpsSpec extends SparkSpec {
     // nprobe=2 of ~5 cells: coarse but must beat random cell overlap
     assert(recall(ivf) >= 0.3,
       s"IVF recall ${recall(ivf)} too low (exact=${exact.size}, ivf=${ivf.size})")
-    // the Lloyd-trained quantizer must be at least as good as the
-    // untrained fixed-grid seeds it starts from
-    val trained = pairs(llm.SimilarityQueries.annIvfTrained.run(spark, sf))
-    assert(trained.nonEmpty)
-    assert(recall(trained) >= recall(ivf),
-      s"trained IVF recall ${recall(trained)} below fixed-grid ${recall(ivf)}")
+    // iters=0 degenerates to the fixed-seed index — same result as x_ann_ivf
+    assert(pairs(llm.SimilarityQueries.ivfTrainedDf(spark, sf, iters = 0)) == ivf)
+    // each Lloyd iteration refines the quantizer: recall must be
+    // monotone non-decreasing across 0 → 1 → 2 iterations
+    val r1 = recall(pairs(llm.SimilarityQueries.ivfTrainedDf(spark, sf, iters = 1)))
+    val r2 = recall(pairs(llm.SimilarityQueries.ivfTrainedDf(spark, sf, iters = 2)))
+    assert(r1 >= recall(ivf), s"1-iteration recall $r1 below fixed-grid ${recall(ivf)}")
+    assert(r2 >= r1, s"2-iteration recall $r2 below 1-iteration $r1")
   }
 
   test("connected components: chains merge transitively, singletons self-label") {

@@ -35,8 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
-    "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_topk",
-    "x_approx_profile", "x_pipeline_e2e", "x_token_pack")
+    "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_ivf_trained_i2",
+    "x_ann_topk", "x_approx_profile", "x_pipeline_e2e", "x_token_pack")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
