@@ -18,14 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * single manifest rename is the only commit point.
   *
   * The manifest has two kinds of lines: plain names = the committed
-  * live files; `-name` = inputs CONSUMED by that commit, pending
-  * deletion. The live set at any instant is
+  * live files; `-name` = inputs CONSUMED by that commit, RETAINED on
+  * disk as the previous snapshot. The live set at any instant is
   *   manifest live ∪ {un-prefixed files outside the consumed list}
   * — i.e. files APPENDED by other writers after a commit stay visible
   * (they carry no generation prefix) and are folded into the next
   * compaction instead of being mistaken for garbage. Only
   * `compacted-*` files absent from the manifest are crashed-swap
   * leftovers and reclaimable.
+  *
+  * SNAPSHOT RETENTION: a commit does NOT delete the files it
+  * consumed — they stay on disk, listed `-name`, until the next
+  * [[compactParquet]] run or an explicit [[vacuum]]. A manifest
+  * reader that resolved the OLD list just before the commit therefore
+  * still finds every file it resolved — the read-vs-delete race is
+  * closed by construction (re-losing it would take a reader stalled
+  * across an entire retention window, i.e. two maintenance runs). The
+  * price is ≤ 2× disk between maintenance runs — the trade every
+  * snapshot-retaining table format makes.
   *
   * Guarantees, given readers resolve the live set via
   * [[readCompacted]] and compactions don't run concurrently with each
@@ -34,18 +44,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     a commit explicitly consumes them;
   *   - exactly-once rows at every commit state: pre-commit, the new
   *     generation is invisible (prefixed, unmanifested); post-commit,
-  *     the consumed inputs are excluded even before their deletion;
+  *     the consumed inputs are excluded though still on disk;
   *   - crash-safe: a re-run GCs unmanifested `compacted-*` files and
-  *     still-listed consumed files, then compacts one clean
+  *     vacuums the retained consumed files, then compacts one clean
   *     generation — duplicated rows can never be baked in. Orphaned
   *     staging dirs of THIS dataset are also reclaimed on re-run.
   * A plain `spark.read.parquet(dir)` reader ignores `_manifest` and
-  * CAN see duplicates inside the swap window — that reader is only
-  * safe in a maintenance window. One residual race remains even for
-  * manifest readers: resolving the list immediately before a commit
-  * and then losing the consumed-file delete race ends in
-  * file-not-found (retry), never a silent mis-read; closing it needs
-  * snapshot retention (defer deletes by a grace period).
+  * sees consumed + live DUPLICATES until a [[vacuum]] — the plain
+  * path is only exact on a vacuumed dataset; manifest readers are
+  * exact always.
   *
   * Flat layouts only: a `partitionBy` dataset must be compacted per
   * partition directory (each leaf dir IS a flat dataset) — compacting
@@ -76,6 +83,13 @@ object Compaction {
   private def parquetFiles(p: Path): Seq[Path] =
     list(p).filter(_.getFileName.toString.endsWith(".parquet"))
 
+  /** Delete a data file together with its Hadoop `.crc` shadow. */
+  private def gc(root: Path, f: Path): Unit = {
+    Files.deleteIfExists(root.resolve("." + f.getFileName.toString + ".crc"))
+    Files.deleteIfExists(f)
+    ()
+  }
+
   private def readManifest(root: Path): Option[Manifest] = {
     val m = root.resolve(ManifestName)
     if (!Files.exists(m)) None
@@ -104,20 +118,37 @@ object Compaction {
     * committed generation and are NOT live.
     */
   private def liveFiles(root: Path, m: Option[Manifest]): Seq[Path] = {
-    val onDisk = parquetFiles(root)
+    def resolve(man: Manifest): Either[Seq[String], Seq[Path]] = {
+      val onDisk = parquetFiles(root)
+      val committed = man.live.toSet
+      val consumed = man.consumed.toSet
+      val appended = onDisk.map(_.getFileName.toString).filter { n =>
+        !committed(n) && !consumed(n) && !n.startsWith(GenPrefix)
+      }
+      val missing = man.live.filterNot(n => Files.exists(root.resolve(n)))
+      if (missing.nonEmpty) Left(missing)
+      else Right((man.live ++ appended).map(root.resolve(_)))
+    }
     m match {
-      case None => onDisk
+      case None => parquetFiles(root)
       case Some(man) =>
-        val committed = man.live.toSet
-        val consumed = man.consumed.toSet
-        val appended = onDisk.map(_.getFileName.toString).filter { n =>
-          !committed(n) && !consumed(n) && !n.startsWith(GenPrefix)
+        resolve(man) match {
+          case Right(fs) => fs
+          case Left(_) =>
+            // A live file vanished between our manifest read and the
+            // listing — under snapshot retention that means a commit +
+            // vacuum both completed in that window. Re-read the
+            // manifest ONCE and re-resolve; only a manifest that
+            // STILL lists files absent from disk is real corruption.
+            val fresh = readManifest(root).getOrElse(man)
+            resolve(fresh) match {
+              case Right(fs) => fs
+              case Left(missing) =>
+                throw new IllegalArgumentException(
+                  s"manifest lists data files missing on disk (corrupted dataset?): " +
+                    missing.mkString(", "))
+            }
         }
-        val missing = man.live.filterNot(n => Files.exists(root.resolve(n)))
-        require(missing.isEmpty,
-          s"manifest lists data files missing on disk (corrupted dataset?): " +
-            missing.mkString(", "))
-        (man.live ++ appended).map(root.resolve(_))
     }
   }
 
@@ -131,6 +162,26 @@ object Compaction {
     readManifest(root) match {
       case Some(m) => spark.read.parquet(liveFiles(root, Some(m)).map(_.toString): _*)
       case None => spark.read.parquet(dir)
+    }
+  }
+
+  /** Reclaim the retained previous snapshot: delete the consumed files
+    * the last commit listed and drop them from the manifest. Run this
+    * once in-flight readers of the pre-commit snapshot have drained
+    * (the next [[compactParquet]] calls it implicitly). After a
+    * vacuum, the plain-directory read path is exact again. Returns the
+    * number of files reclaimed.
+    */
+  def vacuum(dir: String): Int = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    readManifest(root) match {
+      case None => 0
+      case Some(m) =>
+        m.consumed.foreach(n => gc(root, root.resolve(n)))
+        Files.deleteIfExists(root.resolve("_SUCCESS"))
+        Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
+        if (m.consumed.nonEmpty) writeManifest(root, Manifest(m.live, Nil))
+        m.consumed.size
     }
   }
 
@@ -149,37 +200,35 @@ object Compaction {
         s"directory instead; compacting the root would corrupt partition discovery: " +
         subdirs.map(_.getFileName).mkString(", "))
 
-    def gc(f: Path): Unit = {
-      Files.deleteIfExists(root.resolve("." + f.getFileName.toString + ".crc"))
-      Files.deleteIfExists(f)
-      ()
-    }
     def rmTree(p: Path): Unit = {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       finally w.close()
     }
 
-    // Recovery sweep. (1) staging dirs of THIS dataset orphaned by a
-    // hard crash (scoped by name — never another dataset's staging);
-    // (2) never-committed generation files; (3) consumed inputs whose
-    // delete didn't finish — so this run compacts one clean generation.
+    // Recovery + retention sweep. (1) staging dirs of THIS dataset
+    // orphaned by a hard crash (scoped by a name hash — never another
+    // dataset's staging); (2) never-committed generation files;
+    // (3) vacuum of the retained previous snapshot (its grace period
+    // ends here: by the next maintenance run, readers of the
+    // pre-commit list have long drained) — so this run compacts one
+    // clean generation.
     list(root.getParent)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(stagingPrefix(root)))
       .foreach(rmTree)
-    val manifest = readManifest(root)
-    manifest.foreach { m =>
+    readManifest(root).foreach { m =>
       val committed = m.live.toSet
       parquetFiles(root)
         .filter { f =>
           val n = f.getFileName.toString
           n.startsWith(GenPrefix) && !committed(n)
         }
-        .foreach(gc)
-      m.consumed.foreach(n => gc(root.resolve(n)))
+        .foreach(gc(root, _))
     }
+    vacuum(dir)
 
+    val manifest = readManifest(root)
     val live = liveFiles(root, manifest)
     if (live.isEmpty) return (0, 0)
 
@@ -205,16 +254,12 @@ object Compaction {
         Files.move(f, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         name
       }
-      // … COMMIT: one atomic rename flips readers old → new; the old
-      // inputs travel as the consumed list so a post-commit crash can
-      // finish their deletion without ever mistaking them for appends …
+      // … COMMIT: one atomic rename flips readers old → new. The old
+      // inputs travel as the consumed list and STAY on disk (snapshot
+      // retention) — readers that resolved the pre-commit list still
+      // find every file; the retained snapshot is reclaimed by the
+      // next run's sweep or an explicit vacuum().
       writeManifest(root, Manifest(genNames, live.map(_.getFileName.toString)))
-      // … delete the consumed generation (plus stale checksum/_SUCCESS
-      // artifacts), then drop the consumed list now that it's done.
-      live.foreach(gc)
-      Files.deleteIfExists(root.resolve("_SUCCESS"))
-      Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
-      writeManifest(root, Manifest(genNames, Nil))
       (live.size, genNames.size)
     } finally {
       // staging is scratch in every outcome — success (files already
@@ -225,8 +270,16 @@ object Compaction {
   }
 
   /** Staging dirs are scoped per dataset so the crash sweep can never
-    * touch a sibling dataset's in-flight compaction.
+    * touch a sibling dataset's in-flight compaction. The scope token
+    * is a fixed-width HASH of the dataset name, not the name itself:
+    * a raw name would make dataset `t`'s prefix (".compact-t-") a
+    * string prefix of sibling `t-x`'s staging dirs and the startsWith
+    * sweep would reclaim the sibling's in-flight work.
     */
-  private def stagingPrefix(root: Path): String =
-    s".compact-${root.getFileName.toString}-"
+  private[graft] def stagingPrefix(root: Path): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getFileName.toString.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s".compact-$digest-"
+  }
 }

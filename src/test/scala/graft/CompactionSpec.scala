@@ -30,8 +30,14 @@ class CompactionSpec extends SparkSpec {
     assert(nBefore >= 40, s"expected >=40 small files, got $nBefore")
     assert(nAfter == 1, s"tiny dataset should compact to one file, got $nAfter")
 
-    // content identical through BOTH read paths, and the manifest
-    // exists and lists exactly the live files
+    // snapshot retention: the consumed inputs are still on disk (the
+    // manifest reader excludes them; the plain reader double-counts
+    // until vacuum) …
+    assert(rows(dir) == before, "manifest reader must be exact pre-vacuum")
+    val reclaimed = Compaction.vacuum(dir)
+    assert(reclaimed == nBefore, s"vacuum must reclaim the $nBefore consumed inputs")
+    assert(Compaction.vacuum(dir) == 0, "second vacuum is a no-op")
+    // … and after vacuum BOTH read paths are exact
     assert(rows(dir) == before, "content must be identical after compaction")
     assert(spark.read.parquet(dir).orderBy("doc_id").collect().map(_.toString).toSeq == before)
     val manifest = Paths.get(dir).resolve(Compaction.ManifestName)
@@ -80,6 +86,7 @@ class CompactionSpec extends SparkSpec {
     val leaf = new java.io.File(dir).listFiles.filter(_.isDirectory).head.toString
     val n = spark.read.parquet(leaf).count()
     val (_, nAfter) = Compaction.compactParquet(spark, leaf)
+    Compaction.vacuum(leaf) // reclaim the retained snapshot before the plain-dir read
     assert(nAfter == 1 && spark.read.parquet(leaf).count() == n)
   }
 
@@ -100,6 +107,7 @@ class CompactionSpec extends SparkSpec {
     val dir = mkDataset(5)
     val before = rows(dir)
     Compaction.compactParquet(spark, dir) // establishes a manifest
+    Compaction.vacuum(dir) // reclaim the retained snapshot: plain dir = 1 live file
     // simulate a crash AFTER a new generation was moved in but BEFORE
     // the manifest commit: a generation-prefixed copy of the data sits
     // beside the live file, doubling every row for a plain dir reader
@@ -114,6 +122,7 @@ class CompactionSpec extends SparkSpec {
     val (b, a) = Compaction.compactParquet(spark, dir)
     assert(b == 1 && a == 1)
     assert(rows(dir) == before)
+    Compaction.vacuum(dir) // reclaim this run's retained snapshot too
     assert(spark.read.parquet(dir).orderBy("doc_id").collect().map(_.toString).toSeq == before)
   }
 
@@ -121,6 +130,7 @@ class CompactionSpec extends SparkSpec {
     val dir = mkDataset(4)
     val before = rows(dir)
     Compaction.compactParquet(spark, dir)
+    Compaction.vacuum(dir) // single live generation-1 file
     val root = Paths.get(dir)
     val gen1 = root.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath
 
@@ -136,19 +146,27 @@ class CompactionSpec extends SparkSpec {
     assert(rows(dir) == before, "pre-commit: reader must still resolve generation 1 only")
 
     // COMMIT: atomically swap the manifest — generation 2 live,
-    // generation 1 consumed-pending-delete (the post-commit crash state)
+    // generation 1 consumed-and-RETAINED (the steady post-commit state
+    // under snapshot retention)
     val tmp = root.resolve("_manifest.swap")
     Files.writeString(tmp, s"$gen2name\n-${gen1.getFileName}")
     Files.move(tmp, root.resolve(Compaction.ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     assert(rows(dir) == before,
-      "post-commit, pre-delete: reader must resolve generation 2 only, not old+new")
+      "post-commit: reader must resolve generation 2 only, not old+new")
+    // retention closes the read-vs-delete race: a reader that resolved
+    // the PRE-commit list still finds its file — nothing was deleted at
+    // commit time, so the read needs no retry
+    assert(Files.exists(gen1),
+      "consumed generation-1 file must be RETAINED at commit (snapshot retention)")
+    assert(spark.read.parquet(gen1.toString).count() == before.size.toLong,
+      "a reader holding the pre-commit list reads its snapshot intact")
 
-    // recovery run finishes the consumed delete and stays exact
+    // the next maintenance run vacuums the retained snapshot and stays exact
     val (b, a) = Compaction.compactParquet(spark, dir)
     assert(b == 1 && a == 1)
     assert(rows(dir) == before)
-    assert(!Files.exists(gen1), "consumed generation-1 file must be reclaimed")
+    assert(!Files.exists(gen1), "retained generation-1 file is reclaimed by the next run")
   }
 
   test("a failing compaction write cleans up its staging; crashed staging dirs are swept") {
@@ -156,7 +174,7 @@ class CompactionSpec extends SparkSpec {
     Files.createDirectories(dir)
     Files.write(dir.resolve("broken.parquet"), "this is not parquet".getBytes)
     // a hard-crash leftover staging dir from a previous run of THIS dataset
-    val orphan = dir.getParent.resolve(s".compact-${dir.getFileName}-orphan123")
+    val orphan = dir.getParent.resolve(Compaction.stagingPrefix(dir) + "orphan123")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("junk"), "stale")
     intercept[Exception] {
@@ -164,5 +182,24 @@ class CompactionSpec extends SparkSpec {
     }
     assert(stagingDirs(dir.toString).isEmpty,
       "neither the failed run's staging nor the crash orphan may remain")
+  }
+
+  test("the staging sweep never touches a prefix-related SIBLING dataset's staging") {
+    // datasets `t` and `t-x` share a parent; a raw-name scope token
+    // would make t's prefix a string prefix of t-x's staging dirs and
+    // t's sweep would reclaim the sibling's in-flight compaction
+    val parent = java.nio.file.Files.createTempDirectory("graftsibling")
+    val t = parent.resolve("t")
+    Files.createDirectories(t)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(t.toString)
+    val siblingRoot = parent.resolve("t-x")
+    val siblingStaging = parent.resolve(Compaction.stagingPrefix(siblingRoot) + "inflight1")
+    Files.createDirectories(siblingStaging)
+    Files.writeString(siblingStaging.resolve("half-written"), "sibling work")
+    assert(Compaction.stagingPrefix(t) != Compaction.stagingPrefix(siblingRoot))
+    Compaction.compactParquet(spark, t.toString)
+    assert(Files.exists(siblingStaging.resolve("half-written")),
+      "t's sweep must not reclaim t-x's in-flight staging")
   }
 }

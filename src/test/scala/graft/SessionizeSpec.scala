@@ -46,6 +46,48 @@ class SessionizeSpec extends SparkSpec {
     assert(Sessionize.sessionizeBatch(f.toDF()).count() == 1)
   }
 
+  test("batch and streaming sessionization agree on arbitrary event sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // timestamps clustered around multiples of the 30-min gap, with
+    // offsets that hit the hard cases: ties (0), sub-second gaps
+    // (1/800 ms), the exact boundary (gap is strict >), and one past it
+    val genEv = for {
+      u <- Gen.choose(1L, 3L)
+      band <- Gen.choose(0L, 4L)
+      off <- Gen.oneOf(
+        Gen.oneOf(0L, 1L, 800L, Sessionize.GapMs, Sessionize.GapMs + 1),
+        Gen.choose(0L, 2 * Sessionize.GapMs))
+    } yield Event(u, new Timestamp(1700000000000L + band * Sessionize.GapMs + off), "e")
+    var sample = 0
+    val prop = Prop.forAll(Gen.listOfN(14, genEv)) { evs =>
+      evs.isEmpty || {
+        val batch = Sessionize.sessionizeBatch(evs.toDF())
+          .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
+        // one flush event per user, 2 gaps past that user's last event:
+        // it breaches every open session so the stream EMITS the full
+        // session table; the flush's own 1-event session stays open and
+        // unreported, restoring exact batch/stream table equality
+        val flush = evs.groupBy(_.user_id).map { case (u, es) =>
+          Event(u, new Timestamp(es.map(_.ts.getTime).max + 2 * Sessionize.GapMs), "flush")
+        }.toSeq
+        sample += 1
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
+        val q = Sessionize.sessionizeStream(spark, input.toDS())
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"sessions_prop_$sample").start()
+        val stream = try {
+          input.addData(evs ++ flush: _*)
+          q.processAllAvailable()
+          spark.table(s"sessions_prop_$sample").as[Session].collect()
+            .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+        } finally q.stop()
+        batch == stream
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("streaming flatMapGroupsWithState closes gap-breached sessions") {
     val input = MemoryStream[Event](spark)
     val q = Sessionize.sessionizeStream(spark, input.toDS())
