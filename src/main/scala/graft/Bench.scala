@@ -4,6 +4,9 @@ object Bench {
   /** 1-minute load average — the bench self-reports host contention so
     * a contaminated artifact is identifiable from the JSON alone
     * (this host's timings skew 2-3×+ when anything else runs).
+    * `loadavg_start` is the contention indicator (≈0 on an idle host);
+    * `loadavg_end` additionally reflects the bench's own 32-thread
+    * work and is only useful relative to start.
     */
   private def loadAvg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
