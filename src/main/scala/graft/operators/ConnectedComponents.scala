@@ -52,7 +52,7 @@ object ConnectedComponents {
     // sum over zero rows is NULL — an empty node set must yield an
     // empty labeling, not an NPE
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+      Option(df.agg(sum("label")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
     var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
