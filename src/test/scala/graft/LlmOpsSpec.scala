@@ -213,7 +213,7 @@ class LlmOpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = llm.MultimodalQueries.multimodalDecode.run(spark, dir)
     assert(out.count() == 2)
-    val r = out.where($"doc_id" === 1).head
+    val r = out.where($"doc_id" === 1).head()
     assert(r.getAs[Long]("width") == 4L && r.getAs[Long]("height") == 22L) // 3%640+1, 21%480+1
     // f0_q: checksum("abc") = ((0*31+97)*31+98)*31+99 = 96354 -> &255 = 98
     assert(r.getAs[Long]("f0_q") == math.round(98.0 / 255 * 1000))

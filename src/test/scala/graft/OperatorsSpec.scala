@@ -38,7 +38,7 @@ class OperatorsSpec extends SparkSpec {
     val r = df.select(
       eavGet($"m", "k1").as("a"),
       eavGet($"m", "missing").as("b"),
-      eavGetOr($"m", "missing", lit("fb")).as("c")).head
+      eavGetOr($"m", "missing", lit("fb")).as("c")).head()
     assert(r.getString(0) == "v1")
     assert(r.getString(1) == "")   // dict.get(k, "")
     assert(r.getString(2) == "fb") // P2 fallback chain
@@ -57,7 +57,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("A4 joinNonEmptySorted skips null/empty and sorts deterministically") {
     val r = Seq(Seq("b", "", "a", null, "c")).toDF("xs")
-      .select(joinNonEmptySorted($"xs", " and ").as("j")).head.getString(0)
+      .select(joinNonEmptySorted($"xs", " and ").as("j")).head().getString(0)
     assert(r == "a and b and c")
   }
 

@@ -17,7 +17,7 @@ class PagedRestSourceSpec extends SparkSpec {
     val df = src(1234, 100)
     assert(df.count() == 1234)
     assert(df.rdd.getNumPartitions == 13) // ceil(1234/100) pages
-    val r = df.where($"id" === 7).head
+    val r = df.where($"id" === 7).head()
     assert(r.getAs[String]("name") == "quotation-7")
     assert(r.getAs[Long]("org_id") == 7L)
   }

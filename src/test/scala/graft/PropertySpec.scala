@@ -52,7 +52,7 @@ class PropertySpec extends SparkSpec {
       Gen.option(Gen.alphaStr.map(_.take(4))))
     check(Prop.forAll(genOpts) { case (a, b) =>
       val df = Seq((a, b)).toDF("a", "b")
-      val got = df.select(coalesce(col("a"), col("b"), lit("")).as("r")).head.getString(0)
+      val got = df.select(coalesce(col("a"), col("b"), lit("")).as("r")).head().getString(0)
       got == a.orElse(b).getOrElse("")
     }, n = 15)
   }

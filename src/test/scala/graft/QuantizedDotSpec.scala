@@ -37,6 +37,6 @@ class QuantizedDotSpec extends SparkSpec {
 
   test("QuantizedDot null propagation") {
     val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
-    assert(df.select(org.apache.spark.sql.graft.QuantizedDot($"a", $"b")).head.isNullAt(0))
+    assert(df.select(org.apache.spark.sql.graft.QuantizedDot($"a", $"b")).head().isNullAt(0))
   }
 }

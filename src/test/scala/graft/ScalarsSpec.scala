@@ -11,7 +11,7 @@ class ScalarsSpec extends SparkSpec {
   import spark.implicits._
 
   private def one(c: org.apache.spark.sql.Column, input: String): String = {
-    val r = Seq(input).toDF("v").select(c.as("r")).head.getString(0)
+    val r = Seq(input).toDF("v").select(c.as("r")).head().getString(0)
     if (r == null) "<null>" else r
   }
 
@@ -48,7 +48,7 @@ class ScalarsSpec extends SparkSpec {
       ownerIdName($"id", $"name").as("o"),
       ownerNameFromIdName(ownerIdName($"id", $"name")).as("n"),
       ownerPipeFormat($"id", $"name").as("p"))
-      .head
+      .head()
     assert(r.getString(0) == "7;Ada Lovelace")
     assert(r.getString(1) == "Ada Lovelace")
     assert(r.getString(2) == "Ada Lovelace||7||User")
