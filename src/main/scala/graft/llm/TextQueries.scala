@@ -197,12 +197,13 @@ object TextQueries {
     * char fold in codegen/WindowExec. One shuffle by doc_id; window
     * state is 4 rows.
     */
-  /** Winnowing oracle at a given (window, gram) — the same CTE chain
-    * for every config, so the parameterization cannot drift between
-    * engine and oracle.
+  /** Winnowing oracle CTE chain at a given (window, gram) — shared by
+    * the fingerprint queries and the pairs query, so the
+    * parameterization cannot drift between engine and oracle. Ends
+    * with `wfp` = the distinct (doc_id, fingerprint) set.
     */
-  private def winnowSql(win: Int, gram: Int): String =
-    s"""WITH t AS (
+  private def winnowCtes(win: Int, gram: Int): String =
+    s"""t AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
        |g AS (
        |  SELECT doc_id, list_transform(generate_series(1, len(toks) - ${gram - 1}),
@@ -220,9 +221,14 @@ object TextQueries {
        |                j -> list_min(list_slice(hs, j, j + ${win - 1})))
        |              WHEN len(hs) > 0 THEN [list_min(hs)]
        |              ELSE [] END AS sel
-       |  FROM h)
-       |SELECT DISTINCT doc_id, f AS fingerprint
-       |FROM (SELECT doc_id, unnest(sel) AS f FROM w)""".stripMargin
+       |  FROM h),
+       |wfp AS (
+       |  SELECT DISTINCT doc_id, f AS fingerprint
+       |  FROM (SELECT doc_id, unnest(sel) AS f FROM w))""".stripMargin
+
+  private def winnowSql(win: Int, gram: Int): String =
+    s"""WITH ${winnowCtes(win, gram)}
+       |SELECT doc_id, fingerprint FROM wfp""".stripMargin
 
   /** The posexplode + window winnowing dataflow at (window, gram). */
   private def winnowDf(s: org.apache.spark.sql.SparkSession, d: String,
@@ -278,7 +284,44 @@ object TextQueries {
     winnowDf(s, d, win = 5, gram = 4)
   }
 
+  /** Winnowing NEAR-DUP PAIRS — the query MOSS actually answers with
+    * its fingerprints: document pairs sharing ≥ `minShared` selected
+    * fingerprints, i.e. substring-level near-duplicates (each shared
+    * fingerprint witnesses a shared ≥ w+g−1-token run — partial
+    * overlap that whole-document Jaccard/MinHash can dilute away).
+    * Stop-fingerprints (document frequency > `maxDf` — boilerplate
+    * runs appearing corpus-wide) are pruned before pairing, exactly
+    * the rare-posting discipline of x_dedup_ngram: the only join key
+    * is a fingerprint with bounded df, so pair fan-out is
+    * df²-bounded per fingerprint, never doc×doc.
+    *
+    * The fingerprint set is computed once and pinned with a lazy
+    * localCheckpoint — the pairs self-join reads the snapshot twice
+    * instead of re-running the window pipeline per side.
+    */
+  val winnowPairs: QueryDef = QueryDef.sql(
+    "x_winnow_pairs",
+    s"""WITH ${winnowCtes(win = 4, gram = 3)},
+       |cnt AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS df FROM wfp GROUP BY 1),
+       |rare AS (SELECT fingerprint FROM cnt WHERE df <= 10),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM wfp a JOIN rare USING (fingerprint)
+       |  JOIN wfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 3""".stripMargin) { (s, d) =>
+    val wfp = winnowDf(s, d, win = 4, gram = 3).localCheckpoint(eager = false)
+    val rare = wfp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .where(col("df") <= 10).select("fingerprint")
+    val a = wfp.join(rare, "fingerprint")
+      .select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val b = wfp.select(col("fingerprint").as("fp_b"), col("doc_id").as("doc_b"))
+    a.join(b, col("fingerprint") === col("fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
-      winnowFingerprintsW5)
+      winnowFingerprintsW5, winnowPairs)
 }
