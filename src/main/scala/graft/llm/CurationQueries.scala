@@ -225,39 +225,65 @@ object CurationQueries {
     */
   /** The chunking dataflow on any (doc_id, text) frame — exposed so
     * tests pin the PRODUCTION expressions on synthetic docs instead
-    * of a re-implementation.
+    * of a re-implementation. Parameterized by (chunkTokens, overlap);
+    * stride = chunkTokens − overlap, chunk k covers tokens
+    * [k·stride+1, k·stride+chunkTokens].
     */
-  def chunkDf(docs: DataFrame): DataFrame = {
+  def chunkDf(docs: DataFrame, chunkTokens: Int = 40, overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"degenerate chunk config ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
     val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
     t.withColumn("max_k",
-        when(col("n") <= 40, 0L).otherwise(expr("(n - 40 + 31) div 32")))
+        when(col("n") <= chunkTokens, 0L)
+          .otherwise(expr(s"(n - $chunkTokens + ${stride - 1}) div $stride")))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0L), col("max_k"))).as("chunk_id"))
       .select(
         col("doc_id"), col("chunk_id"),
-        array_join(slice(col("toks"), (col("chunk_id") * 32 + 1).cast("int"), lit(40)), " ")
-          .as("chunk_text"),
-        least(lit(40L), col("n") - col("chunk_id") * 32).as("n_chunk_tokens"))
+        array_join(slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"))
+  }
+
+  /** Chunking oracle at a given (chunkTokens, overlap) — same SQL for
+    * every config, so the parameterization cannot drift.
+    */
+  private def docChunksSql(chunkTokens: Int, overlap: Int): String = {
+    val c = chunkTokens
+    val st = chunkTokens - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, toks, n,
+       |         CASE WHEN n <= $c THEN 0 ELSE (n - $c + ${st - 1}) // $st END AS max_k
+       |  FROM t),
+       |ks AS (
+       |  SELECT doc_id, toks, n, unnest(generate_series(0, max_k)) AS k
+       |  FROM k)
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |       array_to_string(list_slice(toks, k * $st + 1, k * $st + $c), ' ') AS chunk_text,
+       |       CAST(least($c, n - k * $st) AS BIGINT) AS n_chunk_tokens
+       |FROM ks""".stripMargin
   }
 
   val docChunks: QueryDef = QueryDef.sql(
-    "x_doc_chunks",
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
-      |  FROM documents),
-      |k AS (
-      |  SELECT doc_id, toks, n,
-      |         CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 31) // 32 END AS max_k
-      |  FROM t),
-      |ks AS (
-      |  SELECT doc_id, toks, n, unnest(generate_series(0, max_k)) AS k
-      |  FROM k)
-      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-      |       array_to_string(list_slice(toks, k * 32 + 1, k * 32 + 40), ' ') AS chunk_text,
-      |       CAST(least(40, n - k * 32) AS BIGINT) AS n_chunk_tokens
-      |FROM ks""".stripMargin) { (s, d) => chunkDf(Tables.documents(s, d)) }
+    "x_doc_chunks", docChunksSql(chunkTokens = 40, overlap = 8)) { (s, d) =>
+    chunkDf(Tables.documents(s, d))
+  }
+
+  /** Chunking at a 64-token window with 16-token overlap (stride 48) —
+    * the longer-context configuration. Own oracle, pinning that the
+    * (chunkTokens, overlap) parameterization is real on both sides.
+    */
+  val docChunksC64: QueryDef = QueryDef.sql(
+    "x_doc_chunks_c64", docChunksSql(chunkTokens = 64, overlap = 16)) { (s, d) =>
+    chunkDf(Tables.documents(s, d), chunkTokens = 64, overlap = 16)
+  }
 
   /** PII-style redaction: scrub email addresses and URLs from the
     * text (the sanitization pass of training-data prep), with per-doc
@@ -507,6 +533,6 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, redact,
-      decontaminate, decontaminateFrac, mixWeights, pipelineE2e)
+    Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
+      redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e)
 }

@@ -196,28 +196,46 @@ object AnalyticsQueries {
     * session membership is order-independent and the min/max/count
     * aggregates are deterministic.
     */
+  /** Sessionization oracle at a given inactivity gap — same SQL for
+    * every config, so the gap parameterization cannot drift between
+    * engine and oracle.
+    */
+  private def sessionizeSql(gapMs: Long): String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR date_diff('millisecond', lag(ts) OVER w, ts) > $gapMs
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM s GROUP BY user_id, session_idx""".stripMargin
+
   val sessionize: QueryDef = QueryDef.sql(
-    "x_sessionize",
-    """WITH g AS (
-      |  SELECT user_id, ts,
-      |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
-      |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      |s AS (
-      |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-      |  FROM g)
-      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-      |       CAST(count(*) AS BIGINT) AS n_events
-      |FROM s GROUP BY user_id, session_idx""") { (s, d) =>
+    "x_sessionize", sessionizeSql(gapMs = 1800000L)) { (s, d) =>
     graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d))
+      .withColumn("n_events", col("n_events").cast("long"))
+  }
+
+  /** Sessionization at a 10-minute gap — the knob an engagement
+    * analysis turns to split the same stream into tighter sessions.
+    * Own oracle, pinning that the gap parameterization is real on
+    * both the Spark and SQL sides (the streaming path takes the same
+    * parameter).
+    */
+  val sessionizeG10: QueryDef = QueryDef.sql(
+    "x_sessionize_g10", sessionizeSql(gapMs = 600000L)) { (s, d) =>
+    graft.streaming.Sessionize.sessionizeBatch(Tables.events(s, d), gapMs = 600000L)
       .withColumn("n_events", col("n_events").cast("long"))
   }
 
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin,
-      sessionize)
+      sessionize, sessionizeG10)
 }

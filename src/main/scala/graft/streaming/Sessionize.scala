@@ -31,8 +31,11 @@ object Sessionize {
 
   /** Batch gaps-and-islands: session index = running count of
     * gap-exceeding boundaries; one aggregate per (user, session).
+    * The inactivity gap is a parameter (default 30 min) — shorter
+    * gaps split the same event stream into more, tighter sessions.
     */
-  def sessionizeBatch(events: DataFrame): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
+    require(gapMs > 0, s"non-positive session gap: $gapMs")
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     events
       .withColumn("prev_ts", lag("ts", 1).over(byUser))
@@ -40,7 +43,7 @@ object Sessionize {
         // unix_millis keeps sub-second precision — cast-to-long would
         // truncate to seconds and disagree with the streaming path
         when(col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > GapMs, 1)
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1)
           .otherwise(0))
       .withColumn("session_idx", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -57,16 +60,18 @@ object Sessionize {
     * watermark) or, within a micro-batch, when a later event breaches
     * the gap.
     */
-  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = GapMs): Dataset[Session] = {
+    require(gapMs > 0, s"non-positive session gap: $gapMs")
     import spark.implicits._
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processUser)
+        processUser(gapMs))
   }
 
-  private def processUser(
+  private def processUser(gapMs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     val out = scala.collection.mutable.ListBuffer.empty[Session]
@@ -80,7 +85,7 @@ object Sessionize {
     for (e <- events.toSeq.sortBy(_.ts.getTime)) {
       val t = e.ts.getTime
       cur match {
-        case Some(s) if t - s.last <= GapMs =>
+        case Some(s) if t - s.last <= gapMs =>
           cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
         case Some(s) => // gap breached: close the old session, open new
           out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
@@ -91,7 +96,7 @@ object Sessionize {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.last + GapMs)
+      state.setTimeoutTimestamp(s.last + gapMs)
     }
     out.iterator
   }
