@@ -411,7 +411,62 @@ object SimilarityQueries {
     ivfTrainedDf(s, d, iters = 2)
   }
 
+  /** Embedding-level near-dup CLUSTERS — the similarity and graph
+    * operators composed: candidate pairs from the 16-plane LSH bucket
+    * index (threshold sim ≥ 0.4, no per-vector top-k — clustering
+    * wants every qualifying edge), closed transitively by
+    * [[graft.operators.ConnectedComponents.componentsAlternating]].
+    * The semantic-dedup decision a multimodal corpus actually
+    * executes: keep one representative per embedding cluster, where
+    * a~b and b~c group all three even when a and c fall in different
+    * LSH buckets. Oracle = the LSH CTEs + a recursive-CTE reachability
+    * closure — same independent-formulation discipline as
+    * x_dedup_clusters.
+    *
+    * Scale shape: candidate generation is the bucket equi-join
+    * (sub-quadratic, the whole point of the LSH index); the cluster
+    * loop is the polylog-round star-contraction — no new join class.
+    */
+  val embedClusters: QueryDef = QueryDef.sql(
+    "x_embed_clusters",
+    s"""WITH RECURSIVE ${lshBucketCtes(16)},
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $qcosSql AS sim
+       |    FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+       |    JOIN q a ON a.vec_id = ba.vec_id
+       |    JOIN q b ON b.vec_id = bb.vec_id)
+       |  WHERE sim >= 0.4),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |lab AS (SELECT v, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v)
+       |SELECT v AS vec_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val withB = e.join(lshBuckets(s, d, 16), "vec_id")
+    val a = withB.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = withB.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("nrm").as("nrm_b"), col("bucket").as("bucket_b"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .where(col("sim") >= 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.ConnectedComponents
+      .componentsAlternating(e.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
-      annIvfTrained, annIvfTrainedI2)
+      annIvfTrained, annIvfTrainedI2, embedClusters)
 }
