@@ -13,9 +13,41 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Block until the host is idle enough to produce meaningful numbers,
+    * or give up after a bounded wait. Two rounds running, the driver's
+    * bench artifact was produced on a loaded host (loadavg_start 3+)
+    * and required an out-of-band re-run to adjudicate; the fix is to
+    * make the artifact SELF-adjudicating — the bench first waits for
+    * the contention to drain (bounded), and if it never does, the JSON
+    * it emits carries `"valid": false` so no reader has to cross-check
+    * the timings against an external signal.
+    *
+    * Returns (loadavg at measurement start, valid). `valid` is true
+    * when the start loadavg is at or below the threshold; an unreadable
+    * /proc/loadavg (-1.0) is reported as-is and marked invalid, since a
+    * run whose contention can't be observed can't be trusted either.
+    */
+  private def awaitIdleHost(maxLoad: Double, retries: Int, sleepMs: Long): (Double, Boolean) = {
+    var load = loadAvg()
+    var left = retries
+    while (load > maxLoad && left > 0) {
+      System.err.println(f"bench: host loaded (loadavg $load%.2f > $maxLoad%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
+      Thread.sleep(sleepMs)
+      load = loadAvg()
+      left -= 1
+    }
+    (load, load >= 0 && load <= maxLoad)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Gate BEFORE the SparkSession spins up its own 32 threads: by the
+    // time the warm-up runs, loadavg already reflects us, not the host.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "0.5").toDouble
+    val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "5").toInt
+    val sleepMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_SLEEP_MS", "60000").toLong
+    val (loadStart, valid) = awaitIdleHost(maxLoad, retries, sleepMs)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +57,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = loadAvg()
     // Bootstrap warm-up: initialize codegen/shuffle/scan machinery once
     // so the first timed query isn't charged Spark's cold start.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -80,7 +111,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum + indexBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"valid":$valid}""")
     spark.stop()
   }
 }

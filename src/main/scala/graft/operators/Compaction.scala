@@ -38,8 +38,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshot-retaining table format makes.
   *
   * Guarantees, given readers resolve the live set via
-  * [[readCompacted]] and compactions don't run concurrently with each
-  * other (single maintainer; concurrent APPENDERS are fine):
+  * [[readCompacted]]. The single-maintainer precondition (concurrent
+  * APPENDERS are fine, concurrent COMPACTIONS are not) is enforced by
+  * a create-exclusive lease file with a staleness takeover — a second
+  * concurrent [[compactParquet]] fails fast instead of silently
+  * GC-ing the first run's uncommitted generation:
   *   - appended data is never lost: un-prefixed files are live until
   *     a commit explicitly consumes them;
   *   - exactly-once rows at every commit state: pre-commit, the new
@@ -73,6 +76,58 @@ object Compaction {
     * files appended by other writers.
     */
   val GenPrefix = "compacted-"
+
+  /** Maintainer lease file; underscore prefix keeps it invisible to
+    * Spark's file index, like the manifest.
+    */
+  val LeaseName = "_maintainer.lock"
+
+  /** Acquire the single-maintainer lease for `root`, or fail fast.
+    *
+    * The snapshot/retention protocol assumes ONE maintenance run at a
+    * time (two concurrent runs could each GC the other's uncommitted
+    * generation files, since neither generation is manifested yet).
+    * That precondition used to live only in the scaladoc; this makes
+    * it machine-checked: a create-exclusive lock file taken before any
+    * destructive sweep, released on completion. A lease older than
+    * `staleMs` is presumed crashed and may be taken over — takeover is
+    * raced through an atomic rename so exactly one contender wins.
+    */
+  private def acquireLease(root: Path, staleMs: Long): Path = {
+    val lock = root.resolve(LeaseName)
+    def tryCreate(): Boolean =
+      try {
+        Files.write(lock,
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def claimStale(): Boolean =
+      try {
+        val age = System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+        if (age < staleMs) false
+        else {
+          // Move the stale lease aside atomically: of N contenders,
+          // only the one whose rename succeeds proceeds to re-create.
+          val tomb = root.resolve(LeaseName + ".stale-" + java.util.UUID.randomUUID().toString.take(8))
+          Files.move(lock, tomb, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(tomb)
+          true
+        }
+      } catch {
+        // Lease vanished under us (holder released / another contender
+        // won the takeover) — the slot may be free now; let the caller
+        // retry the exclusive create.
+        case _: java.nio.file.NoSuchFileException => true
+      }
+    if (tryCreate()) lock
+    else if (claimStale() && tryCreate()) lock
+    else throw new IllegalStateException(
+      s"another compaction holds the maintainer lease for $root " +
+        s"($LeaseName exists and is fresh) — compactions must not run " +
+        s"concurrently on one dataset; retry after it completes, or " +
+        s"delete the lease if its holder is known dead")
+  }
 
   private final case class Manifest(live: Seq[String], consumed: Seq[String])
 
@@ -177,10 +232,15 @@ object Compaction {
     readManifest(root) match {
       case None => 0
       case Some(m) =>
-        m.consumed.foreach(n => gc(root, root.resolve(n)))
-        Files.deleteIfExists(root.resolve("_SUCCESS"))
-        Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
-        if (m.consumed.nonEmpty) writeManifest(root, Manifest(m.live, Nil))
+        // Nothing-to-reclaim must be a TRUE no-op: callers probe state
+        // with a second vacuum, and deleting _SUCCESS here would make
+        // even that mutate the directory.
+        if (m.consumed.nonEmpty) {
+          m.consumed.foreach(n => gc(root, root.resolve(n)))
+          Files.deleteIfExists(root.resolve("_SUCCESS"))
+          Files.deleteIfExists(root.resolve("._SUCCESS.crc"))
+          writeManifest(root, Manifest(m.live, Nil))
+        }
         m.consumed.size
     }
   }
@@ -190,7 +250,8 @@ object Compaction {
     * (0, 0) when the directory holds no live parquet files.
     */
   def compactParquet(spark: SparkSession, dir: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      leaseStaleMs: Long = 15L * 60 * 1000): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val root = Paths.get(dir).toAbsolutePath.normalize
 
@@ -199,6 +260,18 @@ object Compaction {
       s"$dir has subdirectories (partitioned layout?) — compact each leaf partition " +
         s"directory instead; compacting the root would corrupt partition discovery: " +
         subdirs.map(_.getFileName).mkString(", "))
+
+    val lease = acquireLease(root, leaseStaleMs)
+    try {
+      compactLocked(spark, dir, root, targetFileBytes)
+    } finally {
+      Files.deleteIfExists(lease)
+      ()
+    }
+  }
+
+  private def compactLocked(spark: SparkSession, dir: String, root: Path,
+      targetFileBytes: Long): (Int, Int) = {
 
     def rmTree(p: Path): Unit = {
       val w = Files.walk(p)
@@ -216,6 +289,16 @@ object Compaction {
     list(root.getParent)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(stagingPrefix(root)))
+      .foreach(rmTree)
+    // Crash orphans from the pre-hash '.compact-<name>-' staging scheme
+    // would otherwise leak forever after the prefix upgrade. The
+    // digits-only suffix createTempDirectory appends is what lets this
+    // sweep match dataset 't' (".compact-t-12345") without also
+    // matching sibling 't-x' (".compact-t-x-…") — the ambiguity that
+    // forced the move to hashed prefixes in the first place.
+    val legacy = (java.util.regex.Pattern.quote(s".compact-${root.getFileName}-") + "\\d+").r
+    list(root.getParent)
+      .filter(p => Files.isDirectory(p) && legacy.matches(p.getFileName.toString))
       .foreach(rmTree)
     readManifest(root).foreach { m =>
       val committed = m.live.toSet
@@ -274,12 +357,14 @@ object Compaction {
     * is a fixed-width HASH of the dataset name, not the name itself:
     * a raw name would make dataset `t`'s prefix (".compact-t-") a
     * string prefix of sibling `t-x`'s staging dirs and the startsWith
-    * sweep would reclaim the sibling's in-flight work.
+    * sweep would reclaim the sibling's in-flight work. Eight digest
+    * bytes (64 bits) push sibling-collision odds below any plausible
+    * dataset count per parent directory.
     */
   private[graft] def stagingPrefix(root: Path): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(root.getFileName.toString.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+      .take(8).map(b => f"$b%02x").mkString
     s".compact-$digest-"
   }
 }

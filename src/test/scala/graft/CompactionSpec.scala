@@ -184,6 +184,62 @@ class CompactionSpec extends SparkSpec {
       "neither the failed run's staging nor the crash orphan may remain")
   }
 
+  test("maintainer lease: a second concurrent compaction fails fast; stale leases are taken over") {
+    val dir = mkDataset(3)
+    val root = Paths.get(dir)
+    val lease = root.resolve(Compaction.LeaseName)
+
+    // a FRESH lease means another maintainer is live: fail fast instead
+    // of sweeping its uncommitted generation out from under it
+    Files.writeString(lease, "pid=99999 ts=now")
+    val e = intercept[IllegalStateException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(Files.exists(lease), "a refused run must not release the other maintainer's lease")
+
+    // a STALE lease is a crashed maintainer: takeover must succeed
+    Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    val (b, a) = Compaction.compactParquet(spark, dir)
+    assert(b >= 3 && a == 1, s"stale-lease takeover should compact normally, got ($b, $a)")
+    assert(!Files.exists(lease), "the lease must be released after a successful run")
+    assert(rows(dir).nonEmpty)
+  }
+
+  test("vacuum with nothing to reclaim is a true no-op (keeps _SUCCESS)") {
+    val dir = mkDataset(2)
+    Compaction.compactParquet(spark, dir)
+    Compaction.vacuum(dir) // reclaims the consumed inputs and the stale _SUCCESS
+    val root = Paths.get(dir)
+    // a later appender's commit marker must survive a no-op vacuum —
+    // callers probe state with a second vacuum and expect zero mutation
+    Files.writeString(root.resolve("_SUCCESS"), "")
+    assert(Compaction.vacuum(dir) == 0)
+    assert(Files.exists(root.resolve("_SUCCESS")),
+      "no-op vacuum must not delete _SUCCESS")
+  }
+
+  test("legacy raw-name staging orphans are swept, but not a sibling's") {
+    // dirs written by the pre-hash '.compact-<name>-<digits>' scheme
+    // must be reclaimed after the prefix upgrade instead of leaking
+    // forever; the digits-only suffix keeps sibling `t-x` safe
+    val parent = java.nio.file.Files.createTempDirectory("graftlegacy")
+    val t = parent.resolve("t")
+    Files.createDirectories(t)
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(t.toString)
+    val legacyMine = parent.resolve(".compact-t-12345678")
+    val legacySibling = parent.resolve(".compact-t-x-12345678")
+    Files.createDirectories(legacyMine)
+    Files.createDirectories(legacySibling)
+    Files.writeString(legacySibling.resolve("half-written"), "sibling work")
+    Compaction.compactParquet(spark, t.toString)
+    assert(!Files.exists(legacyMine), "own legacy staging orphan must be swept")
+    assert(Files.exists(legacySibling.resolve("half-written")),
+      "sibling's legacy staging must be untouched")
+  }
+
   test("the staging sweep never touches a prefix-related SIBLING dataset's staging") {
     // datasets `t` and `t-x` share a parent; a raw-name scope token
     // would make t's prefix a string prefix of t-x's staging dirs and
