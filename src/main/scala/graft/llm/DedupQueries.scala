@@ -103,7 +103,7 @@ object DedupQueries {
     * digit encoding of its rows (each h < P), exact in a Long for up
     * to 2 rows per band.
     */
-  private def bandCandidates(post: DataFrame, perms: Int = 8, bands: Int = 4): DataFrame = {
+  private[graft] def bandCandidates(post: DataFrame, perms: Int = 8, bands: Int = 4): DataFrame = {
     require(perms % bands == 0 && perms / bands <= 2 && perms <= A.size,
       s"unsupported band layout: $perms perms / $bands bands")
     val rpb = perms / bands

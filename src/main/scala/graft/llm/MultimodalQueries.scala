@@ -83,7 +83,14 @@ object MultimodalQueries {
     * the data (not as a baffling hash mismatch in the oracle gate).
     */
   private def asciiCheckedPayload(text: Column, docId: Column): Column =
-    when(length(text) === length(text.cast("binary")), text.cast("binary"))
+    // NULL text needs its own arm: the length-equality condition is
+    // NULL for a NULL document, which would fall through to the
+    // raise_error branch and abort the query with a MISLEADING
+    // "non-ASCII" message. A NULL document is not a violation of the
+    // ASCII assumption — it propagates as a NULL payload, exactly as
+    // the plain cast('binary') did.
+    when(text.isNull, lit(null).cast("binary"))
+      .when(length(text) === length(text.cast("binary")), text.cast("binary"))
       .otherwise(raise_error(concat(
         lit("non-ASCII document violates the byte==char checksum-oracle assumption: doc_id="),
         docId.cast("string"))).cast("binary"))

@@ -412,44 +412,30 @@ object SimilarityQueries {
   }
 
   /** Embedding-level near-dup CLUSTERS — the similarity and graph
-    * operators composed: candidate pairs from the 16-plane LSH bucket
-    * index (threshold sim ≥ 0.4, no per-vector top-k — clustering
-    * wants every qualifying edge), closed transitively by
+    * operators composed: candidate pairs from the `planes`-plane LSH
+    * bucket index (threshold sim ≥ `simThreshold`, no per-vector
+    * top-k — clustering wants every qualifying edge), closed
+    * transitively by
     * [[graft.operators.ConnectedComponents.componentsAlternating]].
     * The semantic-dedup decision a multimodal corpus actually
     * executes: keep one representative per embedding cluster, where
     * a~b and b~c group all three even when a and c fall in different
-    * LSH buckets. Oracle = the LSH CTEs + a recursive-CTE reachability
-    * closure — same independent-formulation discipline as
-    * x_dedup_clusters.
+    * LSH buckets. Both knobs are the tuning surface a corpus owner
+    * turns: more planes = smaller buckets = fewer candidates (higher
+    * precision, lower recall per band); a higher threshold = tighter
+    * clusters.
     *
     * Scale shape: candidate generation is the bucket equi-join
     * (sub-quadratic, the whole point of the LSH index); the cluster
-    * loop is the polylog-round star-contraction — no new join class.
+    * loop is the polylog-round star-contraction — no new join class,
+    * at any knob setting.
     */
-  val embedClusters: QueryDef = QueryDef.sql(
-    "x_embed_clusters",
-    s"""WITH RECURSIVE ${lshBucketCtes(16)},
-       |pairs AS (
-       |  SELECT vec_a, vec_b FROM (
-       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $qcosSql AS sim
-       |    FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
-       |    JOIN q a ON a.vec_id = ba.vec_id
-       |    JOIN q b ON b.vec_id = bb.vec_id)
-       |  WHERE sim >= 0.4),
-       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs),
-       |reach(v, r) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
-       |lab AS (SELECT v, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v)
-       |SELECT v AS vec_id, cluster_id,
-       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-       |FROM lab""".stripMargin) { (s, d) =>
+  private def embedClustersDf(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int, simThreshold: Double): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val withB = e.join(lshBuckets(s, d, 16), "vec_id")
+    val withB = e.join(lshBuckets(s, d, planes), "vec_id")
     val a = withB.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val b = withB.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -457,7 +443,7 @@ object SimilarityQueries {
     val pairs = a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
-      .where(col("sim") >= 0.4)
+      .where(col("sim") >= simThreshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     graft.operators.ConnectedComponents
       .componentsAlternating(e.select(col("vec_id").as("doc_id")), pairs)
@@ -466,7 +452,43 @@ object SimilarityQueries {
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
   }
 
+  /** Oracle: the LSH CTEs + a recursive-CTE reachability closure —
+    * same independent-formulation discipline as x_dedup_clusters.
+    */
+  private def embedClustersSql(planes: Int, simThreshold: Double): String =
+    s"""WITH RECURSIVE ${lshBucketCtes(planes)},
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $qcosSql AS sim
+       |    FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+       |    JOIN q a ON a.vec_id = ba.vec_id
+       |    JOIN q b ON b.vec_id = bb.vec_id)
+       |  WHERE sim >= $simThreshold),
+       |edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |lab AS (SELECT v, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY v)
+       |SELECT v AS vec_id, cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab""".stripMargin
+
+  val embedClusters: QueryDef = QueryDef.sql(
+    "x_embed_clusters", embedClustersSql(planes = 16, simThreshold = 0.4)) { (s, d) =>
+    embedClustersDf(s, d, planes = 16, simThreshold = 0.4)
+  }
+
+  /** Second config — more planes (tighter buckets) and a higher
+    * similarity bar: fewer, tighter clusters over the same corpus,
+    * hash-checked against its own recursive-CTE closure.
+    */
+  val embedClustersP24: QueryDef = QueryDef.sql(
+    "x_embed_clusters_p24", embedClustersSql(planes = 24, simThreshold = 0.6)) { (s, d) =>
+    embedClustersDf(s, d, planes = 24, simThreshold = 0.6)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
-      annIvfTrained, annIvfTrainedI2, embedClusters)
+      annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24)
 }

@@ -93,9 +93,19 @@ object ConnectedComponents {
     * Both steps are one groupBy-min + one equi-join + distinct —
     * fully distributed, same dataflow class as a round of
     * [[components]]. Endpoints only ever decrease, and the unique
-    * fixpoint is a star per component centered on its minimum, so the
-    * driver-side convergence probe (edge set unchanged over a round:
-    * count equality + one `except`) is exact, not heuristic.
+    * fixpoint is a star per component centered on its minimum.
+    *
+    * Convergence probe, two-tier: each round computes a 1-row
+    * SIGNATURE of the edge set — (count, sum(src), sum(dst)) in one
+    * aggregate job — and only when the signature repeats does the
+    * exact set test (`except` over two distinct canonical sets) run
+    * to confirm. Endpoints are non-increasing round over round, so
+    * the signature is stationary at — and in practice only at — the
+    * fixpoint; the `except` confirmation keeps the test EXACT even if
+    * a signature collision ever occurred (a collision merely costs
+    * one extra `except`, never a wrong answer). Net: one small agg
+    * per round instead of the former two full-set jobs
+    * (count + except), with identical output.
     */
   def componentsAlternating(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 40): DataFrame = {
@@ -122,13 +132,27 @@ object ConnectedComponents {
       .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
       .distinct()
       .localCheckpoint()
-    var converged = e.isEmpty
+    // (count, sum(src), sum(dst)) in ONE 1-row aggregate — sums are
+    // null on an empty set, normalized to 0 so signatures stay
+    // comparable
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("src"), sum("dst")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var sig = signature(e)
+    var converged = sig._1 == 0L
     var iters = 0
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // exact fixpoint test: both sides are distinct canonical sets, so
-      // equal counts + empty one-sided difference ⇔ set equality
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextSig = signature(next)
+      // cheap stationarity first; the exact set test (both sides are
+      // distinct canonical sets, so equal counts + empty one-sided
+      // difference ⇔ set equality) runs only on a signature match —
+      // normally exactly once, at the true fixpoint
+      converged = nextSig == sig && next.except(e).isEmpty
+      sig = nextSig
       e = next
       iters += 1
     }

@@ -64,8 +64,16 @@ object Sessionize {
       gapMs: Long = GapMs): Dataset[Session] = {
     require(gapMs > 0, s"non-positive session gap: $gapMs")
     import spark.implicits._
+    // The watermark delay must DOMINATE the gap, so it is derived, not
+    // fixed: a session stays open for gapMs of inactivity, and its
+    // continuation events (or its event-time timeout at last + gapMs)
+    // must still clear the watermark when they arrive — a fixed delay
+    // below the gap would drop/split in the stream what the batch path
+    // merges. 2× the gap keeps a full extra gap of late-arrival slack;
+    // the 2 h floor preserves the historical tolerance for small gaps.
+    val delayMs = math.max(2 * 60 * 60 * 1000L, 2 * gapMs)
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", s"$delayMs milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         processUser(gapMs))

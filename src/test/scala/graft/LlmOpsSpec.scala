@@ -206,6 +206,41 @@ class LlmOpsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("adversarial skew: a 10k-node giant cluster converges in bounded rounds on both CC paths") {
+    // As clusters merge, the component minimum becomes a HOT join key:
+    // in a star component every node's label row joins the hub's. This
+    // is the worst skew shape the cluster loops can see — one label
+    // value carrying the entire component. Two bridged 5k-node stars
+    // force (a) the hot hub key, (b) a cross-star merge whose result
+    // routes ALL 10k labels through the single minimum. Convergence
+    // must stay inside a tight round budget (maxIters here is the
+    // assertion, not a safety margin): star contraction's height
+    // halving makes the diameter-4 graph resolve in a handful of
+    // rounds regardless of the 10^4 fan-in, and min-label needs
+    // O(diameter) = ~5. AQE interplay: at these sizes local[4] plans
+    // plain SMJ/shuffle-hash joins; at cluster scale the same hot-key
+    // fan-in is what spark.sql.adaptive.skewJoin splits — documented
+    // in PLANS.md.
+    val n = 10000L
+    val half = (n / 2).toInt
+    val nodes = (1L to n).toDF("doc_id")
+    val star1 = (2 to half).map(i => (1L, i.toLong))
+    val star2 = (half + 2 to n.toInt).map(i => ((half + 1).toLong, i.toLong))
+    val bridge = Seq((half.toLong, (half + 1).toLong))
+    val edges = (star1 ++ star2 ++ bridge).toDF("doc_a", "doc_b")
+
+    val lss = graft.operators.ConnectedComponents
+      .componentsAlternating(nodes, edges, maxIters = 8)
+      .as[(Long, Long)].collect()
+    assert(lss.length == n && lss.forall(_._2 == 1L),
+      "all 10k nodes must collapse into the single min-labeled cluster")
+
+    val minLabel = graft.operators.ConnectedComponents
+      .components(nodes, edges, maxIters = 8)
+      .as[(Long, Long)].collect()
+    assert(minLabel.length == n && minLabel.forall(_._2 == 1L))
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))

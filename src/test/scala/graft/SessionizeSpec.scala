@@ -88,6 +88,33 @@ class SessionizeSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("a gap >= the old fixed watermark still matches batch (watermark derives from gap)") {
+    // gapMs = 3h: under the former hard-coded 2h watermark the second
+    // event (2.5h after the first) arrived below the watermark and the
+    // stream split/dropped what batch merges. The derived delay
+    // (2 x gap) keeps the session intact in both paths.
+    val gap = 3 * 60 * 60 * 1000L
+    val e = Seq(
+      Event(4, new Timestamp(1700000000000L), "view"),
+      Event(4, new Timestamp(1700000000000L + (2.5 * 60 * 60 * 1000).toLong), "view"),
+      // flush sentinel: 2 gaps past the last event closes the session
+      Event(4, new Timestamp(1700000000000L + (2.5 * 60 * 60 * 1000).toLong + 2 * gap), "flush"))
+    val batch = Sessionize.sessionizeBatch(e.take(2).toDF(), gapMs = gap)
+      .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
+    assert(batch.size == 1 && batch.head._4 == 2, "batch must merge the 2.5h-apart events at a 3h gap")
+    val input = MemoryStream[Event](spark)
+    val q = Sessionize.sessionizeStream(spark, input.toDS(), gapMs = gap)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_widegap").start()
+    val stream = try {
+      input.addData(e: _*)
+      q.processAllAvailable()
+      spark.table("sessions_widegap").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+    } finally q.stop()
+    assert(stream == batch, s"stream $stream must match batch $batch at gap >= 2h")
+  }
+
   test("streaming flatMapGroupsWithState closes gap-breached sessions") {
     val input = MemoryStream[Event](spark)
     val q = Sessionize.sessionizeStream(spark, input.toDS())
