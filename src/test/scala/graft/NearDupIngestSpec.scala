@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Compaction
+import graft.streaming.NearDupIngest
+
+/** The composed flow: stream-edge exact dedup → per-batch
+  * delta-vs-corpus near-dup check → idempotent append into the
+  * compacted store. Exactly-once must hold across a compaction
+  * committing BETWEEN micro-batches, and across a foreachBatch replay.
+  */
+// top-level: Spark can't synthesize an encoder for a suite-inner class
+final case class IngestDoc(doc_id: Long, ts: Timestamp, text: String)
+
+class NearDupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Doc = IngestDoc
+  private def Doc(id: Long, ts: Timestamp, text: String) = IngestDoc(id, ts, text)
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000)
+
+  // 20-token texts: 18 trigram shingles; one changed LAST token =>
+  // overlap 17 / union 19 => Jaccard 0.894 >= 0.8 (near-dup), while
+  // fully distinct vocabularies share nothing.
+  private def text(words: String*) = words.mkString(" ")
+  private val t1 = text((1 to 20).map(i => s"alpha$i"): _*)
+  private val t2 = text((1 to 20).map(i => s"bravo$i"): _*)
+  private val t3 = text((1 to 20).map(i => s"carol$i"): _*)
+  private val t2near = text(((1 to 19).map(i => s"bravo$i") :+ "bravoX"): _*)
+  private val tNovel = text((1 to 20).map(i => s"delta$i"): _*)
+  private val tNovel2 = text((1 to 20).map(i => s"echo$i"): _*)
+  private val tNovelNear = text(((1 to 19).map(i => s"delta$i") :+ "deltaX"): _*)
+
+  private def storeIds(dir: String): Set[Long] =
+    Compaction.readCompacted(spark, dir).select("doc_id").as[Long].collect().toSet
+
+  test("streaming near-dup ingest is exactly-once across a concurrent compaction commit") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndingest").resolve("t").toString
+    // seed corpus, then compact so the manifest protocol is active
+    Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    val input = MemoryStream[Doc](spark)
+    val q = NearDupIngest.start(spark, input.toDF(), dir)
+    try {
+      // batch 1: 10 novel (kept); 11 = exact text of corpus doc 1
+      // (dropped); 12 = near-dup of corpus doc 2 (dropped); 13 and 14
+      // identical within the batch — the stream-edge dedup keeps
+      // exactly one (which of the two is the engine's choice)
+      input.addData(
+        Doc(10, ts(0), tNovel), Doc(11, ts(1), t1), Doc(12, ts(2), t2near),
+        Doc(13, ts(3), tNovel2), Doc(14, ts(4), tNovel2))
+      q.processAllAvailable()
+      val after1 = storeIds(dir)
+      assert(after1.intersect(Set(13L, 14L)).size == 1,
+        s"exactly one of the within-batch twins must survive, got $after1")
+      assert(after1 - 13L - 14L == Set(1L, 2L, 3L, 10L),
+        s"batch 1: novel appended once, exact/near dups dropped; got $after1")
+
+      // a compaction commits BETWEEN micro-batches: the ingested files
+      // fold into the new generation; nothing doubles, nothing is lost
+      Compaction.compactParquet(spark, dir)
+      assert(storeIds(dir) == after1)
+
+      // batch 2 reads the post-compaction snapshot: 20 novel (kept);
+      // 21 = near-dup of doc 10, which entered the corpus via batch 1
+      // (dropped) — the incremental check sees prior batches
+      input.addData(Doc(20, ts(10), text((1 to 20).map(i => s"fox$i"): _*)),
+        Doc(21, ts(11), tNovelNear))
+      q.processAllAvailable()
+      assert(storeIds(dir) == after1 + 20L,
+        "batch 2: near-dup of a PREVIOUS batch's doc must be dropped")
+      val total = Compaction.readCompacted(spark, dir).count()
+      assert(total == after1.size + 1L, s"exactly-once: no double rows, got $total")
+    } finally q.stop()
+  }
+
+  test("ingestBatch replay (same input, same batchId) is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndreplay").resolve("t").toString
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    val batch = Seq(
+      Doc(10, ts(0), tNovel), Doc(11, ts(1), t1), // novel + exact dup
+      Doc(13, ts(3), tNovel2), Doc(14, ts(4), tNovel2)).toDF() // twins
+    val first = NearDupIngest.ingestBatch(spark, batch, dir, batchId = 0)
+    assert(first == 2, s"10 and min-twin 13 survive, got $first")
+    assert(storeIds(dir) == Set(1L, 2L, 10L, 13L))
+    // crash-replay: same batch, same id — the prior append is
+    // self-excluded from the corpus and the file rename replaces, so
+    // nothing doubles and nothing is dropped
+    val second = NearDupIngest.ingestBatch(spark, batch, dir, batchId = 0)
+    assert(second == 2 && storeIds(dir) == Set(1L, 2L, 10L, 13L))
+    assert(Compaction.readCompacted(spark, dir).count() == 4)
+    // and a LATER batch near-duplicating a replayed doc is still caught
+    val b2 = Seq(Doc(21, ts(9), tNovelNear)).toDF()
+    assert(NearDupIngest.ingestBatch(spark, b2, dir, batchId = 1) == 0L)
+    assert(storeIds(dir) == Set(1L, 2L, 10L, 13L))
+  }
+
+  test("ingestBatch with an all-duplicate batch appends nothing and replays clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndempty").resolve("t").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val batch = Seq(Doc(50, ts(0), t1)).toDF() // exact dup of corpus
+    assert(NearDupIngest.ingestBatch(spark, batch, dir, batchId = 7) == 0L)
+    assert(NearDupIngest.ingestBatch(spark, batch, dir, batchId = 7) == 0L)
+    assert(storeIds(dir) == Set(1L))
+  }
+}
