@@ -321,7 +321,68 @@ object TextQueries {
       .where(col("n_shared") >= 3)
   }
 
+  /** Corpus n-gram statistics: per-language top-k n-grams by exact
+    * count, deterministic tie-break (count desc, gram asc) — the
+    * head-of-distribution primitive behind vocabulary building,
+    * boilerplate mining, and stop-fingerprint list construction.
+    *
+    * Scale shape: per-doc gram fan-out is bounded by token count;
+    * counts combine map-side (partial HashAggregate), so the one wide
+    * shuffle is by (lang, gram) — a key that INCLUDES the gram, so no
+    * hot key is possible no matter how skewed the language mix; the
+    * per-language top-k then compiles to `WindowGroupLimit` (asserted
+    * by spec), truncating every partition to k rows per language
+    * BEFORE the final per-language exchange, whose input is thus
+    * ≤ k·|partitions| rows regardless of vocabulary size. Output is
+    * |languages|·k rows.
+    */
+  def ngramTopkOf(docs: org.apache.spark.sql.DataFrame, n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 2 && k >= 1, s"degenerate ngram-topk config ($n, $k)")
+    import org.apache.spark.sql.expressions.Window
+    val g = docs
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => array_join(slice(col("toks"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val c = g.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    // filter on the raw row_number BEFORE any cast so the rank-limit
+    // pattern stays recognizable to the WindowGroupLimit rewrite
+    c.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rn") <= k)
+      .select(col("lang"), col("gram"), col("cnt"), col("rn").cast("long").as("rnk"))
+  }
+
+  private def ngramTopkSql(n: Int, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |g AS (
+       |  SELECT lang, unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |    i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))) AS gram
+       |  FROM t),
+       |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+       |r AS (SELECT lang, gram, cnt,
+       |        CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS BIGINT) AS rnk
+       |      FROM c)
+       |SELECT lang, gram, cnt, rnk FROM r WHERE rnk <= $k""".stripMargin
+
+  val ngramTopk: QueryDef = QueryDef.sql(
+    "x_ngram_topk", ngramTopkSql(n = 2, k = 10)) { (s, d) =>
+    ngramTopkOf(Tables.documents(s, d), n = 2, k = 10)
+  }
+
+  /** Trigram head at a tighter k — pins that the (n, k)
+    * parameterization is real on both engine and oracle, like the
+    * winnowing / SimHash / MinHash twins.
+    */
+  val ngramTopkT3: QueryDef = QueryDef.sql(
+    "x_ngram_topk_t3", ngramTopkSql(n = 3, k = 5)) { (s, d) =>
+    ngramTopkOf(Tables.documents(s, d), n = 3, k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
-      winnowFingerprintsW5, winnowPairs)
+      winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3)
 }

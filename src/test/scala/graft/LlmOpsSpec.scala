@@ -241,6 +241,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(minLabel.length == n && minLabel.forall(_._2 == 1L))
   }
 
+  test("ngram topk: exact counts, deterministic tie-break, WindowGroupLimit plan") {
+    val docs = Seq(
+      (1L, "en", "a b a b c"),
+      (2L, "en", "a b x"),
+      (3L, "de", "u v u v")
+    ).toDF("doc_id", "lang", "text")
+    // en bigrams: doc1 "a b","b a","a b","b c"; doc2 "a b","b x"
+    //   -> "a b"=3; "b a"/"b c"/"b x" tie at 1, gram-asc tie-break
+    //      ranks "b a"=2, "b c"=3, and "b x" falls off at k=3
+    val got = llm.TextQueries.ngramTopkOf(docs, n = 2, k = 3)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", "a b", 3L, 1L), ("en", "b a", 1L, 2L), ("en", "b c", 1L, 3L),
+      ("de", "u v", 2L, 1L), ("de", "v u", 1L, 2L)))
+    // a document shorter than n contributes nothing rather than erroring
+    val one = Seq((9L, "en", "solo")).toDF("doc_id", "lang", "text")
+    assert(llm.TextQueries.ngramTopkOf(one, 2, 5).count() == 0)
+    // the rank filter must compile to WindowGroupLimit — partial top-k
+    // per partition BELOW the exchange, the property that bounds the
+    // final shuffle at k rows per language per input partition
+    val q = llm.TextQueries.ngramTopk.run(spark, "/root/testdata/sf0.001")
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-language top-k did not compile to WindowGroupLimit")
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
