@@ -382,7 +382,99 @@ object TextQueries {
     ngramTopkOf(Tables.documents(s, d), n = 3, k = 5)
   }
 
+  /** Repeated-span mining — the exact-substring dedup primitive
+    * (find every maximal token run that occurs more than once
+    * anywhere in the corpus, including twice within one document;
+    * production pipelines then cut or down-weight those spans).
+    * Formulated as gram postings + gaps-and-islands: hash every
+    * `gram`-token window (same Karp-Rabin char fold as winnowing), a
+    * gram is "repeated" when its total occurrence count ≥ `minOcc`,
+    * and a document's consecutive repeated positions merge into one
+    * maximal span [start, end] covering n_grams + gram − 1 tokens.
+    *
+    * Scale shape: the occurrence count is a partial-aggregating
+    * groupBy on the gram hash; the join back is 1 row per hash on the
+    * count side, so occurrence rows fan out 1:1 — no pair blowup no
+    * matter how common a gram is (contrast doc×doc). The islands pass
+    * is one shuffle by doc_id + a rank window, the sessionize shape.
+    * Postings are pinned once via lazy localCheckpoint and read by
+    * both the count and the join.
+    */
+  def repeatedSpansOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+    require(gram >= 2 && minOcc >= 2, s"degenerate repeated-span config ($gram, $minOcc)")
+    def charFold(g: Column): Column =
+      aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos0")
+    val tokAt = (0 until gram).map {
+      case 0 => col("tok")
+      case i => lead("tok", i).over(byDoc)
+    }
+    val occ = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .withColumn("gram", concat_ws(" ", tokAt: _*))
+      .withColumn("gram_complete", tokAt.last.isNotNull)
+      .where(col("gram_complete"))
+      // 1-based token positions, matching the oracle's generate_series
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        charFold(col("gram")).as("h"))
+      .localCheckpoint(eager = false)
+    val rep = occ.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= minOcc).select("h")
+    val hot = occ.join(rep, "h").select("doc_id", "pos")
+    val isl = hot.withColumn("island",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    isl.groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (gram - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  private def repeatedSpansSql(gram: Int, minOcc: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${gram - 1}),
+       |    i -> struct_pack(pos := CAST(i AS BIGINT),
+       |           h := list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                  list_transform(string_split(
+       |                    array_to_string(list_slice(toks, i, i + ${gram - 1}), ' '), ''),
+       |                    c -> CAST(ascii(c) AS BIGINT))),
+       |                (a, b) -> (a * 31 + b) % 1000000007)))) AS ph
+       |  FROM t),
+       |o AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
+       |cnt AS (SELECT h, count(*) AS n_occ FROM o GROUP BY 1),
+       |r AS (SELECT doc_id, pos FROM o JOIN cnt USING (h) WHERE n_occ >= $minOcc),
+       |i AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM r)
+       |SELECT doc_id,
+       |       min(pos) AS span_start,
+       |       max(pos) + ${gram - 1} AS span_end,
+       |       max(pos) + ${gram - 1} - min(pos) + 1 AS span_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_grams
+       |FROM i GROUP BY doc_id, island""".stripMargin
+
+  val repeatedSpans: QueryDef = QueryDef.sql(
+    "x_repeated_spans", repeatedSpansSql(gram = 6, minOcc = 2)) { (s, d) =>
+    repeatedSpansOf(Tables.documents(s, d), gram = 6, minOcc = 2)
+  }
+
+  /** Coarser gram (8 tokens): only ≥ 8-token runs count as repeats —
+    * longer guarantee, sparser postings; same parameterized builder
+    * and oracle CTE on both sides.
+    */
+  val repeatedSpansG8: QueryDef = QueryDef.sql(
+    "x_repeated_spans_g8", repeatedSpansSql(gram = 8, minOcc = 2)) { (s, d) =>
+    repeatedSpansOf(Tables.documents(s, d), gram = 8, minOcc = 2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
-      winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3)
+      winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
+      repeatedSpans, repeatedSpansG8)
 }

@@ -266,6 +266,27 @@ class LlmOpsSpec extends SparkSpec {
       "per-language top-k did not compile to WindowGroupLimit")
   }
 
+  test("repeated spans: cross-doc and within-doc repeats merge into maximal islands") {
+    val docs = Seq(
+      (1L, "en", "p q r s t u"),
+      (2L, "en", "x p q r s y"),
+      (3L, "en", "a b c d a b c d")
+    ).toDF("doc_id", "lang", "text")
+    // gram=3: "p q r"/"q r s" occur in docs 1+2; "a b c"/"b c d" occur
+    // twice WITHIN doc 3 (self-repetition counts, as in exact-substring
+    // dedup). Adjacent repeated positions merge: doc1 {1,2} -> span
+    // 1..4; doc2 {2,3} -> 2..5; doc3 {1,2} and {5,6} -> 1..4 and 5..8
+    // (two islands, not one — positions 3,4 are unrepeated).
+    val got = llm.TextQueries.repeatedSpansOf(docs, gram = 3, minOcc = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 4L, 4L, 2L), (2L, 2L, 5L, 4L, 2L),
+      (3L, 1L, 4L, 4L, 2L), (3L, 5L, 8L, 4L, 2L)))
+    // a corpus with no repeats yields no spans
+    val uniq = Seq((1L, "en", "a b c"), (2L, "en", "d e f")).toDF("doc_id", "lang", "text")
+    assert(llm.TextQueries.repeatedSpansOf(uniq, gram = 3, minOcc = 2).count() == 0)
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
