@@ -400,7 +400,14 @@ object TextQueries {
     * Postings are pinned once via lazy localCheckpoint and read by
     * both the count and the join.
     */
-  def repeatedSpansOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+  /** The shared front half of exact-substring dedup: (doc_id, pos)
+    * start positions of every `gram`-token window whose total corpus
+    * occurrence count is ≥ `minOcc`. Postings are pinned once via lazy
+    * localCheckpoint and read by both the count and the join back;
+    * the count side contributes ONE row per hash, so occurrence rows
+    * fan out 1:1 regardless of how common a gram is.
+    */
+  private def repeatedStarts(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
     require(gram >= 2 && minOcc >= 2, s"degenerate repeated-span config ($gram, $minOcc)")
     def charFold(g: Column): Column =
       aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
@@ -422,7 +429,12 @@ object TextQueries {
       .localCheckpoint(eager = false)
     val rep = occ.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= minOcc).select("h")
-    val hot = occ.join(rep, "h").select("doc_id", "pos")
+    occ.join(rep, "h").select("doc_id", "pos")
+  }
+
+  def repeatedSpansOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hot = repeatedStarts(docs, gram, minOcc)
     val isl = hot.withColumn("island",
       col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
     isl.groupBy("doc_id", "island")
@@ -434,8 +446,13 @@ object TextQueries {
         col("n_grams"))
   }
 
-  private def repeatedSpansSql(gram: Int, minOcc: Int): String =
-    s"""WITH t AS (
+  /** Oracle CTE chain shared by the span and cut queries, ending at
+    * `r` = the repeated (doc_id, pos) start set — the SQL twin of
+    * [[repeatedStarts]], parameterized identically so engine and
+    * oracle cannot drift.
+    */
+  private def repeatedCtes(gram: Int, minOcc: Int): String =
+    s"""t AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${gram - 1}),
@@ -448,7 +465,10 @@ object TextQueries {
        |  FROM t),
        |o AS (SELECT doc_id, ph.pos AS pos, ph.h AS h FROM g),
        |cnt AS (SELECT h, count(*) AS n_occ FROM o GROUP BY 1),
-       |r AS (SELECT doc_id, pos FROM o JOIN cnt USING (h) WHERE n_occ >= $minOcc),
+       |r AS (SELECT doc_id, pos FROM o JOIN cnt USING (h) WHERE n_occ >= $minOcc)""".stripMargin
+
+  private def repeatedSpansSql(gram: Int, minOcc: Int): String =
+    s"""WITH ${repeatedCtes(gram, minOcc)},
        |i AS (SELECT doc_id, pos,
        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |      FROM r)
@@ -473,8 +493,65 @@ object TextQueries {
     repeatedSpansOf(Tables.documents(s, d), gram = 8, minOcc = 2)
   }
 
+  /** Exact-substring CUT — the back half of exact-substring dedup:
+    * drop every token covered by any repeated `gram`-window occurrence
+    * and re-join the survivors into a cleaned token stream. Emits
+    * (doc_id, n_tokens, n_kept, clean_text) for every document;
+    * fully-duplicated documents keep 0 tokens and an empty string.
+    *
+    * Scale shape on top of [[repeatedStarts]]: coverage explodes each
+    * repeated start into its `gram` covered positions (constant
+    * fan-out, then distinct), the kept set is one anti-join on
+    * (doc_id, pos), and reconstruction is a per-doc sort+join of the
+    * surviving tokens — fan-out and state both bounded by document
+    * length, the chunking/sessionize class, never corpus-sized.
+    */
+  def exactSubstrCutOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+    val covered = repeatedStarts(docs, gram, minOcc)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  val exactSubstrCut: QueryDef = QueryDef.sql(
+    "x_exact_substr_cut",
+    s"""WITH ${repeatedCtes(gram = 6, minOcc = 2)},
+       |cov AS (SELECT DISTINCT doc_id, p FROM
+       |  (SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM r)),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |    i -> struct_pack(p := CAST(i AS BIGINT), tok := toks[i]))) AS pt
+       |  FROM t),
+       |k AS (
+       |  SELECT tok.doc_id, tok.pt.p AS p, tok.pt.tok AS tok
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pt.p = cov.p
+       |  WHERE cov.p IS NULL),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+       |  FROM k GROUP BY 1),
+       |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+       |SELECT doc_id, n_tokens,
+       |       coalesce(n_kept, 0) AS n_kept,
+       |       coalesce(clean_text, '') AS clean_text
+       |FROM n LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
+    exactSubstrCutOf(Tables.documents(s, d), gram = 6, minOcc = 2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
-      repeatedSpans, repeatedSpansG8)
+      repeatedSpans, repeatedSpansG8, exactSubstrCut)
 }

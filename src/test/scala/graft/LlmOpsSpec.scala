@@ -287,6 +287,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(llm.TextQueries.repeatedSpansOf(uniq, gram = 3, minOcc = 2).count() == 0)
   }
 
+  test("exact-substring cut removes covered tokens and keeps the rest in order") {
+    val docs = Seq(
+      (1L, "en", "p q r s t u"),
+      (2L, "en", "x p q r s y"),
+      (3L, "en", "a b c")
+    ).toDF("doc_id", "lang", "text")
+    // gram=3, minOcc=2: repeated starts doc1 {1,2}, doc2 {2,3} (the
+    // shared "p q r s" run); coverage doc1 = 1..4, doc2 = 2..5.
+    // doc3 has no repeats and survives whole.
+    val got = llm.TextQueries.exactSubstrCutOf(docs, gram = 3, minOcc = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 6L, 2L, "t u"),
+      (2L, 6L, 2L, "x y"),
+      (3L, 3L, 3L, "a b c")))
+    // a fully-duplicated document keeps nothing, not a dropped row
+    val dup = Seq((1L, "en", "m n o"), (2L, "en", "m n o")).toDF("doc_id", "lang", "text")
+    val cut = llm.TextQueries.exactSubstrCutOf(dup, gram = 3, minOcc = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(cut == Set((1L, 3L, 0L, ""), (2L, 3L, 0L, "")))
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
