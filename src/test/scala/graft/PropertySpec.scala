@@ -110,6 +110,55 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("exact-substring cut equals a brute-force scala reference on random corpora") {
+    // tiny vocabulary forces cross-doc and within-doc repeats
+    val genDoc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val gram = 3
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.llm.TextQueries.exactSubstrCutOf(docs, gram, minOcc = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // reference: count every gram occurrence corpus-wide, mark covered
+      // positions, rebuild survivors per doc
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toVector)
+      val occs = toks.zipWithIndex.flatMap { case (ts, d) =>
+        (0 to ts.length - gram).map(i => (ts.slice(i, i + gram).mkString(" "), d, i))
+      }
+      val counts = occs.groupBy(_._1).view.mapValues(_.size).toMap
+      val covered = occs.filter(o => counts(o._1) >= 2)
+        .flatMap { case (_, d, i) => (i until i + gram).map(p => (d, p)) }.toSet
+      val ref = toks.zipWithIndex.map { case (ts, d) =>
+        val kept = ts.zipWithIndex.collect { case (t, p) if !covered((d, p)) => t }
+        (d.toLong + 1) -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+      got == ref
+    }, n = 8)
+  }
+
+  test("ngram topk equals a brute-force scala reference on random corpora") {
+    val genDoc = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val (n, k) = (2, 4)
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.llm.TextQueries.ngramTopkOf(docs, n, k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val grams = texts.flatMap { t =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        (0 to ts.length - n).map(i => ts.slice(i, i + n).mkString(" "))
+      }
+      val ref = grams.groupBy(identity).view.mapValues(_.size.toLong).toList
+        .sortBy { case (g, c) => (-c, g) }.take(k).zipWithIndex
+        .map { case ((g, c), i) => ("en", g, c, i.toLong + 1) }.toSet
+      got == ref
+    }, n = 8)
+  }
+
   test("as-of join equals the per-row scala reference on arbitrary clustered timestamps") {
     val genL = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
     val genR = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), genEventTs))
