@@ -550,8 +550,62 @@ object TextQueries {
     exactSubstrCutOf(Tables.documents(s, d), gram = 6, minOcc = 2)
   }
 
+  /** Per-document TF-IDF top-k keywords — the standard salient-term
+    * extractor (index keys, topic labels, filter features). Scores are
+    * EXACT integers, `tf · 10⁶ · N ÷ df` under integral division, so
+    * both engines rank identically with no float-comparison edge;
+    * ties break (score desc, term asc).
+    *
+    * Scale shape: term frequencies are one partial-agg groupBy on
+    * (doc_id, term); document frequencies derive from that same
+    * pinned frame by a groupBy on term; the join back is 1 row per
+    * term on the df side (1:1 fan-out — a stopword's ubiquity cannot
+    * blow it up); the corpus size is a 1-row broadcast (whitelisted
+    * BNLJ, the x_approx_profile scalar pattern); the per-doc top-k
+    * compiles to `WindowGroupLimit` like x_ngram_topk.
+    */
+  def tfidfTopkOf(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"degenerate tfidf config (k=$k)")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score_q", expr("tf * 1000000 * n_docs div df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("term"))))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_q"), col("rn").cast("long").as("rnk"))
+  }
+
+  val tfidfTopk: QueryDef = QueryDef.sql(
+    "x_tfidf_topk",
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id, term, tf, df,
+      |         tf * 1000000 * (SELECT n_docs FROM n) // df AS score_q
+      |  FROM tf JOIN df USING (term)),
+      |r AS (
+      |  SELECT doc_id, term, tf, df, score_q,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY doc_id ORDER BY score_q DESC, term) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT doc_id, term, tf, df, score_q, rnk FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    tfidfTopkOf(Tables.documents(s, d), k = 3)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
-      repeatedSpans, repeatedSpansG8, exactSubstrCut)
+      repeatedSpans, repeatedSpansG8, exactSubstrCut, tfidfTopk)
 }

@@ -309,6 +309,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(cut == Set((1L, 3L, 0L, ""), (2L, 3L, 0L, "")))
   }
 
+  test("tfidf topk: exact integer scores rank rare terms above common ones") {
+    val docs = Seq(
+      (1L, "en", "x x y"),
+      (2L, "en", "y z")
+    ).toDF("doc_id", "lang", "text")
+    // N=2; df: x=1, y=2, z=1. score_q = tf*1e6*N div df:
+    //   doc1 x: 2*2e6/1=4e6 > y: 1*2e6/2=1e6  (frequent-and-rare wins)
+    //   doc2 z: 2e6/1=2e6  > y: 2e6/2=1e6     (idf demotes the shared term)
+    val got = llm.TextQueries.tfidfTopkOf(docs, k = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "x", 2L, 1L, 4000000L, 1L), (1L, "y", 1L, 2L, 1000000L, 2L),
+      (2L, "z", 1L, 1L, 2000000L, 1L), (2L, "y", 1L, 2L, 1000000L, 2L)))
+  }
+
   test("multimodal stub decode: deterministic, one output row per input") {
     val dir = java.nio.file.Files.createTempDirectory("graftspec3").toString
     Seq((1L, "abc", "en", "s", 3L), (2L, "defgh", "en", "s", 5L))
