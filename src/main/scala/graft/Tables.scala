@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -12,19 +14,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan automatically because every downstream op stays declarative.
   */
 object Tables {
-  /** events.parquet carries Parquet TIMESTAMP(NANOS); reading it
-    * requires this legacy conf so the nanos column arrives as a long.
-    * It must be set at SESSION BUILD time (see Bench/Verify/Smoke and
-    * the test bootstrap) — a library loader must not silently flip a
-    * session-global flag as a side effect of one read.
+  /** Legacy conf under which Parquet TIMESTAMP(NANOS) columns read as
+    * raw nanosecond longs (Spark's vectorized reader otherwise rejects
+    * the type). Sessions that may touch nanos-encoded files should set
+    * it at SESSION BUILD time — a library loader must not silently flip
+    * a session-global flag as a side effect of one read. Harmless when
+    * the file carries a native micros timestamp.
     */
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
-  private[graft] def requireNanosConf(s: SparkSession): Unit =
-    require(s.conf.get(NanosAsLongKey, "false") == "true",
-      s"events.parquet carries TIMESTAMP(NANOS): build the SparkSession with " +
-        s".config(\"$NanosAsLongKey\", \"true\") (session-global legacy conf; " +
-        "setting it here as a side effect would silently affect every other read)")
+  /** Normalize an observed `ts` physical encoding to a session-zoned
+    * TimestampType column (lossless; the data is µs-precise):
+    *  - LongType            → legacy nanos-as-long read ([[NanosAsLongKey]]);
+    *                          truncate to micros and rebuild the timestamp.
+    *  - TimestampNTZType    → native Parquet `timestamp[us]` without
+    *                          isAdjustedToUTC; reinterpret the wall-clock
+    *                          in the session zone (UTC in every entry
+    *                          point), matching what the legacy path
+    *                          produced for identical instants.
+    *  - TimestampType       → already what we want; pass through.
+    * The testdata has been regenerated across encodings before
+    * (TIMESTAMP(NANOS) → timestamp[us]); the loader adapts to whatever
+    * is on disk instead of assuming one encoding.
+    */
+  private[graft] def normalizeTs(dt: DataType): Column = dt match {
+    case LongType           => timestamp_micros(expr("ts div 1000"))
+    case _: TimestampNTZType => col("ts").cast(TimestampType)
+    case _: TimestampType   => col("ts")
+    case other => throw new IllegalStateException(
+      s"events.ts read as unsupported type $other; expected a long " +
+        "(legacy nanos-as-long), timestamp_ntz, or timestamp")
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -36,15 +56,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet carries Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and rebuild a
-    * microsecond timestamp (the data is µs-precise, so lossless).
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations (TIMESTAMP(NANOS) read as long under the legacy conf;
+    * now native `timestamp[us]`): branch on the schema the scan
+    * actually reports and normalize to TimestampType either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    requireNanosConf(s)
-    table(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.withColumn("ts", normalizeTs(df.schema("ts").dataType))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -525,11 +525,10 @@ object TextQueries {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  val exactSubstrCut: QueryDef = QueryDef.sql(
-    "x_exact_substr_cut",
-    s"""WITH ${repeatedCtes(gram = 6, minOcc = 2)},
+  private def exactSubstrCutSql(gram: Int, minOcc: Int): String =
+    s"""WITH ${repeatedCtes(gram, minOcc)},
        |cov AS (SELECT DISTINCT doc_id, p FROM
-       |  (SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS p FROM r)),
+       |  (SELECT doc_id, unnest(generate_series(pos, pos + ${gram - 1})) AS p FROM r)),
        |tok AS (
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
        |    i -> struct_pack(p := CAST(i AS BIGINT), tok := toks[i]))) AS pt
@@ -546,8 +545,21 @@ object TextQueries {
        |SELECT doc_id, n_tokens,
        |       coalesce(n_kept, 0) AS n_kept,
        |       coalesce(clean_text, '') AS clean_text
-       |FROM n LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
+       |FROM n LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  val exactSubstrCut: QueryDef = QueryDef.sql(
+    "x_exact_substr_cut", exactSubstrCutSql(gram = 6, minOcc = 2)) { (s, d) =>
     exactSubstrCutOf(Tables.documents(s, d), gram = 6, minOcc = 2)
+  }
+
+  /** Coarser cut (8-token windows, matching x_repeated_spans_g8): only
+    * ≥ 8-token repeats are excised, so more text survives — the
+    * conservative-removal config; same parameterized builder and
+    * oracle on both sides.
+    */
+  val exactSubstrCutG8: QueryDef = QueryDef.sql(
+    "x_exact_substr_cut_g8", exactSubstrCutSql(gram = 8, minOcc = 2)) { (s, d) =>
+    exactSubstrCutOf(Tables.documents(s, d), gram = 8, minOcc = 2)
   }
 
   /** Per-document TF-IDF top-k keywords — the standard salient-term
@@ -582,30 +594,42 @@ object TextQueries {
         col("score_q"), col("rn").cast("long").as("rnk"))
   }
 
+  private def tfidfTopkSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, term, tf, df,
+       |         tf * 1000000 * (SELECT n_docs FROM n) // df AS score_q
+       |  FROM tf JOIN df USING (term)),
+       |r AS (
+       |  SELECT doc_id, term, tf, df, score_q,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY score_q DESC, term) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT doc_id, term, tf, df, score_q, rnk FROM r WHERE rnk <= $k""".stripMargin
+
   val tfidfTopk: QueryDef = QueryDef.sql(
-    "x_tfidf_topk",
-    """WITH t AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
-      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
-      |tf AS (
-      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2),
-      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |s AS (
-      |  SELECT doc_id, term, tf, df,
-      |         tf * 1000000 * (SELECT n_docs FROM n) // df AS score_q
-      |  FROM tf JOIN df USING (term)),
-      |r AS (
-      |  SELECT doc_id, term, tf, df, score_q,
-      |         CAST(row_number() OVER (
-      |           PARTITION BY doc_id ORDER BY score_q DESC, term) AS BIGINT) AS rnk
-      |  FROM s)
-      |SELECT doc_id, term, tf, df, score_q, rnk FROM r WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    "x_tfidf_topk", tfidfTopkSql(k = 3)) { (s, d) =>
     tfidfTopkOf(Tables.documents(s, d), k = 3)
+  }
+
+  /** Wider keyword set (k=5): the recall-leaning config — more terms
+    * per document survive into the index/label set; same parameterized
+    * builder and oracle on both sides.
+    */
+  val tfidfTopkK5: QueryDef = QueryDef.sql(
+    "x_tfidf_topk_k5", tfidfTopkSql(k = 5)) { (s, d) =>
+    tfidfTopkOf(Tables.documents(s, d), k = 5)
   }
 
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
-      repeatedSpans, repeatedSpansG8, exactSubstrCut, tfidfTopk)
+      repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
+      tfidfTopk, tfidfTopkK5)
 }

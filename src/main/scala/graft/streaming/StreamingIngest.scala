@@ -19,31 +19,35 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** Schema of the events table (ts arrives as epoch-nanos long in the
-    * raw parquet; see Tables.events).
+  /** Schema of the events table with `ts` typed as `tsType` — the
+    * physical encoding varies across testdata generations (epoch-nanos
+    * long under the legacy conf vs native timestamp; see
+    * [[graft.Tables.normalizeTs]]), so the stream schema is built
+    * around whatever the file actually carries.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of the events parquet with the nanos→micros fix.
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * build (see [[graft.Tables.NanosAsLongKey]]) — fail fast rather
-    * than silently flipping a session-global flag.
+  /** Streaming read of the events parquet, normalizing `ts` to
+    * TimestampType. FileStreamSource needs a user-supplied schema, and
+    * that schema must match the physical encoding — so sniff the
+    * footer with a one-file batch read (metadata only; no data scan)
+    * and declare the stream schema from it.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    graft.Tables.requireNanosConf(spark)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     spark.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(tsType))
       // FileStreamSource needs a directory; select just the events
       // file out of the shared sf dir.
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.normalizeTs(tsType))
   }
 
   /** 1-hour tumbling windows per event type with a 2-hour watermark:

@@ -33,14 +33,15 @@ class PlanAuditSpec extends SparkSpec {
     * x_pipeline_e2e: inherits x_token_pack's triangular offsets join
     * through the shared packCumSum prefix sum.
     */
-  /** x_tfidf_topk: 1-row corpus-size scalar cross-joined onto the
-    * tf⋈df frame (the x_approx_profile scalar pattern).
+  /** x_tfidf_topk / x_tfidf_topk_k5: 1-row corpus-size scalar
+    * cross-joined onto the tf⋈df frame (the x_approx_profile scalar
+    * pattern); k only changes the top-k filter, not the join shape.
     */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
     "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_ivf_trained_i2",
     "x_ann_topk", "x_approx_profile", "x_pipeline_e2e", "x_token_pack",
-    "x_tfidf_topk")
+    "x_tfidf_topk", "x_tfidf_topk_k5")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan

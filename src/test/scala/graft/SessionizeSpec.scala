@@ -46,39 +46,43 @@ class SessionizeSpec extends SparkSpec {
     assert(Sessionize.sessionizeBatch(f.toDF()).count() == 1)
   }
 
-  test("batch and streaming sessionization agree on arbitrary event sets (property)") {
+  /** batch ≡ stream over arbitrary event sets at a given gap. Runs as
+    * a scalacheck property so the generator hits the hard cases: ties
+    * (0), sub-second gaps (1/800 ms), the exact boundary (gap is
+    * strict >), and one past it. Parameterized by gap because the
+    * derived watermark (`max(2h, 2·gap)`) must hold at every
+    * registered config, not just the default.
+    */
+  private def batchStreamProperty(gapMs: Long, tag: String): Unit = {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
-    // timestamps clustered around multiples of the 30-min gap, with
-    // offsets that hit the hard cases: ties (0), sub-second gaps
-    // (1/800 ms), the exact boundary (gap is strict >), and one past it
     val genEv = for {
       u <- Gen.choose(1L, 3L)
       band <- Gen.choose(0L, 4L)
       off <- Gen.oneOf(
-        Gen.oneOf(0L, 1L, 800L, Sessionize.GapMs, Sessionize.GapMs + 1),
-        Gen.choose(0L, 2 * Sessionize.GapMs))
-    } yield Event(u, new Timestamp(1700000000000L + band * Sessionize.GapMs + off), "e")
+        Gen.oneOf(0L, 1L, 800L, gapMs, gapMs + 1),
+        Gen.choose(0L, 2 * gapMs))
+    } yield Event(u, new Timestamp(1700000000000L + band * gapMs + off), "e")
     var sample = 0
     val prop = Prop.forAll(Gen.listOfN(14, genEv)) { evs =>
       evs.isEmpty || {
-        val batch = Sessionize.sessionizeBatch(evs.toDF())
+        val batch = Sessionize.sessionizeBatch(evs.toDF(), gapMs = gapMs)
           .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
         // one flush event per user, 2 gaps past that user's last event:
         // it breaches every open session so the stream EMITS the full
         // session table; the flush's own 1-event session stays open and
         // unreported, restoring exact batch/stream table equality
         val flush = evs.groupBy(_.user_id).map { case (u, es) =>
-          Event(u, new Timestamp(es.map(_.ts.getTime).max + 2 * Sessionize.GapMs), "flush")
+          Event(u, new Timestamp(es.map(_.ts.getTime).max + 2 * gapMs), "flush")
         }.toSeq
         sample += 1
         val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
-        val q = Sessionize.sessionizeStream(spark, input.toDS())
+        val q = Sessionize.sessionizeStream(spark, input.toDS(), gapMs = gapMs)
           .writeStream.outputMode("append").format("memory")
-          .queryName(s"sessions_prop_$sample").start()
+          .queryName(s"sessions_prop_${tag}_$sample").start()
         val stream = try {
           input.addData(evs ++ flush: _*)
           q.processAllAvailable()
-          spark.table(s"sessions_prop_$sample").as[Session].collect()
+          spark.table(s"sessions_prop_${tag}_$sample").as[Session].collect()
             .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
         } finally q.stop()
         batch == stream
@@ -86,6 +90,17 @@ class SessionizeSpec extends SparkSpec {
     }
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(r.passed, r.status.toString)
+  }
+
+  test("batch and streaming sessionization agree on arbitrary event sets (property)") {
+    batchStreamProperty(Sessionize.GapMs, "default")
+  }
+
+  test("batch/stream property holds at the registered 10-min gap (x_sessionize_g10)") {
+    // gap (10 min) < the 2h watermark floor: the delay comes from the
+    // floor, not 2·gap — the opposite arm of the derived-watermark max
+    // from the wide-gap test below.
+    batchStreamProperty(600000L, "g10")
   }
 
   test("a gap >= the old fixed watermark still matches batch (watermark derives from gap)") {

@@ -14,7 +14,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config(Tables.NanosAsLongKey, "true") // events.parquet is TIMESTAMP(NANOS)
+      .config(Tables.NanosAsLongKey, "true") // legacy-encoding tolerance; see Tables.normalizeTs
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
