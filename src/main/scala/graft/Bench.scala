@@ -102,16 +102,29 @@ object Bench {
         else Seq(a, b)
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
-    // A broken query must fail the bench LOUDLY — a -1.0 sentinel would
-    // silently subtract from the total and render it meaningless.
-    require(failures.isEmpty && results.values.forall(_ >= 0),
-      s"bench queries failed:\n${failures.reverse.mkString("\n")}")
+    // A broken query must fail the bench LOUDLY — but it must not
+    // erase the artifact: an aborted run leaves NO number at all (that
+    // cost two consecutive rounds their bench when one loader broke).
+    // So: print every failure to stderr, emit the JSON line anyway with
+    // the broken queries EXCLUDED from `queries`, named in `errors`,
+    // and the whole line marked `"valid": false` — parseable,
+    // self-adjudicating, impossible to mistake for a clean total.
+    failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
+    val ok = results.filter(_._2 >= 0)
     val loadEnd = loadAvg()
-    val qs = (results + ("index_build" -> indexBuild))
+    val qs = (ok + ("index_build" -> indexBuild))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum + indexBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"valid":$valid}""")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
+    val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
+    val total = ok.values.sum + indexBuild
+    val allValid = valid && failures.isEmpty && results.size == ok.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}""")
     spark.stop()
+    // Non-zero exit preserves the loud-failure contract for callers
+    // that check rc — the artifact above is still on stdout.
+    if (failures.nonEmpty) sys.exit(3)
   }
 }
