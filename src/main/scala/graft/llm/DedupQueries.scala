@@ -552,7 +552,85 @@ object DedupQueries {
       .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_old"), col("jaccard"))
   }
 
+  /** Passage-level exact dedup — dedup at CHUNK granularity rather
+    * than document granularity: split every document into fixed
+    * non-overlapping token windows (reusing the x_doc_chunks chunker
+    * at overlap 0), keep only the FIRST occurrence of each distinct
+    * passage corpus-wide (first = min (doc_id, chunk_id)), and rebuild
+    * each document from its surviving passages. Catches the
+    * boilerplate/recycled-paragraph duplication that document-level
+    * exact dedup misses and exact-substring cut over-penalizes (the
+    * cut drops ALL copies; passage dedup retains one).
+    *
+    * Scale shape: one shuffle keyed by passage text (at 100 TB the key
+    * would be a 128-bit content hash so only digests travel — same
+    * plan shape), `row_number() = 1` as the keep-first rule (compiles
+    * to the same WindowGroupLimit top-k as x_ngram_topk — no second
+    * scan, no join), then a per-doc reassembly agg bounded by document
+    * length. No doc×doc term anywhere.
+    */
+  def passageDedupOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val ch = CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val kept = ch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")))
+      .where(col("rn") === 1)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("clean_text"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  private def passageDedupSql(chunkTokens: Int): String = {
+    val c = chunkTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, toks, n,
+       |         CASE WHEN n <= $c THEN 0 ELSE (n - $c + ${c - 1}) // $c END AS max_k
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |         array_to_string(list_slice(toks, k * $c + 1, k * $c + $c), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, max_k)) AS k FROM k)),
+       |kept AS (
+       |  SELECT doc_id, chunk_id, chunk_text FROM ch
+       |  QUALIFY row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) = 1),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text
+       |  FROM kept GROUP BY 1),
+       |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1)
+       |SELECT doc_id, n_chunks,
+       |       coalesce(n_kept, 0) AS n_kept,
+       |       coalesce(clean_text, '') AS clean_text
+       |FROM nc LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
+  val passageDedup: QueryDef = QueryDef.sql(
+    "x_passage_dedup", passageDedupSql(chunkTokens = 16)) { (s, d) =>
+    passageDedupOf(Tables.documents(s, d), chunkTokens = 16)
+  }
+
+  /** Coarser passages (24 tokens): fewer, longer windows — the
+    * conservative config that only drops whole recycled paragraphs;
+    * same parameterized builder and oracle on both sides.
+    */
+  val passageDedupC24: QueryDef = QueryDef.sql(
+    "x_passage_dedup_c24", passageDedupSql(chunkTokens = 24)) { (s, d) =>
+    passageDedupOf(Tables.documents(s, d), chunkTokens = 24)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
-      minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental)
+      minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
+      passageDedup, passageDedupC24)
 }

@@ -488,7 +488,92 @@ object SimilarityQueries {
     embedClustersDf(s, d, planes = 24, simThreshold = 0.6)
   }
 
+  /** SemDeDup-style semantic dedup: partition the corpus into
+    * centroid cells (the x_ann_ivf coarse quantizer — fixed seeds,
+    * nearest-by-cosine assignment), then within each cell drop every
+    * vector that is ≥ `tau`-similar to a LOWER-id vector of the same
+    * cell. Keep-lowest-id is the deterministic stand-in for
+    * keep-one-representative; the cell blocking is what makes the
+    * quadratic term local (pairs only ever form inside a cell, never
+    * across the corpus — the published method's exact shape).
+    *
+    * Output: one row per vector with its cell and kept ∈ {0,1}, so
+    * the caller can both filter (kept=1) and audit what was dropped.
+    *
+    * Scale shape: centroid table is a broadcast (k ≪ N); assignment is
+    * an embarrassingly-parallel scored scan + per-vector top-1
+    * (WindowGroupLimit); the within-cell pair join is an equi-join on
+    * cell whose fan-out is bounded by cell occupancy — the knob (more
+    * centroids) you raise with corpus size, exactly like LSH planes.
+    */
+  def semDedupOf(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val cent = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
+        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
+    val lo = assigned.select(col("vec_id").as("va"), col("cell").as("cell_a"),
+      col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val hi = assigned.select(col("vec_id").as("vb"), col("cell"),
+      col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    val dropped = lo.join(hi, col("cell_a") === col("cell") && col("va") < col("vb"))
+      .where(qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (lit(1L) - coalesce(col("is_dup"), lit(0L))).as("kept"))
+  }
+
+  private def semDedupSql(tau: Double): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qe,
+       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, qe, nrm, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+       |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum(list_transform(generate_series(1, len(a.qe)), i -> a.qe[i] * b.qe[i])) AS DOUBLE) /
+       |          (a.nrm * b.nrm) >= $tau)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+
+  val semDedup: QueryDef = QueryDef.sql(
+    "x_semdedup", semDedupSql(tau = 0.4)) { (s, d) =>
+    semDedupOf(Tables.embeddings(s, d), tau = 0.4)
+  }
+
+  /** Lower bar (τ=0.35): the aggressive-dedup config — more vectors
+    * count as semantic duplicates; same parameterized builder and
+    * oracle on both sides.
+    */
+  val semDedupT35: QueryDef = QueryDef.sql(
+    "x_semdedup_t35", semDedupSql(tau = 0.35)) { (s, d) =>
+    semDedupOf(Tables.embeddings(s, d), tau = 0.35)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
-      annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24)
+      annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
+      semDedup, semDedupT35)
 }

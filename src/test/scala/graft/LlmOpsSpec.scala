@@ -309,6 +309,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(cut == Set((1L, 3L, 0L, ""), (2L, 3L, 0L, "")))
   }
 
+  test("passage dedup keeps the first occurrence of each chunk and rebuilds docs in order") {
+    // chunkTokens=4, no overlap: doc1 = [a b c d][e f g h];
+    // doc2 re-uses doc1's first chunk then adds its own;
+    // doc3 IS doc1's first chunk — it loses everything but stays a row.
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h"),
+      (2L, "en", "a b c d x y z w"),
+      (3L, "en", "a b c d")
+    ).toDF("doc_id", "lang", "text")
+    val got = llm.DedupQueries.passageDedupOf(docs, chunkTokens = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L, "a b c d e f g h"),
+      (2L, 2L, 1L, "x y z w"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("semdedup: within-cell near-dups drop to the lowest id; cross-cell never pairs") {
+    // centroids = ids 0 and 100: cells split the 2-D space along axes.
+    // vec 1/2 are near-copies of centroid 0 -> both ≥ τ-similar to
+    // vec 0 (lowest id in cell) and dropped; vec 3 shares the cell but
+    // sits below τ; 101 shares cell 100 and also clears the bar.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.89f, 0.11f)),
+      (3L, Seq(0.8f, 0.6f)),
+      (100L, Seq(0.0f, 1.0f)),
+      (101L, Seq(0.5f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = llm.SimilarityQueries.semDedupOf(emb, tau = 0.9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 1L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 1L),
+      (100L, 100L, 1L), (101L, 100L, 1L)))
+  }
+
   test("tfidf topk: exact integer scores rank rare terms above common ones") {
     val docs = Seq(
       (1L, "en", "x x y"),

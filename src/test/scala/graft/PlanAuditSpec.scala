@@ -37,11 +37,14 @@ class PlanAuditSpec extends SparkSpec {
     * cross-joined onto the tf⋈df frame (the x_approx_profile scalar
     * pattern); k only changes the top-k filter, not the join shape.
     */
+  /** x_semdedup(_t35): the x_ann_ivf centroid broadcast — every vector
+    * scores the tiny fixed-seed centroid table to find its cell.
+    */
   private val bnljAllowed = Set(
     "equipment_export", "opportunity_export", "p_time_topn",
     "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_ivf_trained_i2",
     "x_ann_topk", "x_approx_profile", "x_pipeline_e2e", "x_token_pack",
-    "x_tfidf_topk", "x_tfidf_topk_k5")
+    "x_tfidf_topk", "x_tfidf_topk_k5", "x_semdedup", "x_semdedup_t35")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
