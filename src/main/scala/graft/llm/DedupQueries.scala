@@ -629,8 +629,70 @@ object DedupQueries {
     passageDedupOf(Tables.documents(s, d), chunkTokens = 24)
   }
 
+  /** Per-document duplication profile: what FRACTION of a document's
+    * distinct shingles appear in at least `minDf` documents corpus-wide
+    * — the doc-level "how much of this text is recycled" score used to
+    * rank documents for removal (or down-weighting) before any pair
+    * enumeration. Score is exact-integer (`n_shared·10⁶ div
+    * n_shingles`), so ranking is bit-stable across engines.
+    *
+    * Scale shape: one df aggregation over the shared postings index,
+    * a 1:1 join back (each posting row meets exactly one df row), and
+    * a per-doc count — no pairs at all, the cheapest member of the
+    * dedup family and the one you run FIRST at 100 TB to size the
+    * problem before paying for pair mining.
+    */
+  def dupProfileOf(s: org.apache.spark.sql.SparkSession, d: String, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"degenerate dup-profile config (minDf=$minDf)")
+    val post = SharedIndex.sidPostings(s, d)
+    val dfs = post.groupBy("sid").agg(count(lit(1)).as("df"))
+    val per = post.join(dfs, "sid").groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_shared"))
+    Tables.documents(s, d).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_frac_q",
+        when(col("n_shingles") === 0, lit(0L))
+          .otherwise(expr("n_shared * 1000000 div n_shingles")))
+  }
+
+  private def dupProfileSql(minDf: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
+       |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+       |  WHERE i + 2 <= len(tok)),
+       |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |per AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |         CAST(sum(CASE WHEN f.df >= $minDf THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM sh s JOIN dfs f ON s.shingle = f.shingle GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_shingles, 0) AS n_shingles,
+       |       coalesce(p.n_shared, 0) AS n_shared,
+       |       CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0
+       |            ELSE coalesce(p.n_shared, 0) * 1000000 // p.n_shingles END AS dup_frac_q
+       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
+  val dupProfile: QueryDef = QueryDef.sql(
+    "x_dup_profile", dupProfileSql(minDf = 2)) { (s, d) =>
+    dupProfileOf(s, d, minDf = 2)
+  }
+
+  /** Stricter bar (a shingle counts as recycled only when it appears
+    * in ≥ 4 documents): scores boilerplate that is WIDELY shared, not
+    * merely duplicated once; same parameterized builder and oracle.
+    */
+  val dupProfileD4: QueryDef = QueryDef.sql(
+    "x_dup_profile_d4", dupProfileSql(minDf = 4)) { (s, d) =>
+    dupProfileOf(s, d, minDf = 4)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
-      passageDedup, passageDedupC24)
+      passageDedup, passageDedupC24, dupProfile, dupProfileD4)
 }

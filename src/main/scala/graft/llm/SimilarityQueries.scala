@@ -572,8 +572,65 @@ object SimilarityQueries {
     semDedupOf(Tables.embeddings(s, d), tau = 0.35)
   }
 
+  /** Hard-negative mining: for every query vector, the top-k most
+    * cosine-similar vectors with a DIFFERENT label — the contrastive-
+    * training counterpart of ANN search (the positives come from the
+    * label; the hard negatives are what make the embedding model work
+    * for it). Same query set (every 50th vector), same broadcast
+    * linear-scan shape as x_ann_topk with the label-mismatch predicate
+    * in the join, ties (sim desc, neighbor_id).
+    *
+    * Scale shape: identical to x_ann_topk — queries broadcast, corpus
+    * scanned once, per-query top-k compiles to WindowGroupLimit. At
+    * real scale the same mining runs over the LSH/IVF candidate sets
+    * instead of the full scan; the filter and ranking are unchanged.
+    */
+  def hardNegativesOf(emb: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"degenerate hard-negative config (k=$k)")
+    val e = emb.select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val q = e.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("qe").as("c_qe"), col("nrm").as("c_nrm"))
+      .join(broadcast(q), col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"), col("q_label"), col("n_label"),
+        (qdot(col("q_qe"), col("c_qe")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  private def hardNegativesSql(k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, q_label, n_label, sim,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+       |FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         a.label AS q_label, b.label AS n_label,
+       |         $qcosSql AS sim
+       |  FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.label != b.label)
+       |QUALIFY rnk <= $k""".stripMargin
+
+  val hardNegatives: QueryDef = QueryDef.sql(
+    "x_hard_negatives", hardNegativesSql(k = 5)) { (s, d) =>
+    hardNegativesOf(Tables.embeddings(s, d), k = 5)
+  }
+
+  /** Deeper negative pool (k=10) — the config a contrastive trainer
+    * with in-batch negatives would sample from; same parameterized
+    * builder and oracle on both sides.
+    */
+  val hardNegativesK10: QueryDef = QueryDef.sql(
+    "x_hard_negatives_k10", hardNegativesSql(k = 10)) { (s, d) =>
+    hardNegativesOf(Tables.embeddings(s, d), k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
-      semDedup, semDedupT35)
+      semDedup, semDedupT35, hardNegatives, hardNegativesK10)
 }

@@ -346,6 +346,34 @@ class LlmOpsSpec extends SparkSpec {
       (100L, 100L, 1L), (101L, 100L, 1L)))
   }
 
+  test("dup profile scores the recycled fraction of each doc's shingles; shingle-less docs stay rows") {
+    val dir = java.nio.file.Files.createTempDirectory("dupprof").toString
+    Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "p q r"), (4L, "z z"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // trigrams: doc1 {abc, bcd}, doc2 {abc, bcx}, doc3 {pqr}, doc4 none;
+    // only "a b c" reaches df 2 → docs 1/2 score 1 of 2 = 500000 ppm.
+    val got = llm.DedupQueries.dupProfileOf(spark, dir, minDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 500000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 1L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("hard negatives exclude same-label neighbors and rank by cosine") {
+    val emb = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)),   // the query (id % 50 == 0)
+      (1L, 1, Seq(0.99f, 0.01f)), // same label: excluded however similar
+      (2L, 2, Seq(0.9f, 0.1f)),   // different label, nearest
+      (3L, 2, Seq(0.0f, 1.0f)),   // different label, orthogonal
+      (4L, 3, Seq(0.7f, 0.3f))    // different label, second
+    ).toDF("vec_id", "label", "embedding")
+    val got = llm.SimilarityQueries.hardNegativesOf(emb, k = 2)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 1L), (0L, 4L, 2L)))
+  }
+
   test("tfidf topk: exact integer scores rank rare terms above common ones") {
     val docs = Seq(
       (1L, "en", "x x y"),

@@ -44,7 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "equipment_export", "opportunity_export", "p_time_topn",
     "stage_report", "x_ann_ivf", "x_ann_ivf_trained", "x_ann_ivf_trained_i2",
     "x_ann_topk", "x_approx_profile", "x_pipeline_e2e", "x_token_pack",
-    "x_tfidf_topk", "x_tfidf_topk_k5", "x_semdedup", "x_semdedup_t35")
+    "x_tfidf_topk", "x_tfidf_topk_k5", "x_semdedup", "x_semdedup_t35",
+    // x_hard_negatives(_k10): the x_ann_topk broadcast-queries scan
+    // with a label-mismatch (non-equi) predicate
+    "x_hard_negatives", "x_hard_negatives_k10")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
