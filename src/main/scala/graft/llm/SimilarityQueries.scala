@@ -511,6 +511,9 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
     val cent = e.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+    // Pinned once: the scored centroid scan + top-1 window feeds THREE
+    // consumers (both pair sides and the output frame) — without the
+    // lazy checkpoint the whole assignment subtree would compute 3×.
     val assigned = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
         (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
@@ -518,6 +521,7 @@ object SimilarityQueries {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
+      .localCheckpoint(eager = false)
     val lo = assigned.select(col("vec_id").as("va"), col("cell").as("cell_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val hi = assigned.select(col("vec_id").as("vb"), col("cell"),
