@@ -633,8 +633,80 @@ object SimilarityQueries {
     hardNegativesOf(Tables.embeddings(s, d), k = 10)
   }
 
+  /** INCREMENTAL semantic dedup — the ingest-time form of x_semdedup:
+    * a delta batch (vec_id % 10 == 0, mirroring x_dedup_incremental's
+    * split) is admitted against an EXISTING deduped corpus (the rest).
+    * Each delta vector is assigned to its centroid cell and dropped
+    * iff some corpus vector of the same cell is ≥ τ-similar; delta
+    * vectors never pair with each other (the batch dedups against the
+    * store, intra-batch dups fall out on the next round — the
+    * NearDupIngest contract). Centroid seeds come from the CORPUS side
+    * (vec_id % 100 == 1), as a live index's quantizer would.
+    *
+    * Scale shape: probe-only — delta×cell-members, never corpus×corpus;
+    * the steady-state cost of admitting a batch is proportional to the
+    * batch's cell occupancies, not the store size.
+    */
+  def semDedupIncrOf(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val cent = e.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
+        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
+      .localCheckpoint(eager = false)
+    val delta = assigned.where(col("vec_id") % 10 === 0)
+    val corpus = assigned.where(col("vec_id") % 10 =!= 0)
+      .select(col("cell").as("cell_c"), col("qe").as("qe_c"), col("nrm").as("nrm_c"))
+    val dropped = delta.join(corpus, col("cell") === col("cell_c"))
+      .where(qdot(col("qe"), col("qe_c")) / (col("nrm") * col("nrm_c")) >= tau)
+      .select("vec_id").distinct()
+    delta.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (lit(1L) - coalesce(col("is_dup"), lit(0L))).as("kept"))
+  }
+
+  private def semDedupIncrSql(tau: Double): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qe,
+       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 1),
+       |assigned AS (
+       |  SELECT vec_id, qe, nrm, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+       |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT d.vec_id FROM assigned d JOIN assigned c
+       |    ON d.cell = c.cell AND d.vec_id % 10 = 0 AND c.vec_id % 10 != 0
+       |  WHERE CAST(list_sum(list_transform(generate_series(1, len(d.qe)), i -> d.qe[i] * c.qe[i])) AS DOUBLE) /
+       |          (d.nrm * c.nrm) >= $tau)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+       |WHERE a.vec_id % 10 = 0""".stripMargin
+
+  val semDedupIncr: QueryDef = QueryDef.sql(
+    "x_semdedup_incr", semDedupIncrSql(tau = 0.4)) { (s, d) =>
+    semDedupIncrOf(Tables.embeddings(s, d), tau = 0.4)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
-      semDedup, semDedupT35, hardNegatives, hardNegativesK10)
+      semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr)
 }

@@ -374,6 +374,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Set((0L, 2L, 1L), (0L, 4L, 2L)))
   }
 
+  test("incremental semdedup drops delta vectors near a corpus vector, never intra-delta") {
+    // centroid seed = id 1 (corpus side); delta ids are %10==0.
+    // 10 is a near-copy of corpus vector 2 -> dropped; 20 and 30 are
+    // near-copies of EACH OTHER but of no corpus vector -> both kept
+    // (intra-batch pairs are out of contract); corpus rows never appear.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // centroid seed + corpus
+      (2L, Seq(0.9f, 0.1f)),    // corpus
+      (10L, Seq(0.9f, 0.11f)),  // delta, ~= vec 2 -> dropped
+      (20L, Seq(-0.7f, 0.7f)),  // delta, far from corpus -> kept
+      (30L, Seq(-0.7f, 0.71f))  // delta, ~= 20 but intra-delta -> kept
+    ).toDF("vec_id", "embedding")
+    val got = llm.SimilarityQueries.semDedupIncrOf(emb, tau = 0.95)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 0L), (20L, 1L, 1L), (30L, 1L, 1L)))
+  }
+
   test("tfidf topk: exact integer scores rank rare terms above common ones") {
     val docs = Seq(
       (1L, "en", "x x y"),

@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_tfidf_topk", "x_tfidf_topk_k5", "x_semdedup", "x_semdedup_t35",
     // x_hard_negatives(_k10): the x_ann_topk broadcast-queries scan
     // with a label-mismatch (non-equi) predicate
-    "x_hard_negatives", "x_hard_negatives_k10")
+    "x_hard_negatives", "x_hard_negatives_k10",
+    // x_semdedup_incr: same centroid broadcast as x_semdedup
+    "x_semdedup_incr")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
