@@ -182,4 +182,60 @@ class PropertySpec extends SparkSpec {
       got == ref
     }, n = 10)
   }
+
+  test("passage dedup equals a brute-force scala reference on random corpora") {
+    // tiny vocabulary forces cross-doc (and cross-position) chunk collisions
+    val genDoc = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val c = 3
+    check(Prop.forAll(Gen.listOfN(5, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.llm.DedupQueries.passageDedupOf(docs, c)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // reference: ceil-split into c-token chunks (empty doc = one ""
+      // chunk, same as the chunker), keep min (doc, chunk) per content
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toVector)
+      val chunks = toks.zipWithIndex.flatMap { case (ts, d0) =>
+        val n = ts.length
+        val maxK = if (n <= c) 0 else (n - c + c - 1) / c
+        (0 to maxK).map(k =>
+          (d0.toLong + 1, k.toLong, ts.slice(k * c, math.min(k * c + c, n)).mkString(" ")))
+      }
+      val firstOf = chunks.groupBy(_._3).view.mapValues(_.minBy(x => (x._1, x._2))).toMap
+      val ref = toks.indices.map { d0 =>
+        val d = d0.toLong + 1
+        val mine = chunks.filter(_._1 == d)
+        val kept = mine.filter(ch => firstOf(ch._3) == ch).sortBy(_._2)
+        d -> ((mine.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" ")))
+      }.toMap
+      got == ref
+    }, n = 8)
+  }
+
+  test("dup profile equals a brute-force trigram-df reference on random corpora") {
+    val genDoc = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val minDf = 2
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { texts =>
+      // dupProfileOf reads a directory (it runs on the shared postings
+      // index); each sample gets its own temp dir = its own tiny index
+      val dir = java.nio.file.Files.createTempDirectory("dupprof_prop").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+        .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val got = graft.llm.DedupQueries.dupProfileOf(spark, dir, minDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val sh = texts.map(_.split(" ").filter(_.nonEmpty).toVector)
+        .map(ts => (0 to ts.length - 3).map(i => ts.slice(i, i + 3).mkString(" ")).toSet)
+      val df_ = sh.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val ref = sh.indices.map { d0 =>
+        val n = sh(d0).size.toLong
+        val shared = sh(d0).count(g => df_(g) >= minDf).toLong
+        (d0.toLong + 1) -> ((n, shared, if (n == 0) 0L else shared * 1000000L / n))
+      }.toMap
+      got == ref
+    }, n = 5)
+  }
 }
