@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded interval-overlap join: pairs of intervals on an equi-key
+  * that OVERLAP (inclusive ends) — the two-sided generalization of
+  * [[RangeJoin]] (where only points pair) and the temporal/interval
+  * join Spark has no built-in for.
+  *
+  * A naive `aStart <= bEnd AND bStart <= aEnd` theta-join plans as a
+  * nested loop per key. This formulation quantizes time into bands of
+  * width `bandSec` and explodes EACH side over the bands its interval
+  * covers: any overlapping pair shares the band of any common point,
+  * so every qualifying pair meets on at least one (key, band) of an
+  * EQUI-join; the exact predicate prunes band-edge false positives
+  * and a final distinct collapses pairs that met on several bands
+  * (an interval of length ≤ bandSec covers ≤ 2 bands, so the fan-out
+  * and the duplicate factor are both ≤ 2 per side). Band width is the
+  * perf knob: set it to the maximum interval length, so fan-out stays
+  * constant — longer intervals still join CORRECTLY (`sequence`
+  * covers all their bands), they just fan out more.
+  *
+  * Bounds are integer micros columns (exact arithmetic end to end; no
+  * double rounding can misplace a boundary) supplied by the caller.
+  */
+object IntervalJoin {
+
+  /** @param left     one interval per row; bounds in micros columns
+    * @param right    one interval per row; column names must not
+    *                 collide with `left`'s except `key`
+    * @param key      equi-join key present on both sides
+    * @param lStartUs/lEndUs/rStartUs/rEndUs  inclusive bounds (µs, long)
+    * @param bandSec  band width — set to the max expected interval
+    *                 length so each side covers ≤ 2 bands
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lStartUs: String, lEndUs: String, rStartUs: String, rEndUs: String,
+      bandSec: Long): DataFrame = {
+    require(bandSec > 0, s"band width must be positive: $bandSec")
+    val clash = (left.columns ++ right.columns).filter(_ == "__band")
+    require(clash.isEmpty, "intervalJoin: input columns collide with internal __band")
+    val w = bandSec * 1000000L
+    // floor-division band of a bound (pmod keeps negative epochs exact)
+    def bandOf(c: String) = s"($c - pmod($c, ${w}L)) div ${w}L"
+    def explodeBands(s: String, e: String) =
+      explode(sequence(expr(bandOf(s)), expr(bandOf(e))))
+    val l = left.withColumn("__band", explodeBands(lStartUs, lEndUs))
+    val r = right.withColumn("__band", explodeBands(rStartUs, rEndUs))
+    l.join(r, Seq(key, "__band"))
+      .where(col(lStartUs) <= col(rEndUs) && col(rStartUs) <= col(lEndUs))
+      .drop("__band")
+      .distinct()
+  }
+}

@@ -186,6 +186,47 @@ object AnalyticsQueries {
         (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
   }
 
+  /** Interval-overlap join: each click event carries an activity
+    * interval [ts, ts + min(value, 120)·60 s] and pairs with every
+    * same-user view interval it overlaps — the two-sided temporal
+    * join (ad attribution, concurrent-session detection) that
+    * generalizes x_range_join's point proximity. Durations are capped
+    * at the 2 h band width so each interval covers ≤ 2 bands; the
+    * Spark side is the banded equi-join [[graft.operators.IntervalJoin]],
+    * the oracle the naive inequality join. `overlap_s` is exact
+    * integer seconds of intersection (inclusive ends, so touching
+    * intervals overlap 0 s and still pair).
+    */
+  val intervalJoin: QueryDef = QueryDef.sql(
+    "x_interval_join",
+    """WITH iv AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s_us,
+      |         epoch_us(ts) + CAST(floor(least(value, 120.0) * 60) AS BIGINT) * 1000000 AS e_us
+      |  FROM events)
+      |SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+      |       (least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) // 1000000 AS overlap_s
+      |FROM iv a JOIN iv b
+      |  ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'view'
+      | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("s_us", unix_micros(col("ts")))
+      // floor BEFORE the long cast: DuckDB's double→BIGINT cast rounds
+      // while Spark's truncates — floor() is identical in both.
+      .withColumn("e_us",
+        col("s_us") + floor(least(col("value"), lit(120.0)) * 60).cast("long") * 1000000L)
+    val a = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("s_us").as("a_s"), col("e_us").as("a_e"))
+    val b = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("s_us").as("b_s"), col("e_us").as("b_e"))
+    graft.operators.IntervalJoin.intervalJoin(a, b, key = "user_id",
+        lStartUs = "a_s", lEndUs = "a_e", rStartUs = "b_s", rEndUs = "b_e",
+        bandSec = 7200L)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000").as("overlap_s"))
+  }
+
   /** Batch sessionization: each user's events grouped into sessions
     * separated by a 30-minute inactivity gap — the conversation/
     * session-assembly operator of an event-stream training pipeline.
@@ -237,5 +278,5 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin,
-      sessionize, sessionizeG10)
+      intervalJoin, sessionize, sessionizeG10)
 }

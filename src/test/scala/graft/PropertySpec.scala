@@ -183,6 +183,30 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("interval join equals the naive overlap join, including intervals longer than the band") {
+    val genIv = for {
+      k <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 20L)
+      // lengths 0..10 s vs a 4 s band: covers point intervals, the
+      // ≤band contract, AND the longer-than-band graceful path
+      len <- Gen.oneOf(Gen.choose(0L, 3L), Gen.oneOf(0L, 5L, 10L))
+    } yield (k, s, s + len)
+    check(Prop.forAll(Gen.zip(Gen.listOfN(10, genIv), Gen.listOfN(10, genIv))) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s * 1000000L, e * 1000000L) }
+      val r = rs.zipWithIndex.map { case ((k, s, e), i) => (100L + i, k, s * 1000000L, e * 1000000L) }
+      val got = graft.operators.IntervalJoin.intervalJoin(
+          l.toDF("lid", "key", "ls", "le"), r.toDF("rid", "key", "rs_", "re_"),
+          key = "key", lStartUs = "ls", lEndUs = "le",
+          rStartUs = "rs_", rEndUs = "re_", bandSec = 4L)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val ref = (for {
+        a <- l; b <- r
+        if a._2 == b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._1, b._1)).toSet
+      got == ref
+    }, n = 10)
+  }
+
   test("passage dedup equals a brute-force scala reference on random corpora") {
     // tiny vocabulary forces cross-doc (and cross-position) chunk collisions
     val genDoc = Gen.choose(0, 12).flatMap(n =>
