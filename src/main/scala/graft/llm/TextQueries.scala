@@ -627,9 +627,59 @@ object TextQueries {
     tfidfTopkOf(Tables.documents(s, d), k = 5)
   }
 
+  /** Skip-gram context-pair mining — the word2vec/fastText training-
+    * input generator: every (center, context) token pair within a
+    * forward window of `w` positions, counted corpus-wide, top-k by
+    * (count desc, pair asc). Zero-join formulation: posexplode the
+    * token stream and explode each position's `slice(toks, i+1, w)`
+    * forward context — fan-out is exactly w per token, never L², and
+    * the count is one partial-agg groupBy on the pair. The top-k is a
+    * global `orderBy().limit(k)` which compiles to
+    * TakeOrderedAndProject (distributed top-k, no single-partition
+    * sort of the full pair table); only the k survivors pass through
+    * the rank window.
+    */
+  def skipgramTopkOf(docs: org.apache.spark.sql.DataFrame, w: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(w >= 1 && k >= 1, s"degenerate skipgram config (w=$w, k=$k)")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select(tokens(col("text")).as("toks"))
+      .select(posexplode(col("toks")).as(Seq("pos0", "tok_a")), col("toks"))
+      .select(col("tok_a"),
+        explode(slice(col("toks"), col("pos0") + lit(2), lit(w))).as("tok_b"))
+    pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("tok_a"), col("tok_b"))).cast("long"))
+  }
+
+  private def skipgramTopkSql(w: Int, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |p AS (
+       |  SELECT toks[i] AS tok_a,
+       |         unnest(list_slice(toks, i + 1, i + $w)) AS tok_b
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t)),
+       |c AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+       |SELECT tok_a, tok_b, n,
+       |       CAST(row_number() OVER (ORDER BY n DESC, tok_a, tok_b) AS BIGINT) AS rnk
+       |FROM c ORDER BY n DESC, tok_a, tok_b LIMIT $k""".stripMargin
+
+  val skipgramTopk: QueryDef = QueryDef.sql(
+    "x_skipgram_topk", skipgramTopkSql(w = 3, k = 20)) { (s, d) =>
+    skipgramTopkOf(Tables.documents(s, d), w = 3, k = 20)
+  }
+
+  /** Tighter window (w=2, k=10): the adjacent-collocation config;
+    * same parameterized builder and oracle on both sides.
+    */
+  val skipgramTopkW2: QueryDef = QueryDef.sql(
+    "x_skipgram_topk_w2", skipgramTopkSql(w = 2, k = 10)) { (s, d) =>
+    skipgramTopkOf(Tables.documents(s, d), w = 2, k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
-      tfidfTopk, tfidfTopkK5)
+      tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2)
 }

@@ -238,6 +238,28 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("skipgram topk equals a brute-force forward-window reference on random corpora") {
+    val genDoc = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val (w, k) = (2, 6)
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, "en", t) }
+        .toDF("doc_id", "lang", "text")
+      val got = graft.llm.TextQueries.skipgramTopkOf(docs, w, k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val prs = texts.flatMap { t =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        ts.indices.flatMap(i =>
+          ((i + 1) to math.min(i + w, ts.length - 1)).map(j => (ts(i), ts(j))))
+      }
+      val ref = prs.groupBy(identity).view.mapValues(_.size.toLong).toList
+        .sortBy { case ((a, b), n) => (-n, a, b) }.take(k).zipWithIndex
+        .map { case (((a, b), n), i) => (a, b, n, i.toLong + 1) }.toSet
+      got == ref
+    }, n = 8)
+  }
+
   test("dup profile equals a brute-force trigram-df reference on random corpora") {
     val genDoc = Gen.choose(0, 10).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
