@@ -186,6 +186,39 @@ object AnalyticsQueries {
         (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
   }
 
+  /** The SAME as-of semantics through the custom native operator
+    * ([[org.apache.spark.sql.graft.AsOfJoinExec]] — LogicalPlan +
+    * Strategy + SparkPlan registered at call time): one forward merge
+    * pass per co-partitioned sorted partition, O(1) state. Sharing
+    * x_asof_join's DuckDB ASOF oracle pins the custom physical
+    * operator itself to a reference engine, not merely to the
+    * declarative formulation.
+    */
+  val asofNative: QueryDef = QueryDef.sql(
+    "x_asof_native",
+    """WITH a AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+      |SELECT a.event_id, a.user_id, a.ts,
+      |       b.event_id AS prior_event_id, b.ts AS prior_ts, b.value AS prior_value
+      |FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "ts", "event_id", "value")
+    org.apache.spark.sql.graft.AsOfJoinNative.asofJoinNative(
+        clicks, purchases, key = "user_id", ts = "ts",
+        rightCols = Seq("event_id", "value"))
+      .select("event_id", "user_id", "ts", "prior_event_id", "prior_ts", "prior_value")
+  }
+
   /** Interval-overlap join: each click event carries an activity
     * interval [ts, ts + min(value, 120)·60 s] and pairs with every
     * same-user view interval it overlaps — the two-sided temporal
@@ -277,6 +310,6 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, rangeJoin,
-      intervalJoin, sessionize, sessionizeG10)
+    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
+      rangeJoin, intervalJoin, sessionize, sessionizeG10)
 }
