@@ -57,10 +57,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Bootstrap warm-up: initialize codegen/shuffle/scan machinery once
-    // so the first timed query isn't charged Spark's cold start.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Bootstrap warm-up + shared index, GUARDED like the query loop:
+    // a broken loader here (e.g. regenerated testdata the scan
+    // rejects) must still produce the JSON artifact below with
+    // `"valid": false` — an uncaught throw at this point would erase
+    // the bench number for the round, the exact failure mode the
+    // failures/errors machinery exists to prevent.
+    var failures = List.empty[String]
+    // Warm-up initializes codegen/shuffle/scan machinery once so the
+    // first timed query isn't charged Spark's cold start.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable =>
+      failures ::= s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }
     // The shared shingle index is built once per (JVM, sf-dir) and
     // amortized across the whole dedup family (SharedIndex). Pay it
     // HERE, as its own metric line, so (a) every per-query number below
@@ -68,7 +79,10 @@ object Bench {
     // reported instead of landing in — and being min()'d out of — the
     // first dedup query's first sample.
     val ib0 = System.nanoTime()
-    llm.SharedIndex.sidPostings(spark, sfDir).count()
+    try llm.SharedIndex.sidPostings(spark, sfDir).count()
+    catch { case e: Throwable =>
+      failures ::= s"index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
+    }
     val indexBuild = (System.nanoTime() - ib0) / 1e9
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
@@ -77,7 +91,6 @@ object Bench {
     // comparable signal. A >3× spread between two samples of the SAME
     // plan is the contention signature — one extra sample keeps one
     // unlucky scheduling slice from defining the query's number.
-    var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next

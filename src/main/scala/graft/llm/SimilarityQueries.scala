@@ -506,15 +506,23 @@ object SimilarityQueries {
     * cell whose fan-out is bounded by cell occupancy — the knob (more
     * centroids) you raise with corpus size, exactly like LSH planes.
     */
-  def semDedupOf(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+  /** Shared centroid-cell assignment for the semantic-dedup family:
+    * seeds = vec_id % 100 == seedRem, nearest-by-cosine top-1 per
+    * vector. Pinned once (lazy localCheckpoint): the scored centroid
+    * scan feeds THREE consumers in each caller — without the pin the
+    * whole assignment subtree would compute 3×. Fails fast on an
+    * empty seed set: with zero centroids the crossJoin would yield
+    * zero assigned rows and a caller filtering kept=1 would silently
+    * drop the whole corpus.
+    */
+  private def assignCells(emb: org.apache.spark.sql.DataFrame, seedRem: Int): org.apache.spark.sql.DataFrame = {
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val cent = e.where(col("vec_id") % 100 === 0)
+    val cent = e.where(col("vec_id") % 100 === seedRem)
       .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
-    // Pinned once: the scored centroid scan + top-1 window feeds THREE
-    // consumers (both pair sides and the output frame) — without the
-    // lazy checkpoint the whole assignment subtree would compute 3×.
-    val assigned = e.crossJoin(broadcast(cent))
+    require(!cent.isEmpty,
+      s"semantic dedup: no centroid seeds (no vec_id % 100 == $seedRem in the corpus)")
+    e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
         (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
       .withColumn("rn", row_number().over(
@@ -522,6 +530,33 @@ object SimilarityQueries {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
       .localCheckpoint(eager = false)
+  }
+
+  /** The shared q/e/cent/assigned oracle CTEs at a given seed
+    * remainder — one SQL builder for the whole family, so the two
+    * sides' parameterization cannot drift.
+    */
+  private def semAssignedCtes(seedRem: Int): String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qe,
+       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = $seedRem),
+       |assigned AS (
+       |  SELECT vec_id, qe, nrm, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+       |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cent c)
+       |  WHERE rn = 1)""".stripMargin
+
+  def semDedupOf(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val assigned = assignCells(emb, seedRem = 0)
     val lo = assigned.select(col("vec_id").as("va"), col("cell").as("cell_a"),
       col("qe").as("qe_a"), col("nrm").as("nrm_a"))
     val hi = assigned.select(col("vec_id").as("vb"), col("cell"),
@@ -536,23 +571,7 @@ object SimilarityQueries {
   }
 
   private def semDedupSql(tau: Double): String =
-    s"""WITH q AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-       |  FROM embeddings),
-       |e AS (
-       |  SELECT vec_id, qe,
-       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
-       |  FROM q),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 0),
-       |assigned AS (
-       |  SELECT vec_id, qe, nrm, cent_id AS cell FROM (
-       |    SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
-       |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN cent c)
-       |  WHERE rn = 1),
+    s"""WITH ${semAssignedCtes(seedRem = 0)},
        |dropped AS (
        |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -648,18 +667,7 @@ object SimilarityQueries {
     * batch's cell occupancies, not the store size.
     */
   def semDedupIncrOf(emb: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val cent = e.where(col("vec_id") % 100 === 1)
-      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
-        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
-      .localCheckpoint(eager = false)
+    val assigned = assignCells(emb, seedRem = 1)
     val delta = assigned.where(col("vec_id") % 10 === 0)
     val corpus = assigned.where(col("vec_id") % 10 =!= 0)
       .select(col("cell").as("cell_c"), col("qe").as("qe_c"), col("nrm").as("nrm_c"))
@@ -673,23 +681,7 @@ object SimilarityQueries {
   }
 
   private def semDedupIncrSql(tau: Double): String =
-    s"""WITH q AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-       |  FROM embeddings),
-       |e AS (
-       |  SELECT vec_id, qe,
-       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
-       |  FROM q),
-       |cent AS (
-       |  SELECT vec_id AS cent_id, qe AS cent_qe, nrm AS cent_nrm FROM e WHERE vec_id % 100 = 1),
-       |assigned AS (
-       |  SELECT vec_id, qe, nrm, cent_id AS cell FROM (
-       |    SELECT e.vec_id, e.qe, e.nrm, c.cent_id,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
-       |               (e.nrm * c.cent_nrm) DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN cent c)
-       |  WHERE rn = 1),
+    s"""WITH ${semAssignedCtes(seedRem = 1)},
        |dropped AS (
        |  SELECT DISTINCT d.vec_id FROM assigned d JOIN assigned c
        |    ON d.cell = c.cell AND d.vec_id % 10 = 0 AND c.vec_id % 10 != 0

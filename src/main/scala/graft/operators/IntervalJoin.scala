@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Bounds are integer micros columns (exact arithmetic end to end; no
   * double rounding can misplace a boundary) supplied by the caller.
+  *
+  * SET semantics over the carried columns: the closing distinct (which
+  * collapses multi-band meetings) also collapses pairs of fully
+  * identical input rows. Callers needing bag semantics — the naive
+  * theta-join's multiplicity on duplicate rows — must carry a unique
+  * id column per side (as x_interval_join does with event ids).
   */
 object IntervalJoin {
 

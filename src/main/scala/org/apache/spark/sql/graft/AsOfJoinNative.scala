@@ -119,6 +119,24 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(outSchema, leftOut ++ priorOut)
       val joined = new JoinedRow
       val nullPrior = new GenericInternalRow(nPrior)
+      // null keys order FIRST and equal each other — the same
+      // asc-nulls-first total order requiredChildOrdering asks for, so
+      // a null-key left row matches null-key rights exactly like the
+      // declarative window formulation (which partitions nulls
+      // together); only null-TS rows are excluded (no event time =
+      // never "the most recent at or before t").
+      def cmpKeys(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else keyOrd.compare(a, b)
+      // buffer-backed values (UTF8String & friends) alias the row
+      // buffer their iterator reuses; anything REMEMBERED across rows
+      // must be deep-copied or it silently mutates under us
+      def copyKey(k: Any): Any = k match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case o => o
+      }
       var rRow: InternalRow = null
       var rKey: Any = null
       var rTs: Any = null
@@ -126,35 +144,35 @@ case class AsOfJoinExec(
         rRow = null
         while (rRow == null && rIter.hasNext) {
           val c = rIter.next()
-          val k = rKeyB.eval(c)
           val t = rTsB.eval(c)
-          // rows with no key or no event time can never be "the most
-          // recent right row at or before t" — skip them entirely
-          if (k != null && t != null) { rRow = c; rKey = k; rTs = t }
+          if (t != null) { rRow = c; rKey = rKeyB.eval(c); rTs = t }
         }
       }
       advanceRight()
       var priorKey: Any = null
+      var priorSet = false
       var prior: InternalRow = null
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        if (lk != null && lt != null) {
+        if (lt != null) {
           // consume every right row at or before (lk, lt); the last one
           // with a matching key is the as-of match
           var continue = rRow != null
           while (continue) {
-            val ck = keyOrd.compare(rKey, lk)
+            val ck = cmpKeys(rKey, lk)
             if (ck < 0 || (ck == 0 && tsOrd.compare(rTs, lt) <= 0)) {
-              if (ck == 0) { prior = payloadProj(rRow).copy(); priorKey = lk }
+              if (ck == 0) {
+                prior = payloadProj(rRow).copy()
+                priorKey = copyKey(lk)
+                priorSet = true
+              }
               advanceRight()
               continue = rRow != null
             } else continue = false
           }
         }
-        val p =
-          if (lk != null && prior != null && keyOrd.compare(priorKey, lk) == 0) prior
-          else nullPrior
+        val p = if (priorSet && cmpKeys(priorKey, lk) == 0) prior else nullPrior
         outProj(joined(lRow, p))
       }
     }
@@ -173,6 +191,13 @@ object AsOfJoinNative {
       rightCols: Seq[String]): DataFrame = {
     require(!rightCols.contains(ts),
       s"asofJoinNative: rightCols must not repeat the ts column '$ts'")
+    // same fail-fast guard as the declarative AsOfJoin: the emitted
+    // prior_* names must be free on the left or the output schema
+    // silently carries duplicate column names
+    val emitted = (ts +: rightCols).map("prior_" + _).toSet
+    val lClash = left.columns.filter(emitted)
+    require(lClash.isEmpty,
+      s"asofJoinNative: left columns collide with emitted names: ${lClash.mkString(", ")}")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =

@@ -71,6 +71,41 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("null keys match each other, exactly like the declarative window formulation") {
+    val l = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, null, 100L), (2L, 7L, 100L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Double)](
+      (null, 50L, 10L, 1.0), (7L, 60L, 11L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val n = native(l, r).select("event_id", "prior_event_id").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    val d = declarative(l, r).select("event_id", "prior_event_id").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(n == d && n == Map(1L -> Some(10L), 2L -> Some(11L)))
+  }
+
+  test("string keys survive buffer reuse (remembered key is deep-copied)") {
+    // many rows per partition forces row-buffer reuse in the sorted
+    // streams; with an aliased remembered key the LAST match would
+    // bleed into foreign keys
+    val l = (1 to 200).map(i => (i.toLong, s"u${i % 5}", 100L + i))
+      .toDF("event_id", "user_id", "ts")
+    val r = (1 to 50).map(i => (s"u${i % 5}", 40L + i, 1000L + i, i.toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = collectSetStr(native(l, r))
+    val want = collectSetStr(declarative(l, r))
+    assert(got == want)
+  }
+
+  private def collectSetStr(df: org.apache.spark.sql.DataFrame) = df
+    .select("event_id", "user_id", "ts", "prior_event_id", "prior_ts", "prior_value")
+    .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+      Option(x.get(3)).map(_.asInstanceOf[Long]),
+      Option(x.get(4)).map(_.asInstanceOf[Long]),
+      Option(x.get(5)).map(_.asInstanceOf[Double])))
+    .toSet
+
   test("self-join: both sides from one frame do not collide on expression ids") {
     val ev = Seq((1L, 7L, 100L, "click", 1.0), (2L, 7L, 50L, "purchase", 2.0),
       (3L, 7L, 200L, "purchase", 3.0)).toDF("event_id", "user_id", "ts", "event_type", "value")
