@@ -67,13 +67,17 @@ class SessionizeSpec extends SparkSpec {
       evs.isEmpty || {
         val batch = Sessionize.sessionizeBatch(evs.toDF(), gapMs = gapMs)
           .as[(Long, Timestamp, Timestamp, Int)].collect().toSet
-        // one flush event per user, 2 gaps past that user's last event:
-        // it breaches every open session so the stream EMITS the full
-        // session table; the flush's own 1-event session stays open and
-        // unreported, restoring exact batch/stream table equality
-        val flush = evs.groupBy(_.user_id).map { case (u, es) =>
-          Event(u, new Timestamp(es.map(_.ts.getTime).max + 2 * gapMs), "flush")
-        }.toSeq
+        // one flush event per user, all at the SAME global time (2 gaps
+        // past the latest event anywhere): each breaches its user's open
+        // session so the stream EMITS the full session table, and the
+        // flush sessions themselves stay open AND un-timed-out — with
+        // per-user flush times, an early user's flush session could
+        // breach the watermark driven by a LATE user's flush
+        // (flush_u + gap < globalMax + 2·gap − delay when users' spans
+        // differ by more than delay − gap) and be spuriously reported
+        val globalFlushTs = evs.map(_.ts.getTime).max + 2 * gapMs
+        val flush = evs.map(_.user_id).distinct.map(u =>
+          Event(u, new Timestamp(globalFlushTs), "flush"))
         sample += 1
         val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event](spark)
         val q = Sessionize.sessionizeStream(spark, input.toDS(), gapMs = gapMs)
