@@ -101,8 +101,17 @@ object NearDupIngest {
       .where(col("ov").cast("double") / (col("na") + col("nb") - col("ov")) >= jaccardMin)
       .select(col("doc_a").as("doc_id")).distinct()
     val survivors = exactNew.join(nearDup, Seq("doc_id"), "left_anti")
+    appendIdempotent(spark, survivors, storeDir, batchId)
+  }
 
-    // idempotent append: one file per batchId, atomic rename-replace
+  /** Idempotent single-file append: the batch lands as ONE file named
+    * by its batchId via atomic rename-replace, so a foreachBatch
+    * replay overwrites its own previous attempt and rows can never
+    * double. An all-dropped batch removes a crashed attempt's file to
+    * keep replays aligned with the recomputation.
+    */
+  private def appendIdempotent(spark: SparkSession, survivors: DataFrame,
+      storeDir: String, batchId: Long): Long = {
     val scratch = java.nio.file.Files.createTempDirectory(s"graft-ingest-$batchId-")
     try {
       survivors.coalesce(1).write.mode("overwrite").parquet(s"$scratch/out")
@@ -117,8 +126,6 @@ object NearDupIngest {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           spark.read.parquet(target.toString).count()
         case None =>
-          // all-dropped batch; replays recompute the same empty result,
-          // so removing a crashed attempt's file keeps them aligned
           java.nio.file.Files.deleteIfExists(target)
           0L
       }
@@ -129,6 +136,63 @@ object NearDupIngest {
       rm(scratch.toFile)
     }
   }
+
+  /** PASSAGE-granular dedup-at-ingest — the streaming form of
+    * x_passage_dedup: each micro-batch's documents are chunked into
+    * fixed non-overlapping token windows, passages already present in
+    * the compacted store (or claimed by an earlier doc of the same
+    * batch — keep-first by (doc_id, chunk_id)) are dropped, and each
+    * surviving document is REBUILT from its novel passages before the
+    * idempotent append. A document whose every passage is recycled
+    * contributes nothing and is not stored (unlike the batch query,
+    * which keeps an empty audit row — ingest stores text, not audits).
+    *
+    * Replay-idempotent like ingestBatch: the corpus read self-excludes
+    * the batch's own doc_ids, so a crashed attempt's append is
+    * recomputed identically and overwritten.
+    *
+    * Scale shape: the store-side passage set is one distinct over the
+    * compacted corpus per batch here; a production deployment keeps a
+    * passage-digest side table maintained by the same append protocol
+    * so the probe is an equi-join against digests, not a re-chunk —
+    * the plan shape (anti-join on passage content) is identical.
+    */
+  def ingestPassageBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
+      batchId: Long, chunkTokens: Int = 16): Long = {
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    val corpus = Compaction.readCompacted(spark, storeDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val corpusPassages = graft.llm.CurationQueries.chunkDf(corpus, chunkTokens, overlap = 0)
+      .select("chunk_text").distinct()
+    val ch = graft.llm.CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    val keptInBatch = ch.withColumn("rn", row_number().over(
+        Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")))
+      .where(col("rn") === 1)
+    val novel = keptInBatch.join(corpusPassages, Seq("chunk_text"), "left_anti")
+    val rebuilt = novel.groupBy("doc_id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("text"))
+    appendIdempotent(spark, rebuilt.select("doc_id", "text"), storeDir, batchId)
+  }
+
+  /** The passage-dedup ingest as a continuous flow over a streaming
+    * (doc_id, ts, text) frame: stream-edge exact dedup, then the
+    * per-batch passage cut into `storeDir`.
+    */
+  def startPassage(spark: SparkSession, docs: DataFrame, storeDir: String,
+      dupWindow: String = "1 hour", chunkTokens: Int = 16): StreamingQuery =
+    StreamingIngest.dedupWithinWatermark(
+        docs.withColumn("fp", fp(col("text"))), Seq("fp"), "ts", dupWindow)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestPassageBatch(spark, batch.drop("fp"), storeDir, batchId, chunkTokens)
+        ()
+      }
+      .start()
 
   /** Start the composed flow over a streaming `docs` frame
     * (doc_id, ts, text): watermark-bounded exact dedup at the edge,

@@ -111,4 +111,58 @@ class NearDupIngestSpec extends SparkSpec {
     assert(NearDupIngest.ingestBatch(spark, batch, dir, batchId = 7) == 0L)
     assert(storeIds(dir) == Set(1L))
   }
+
+  // 16-token passages with disjoint vocabularies per passage
+  private def passage(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+  private val pA = passage("pa")
+  private val pB = passage("pb")
+  private val pC = passage("pc")
+  private val pD = passage("pd")
+  private val pE = passage("pe")
+
+  private def storeTexts(dir: String): Map[Long, String] =
+    Compaction.readCompacted(spark, dir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+
+  test("passage ingest cuts store-recycled and batch-claimed passages, drops empty docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpassage").resolve("t").toString
+    // store doc 1 carries passages A and B
+    Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    val input = MemoryStream[Doc](spark)
+    val q = NearDupIngest.startPassage(spark, input.toDF(), dir)
+    try {
+      // doc 10: recycled A + novel C  -> stored as just C
+      // doc 11: novel D + C again     -> C is claimed by doc 10
+      //                                  (lower doc_id) -> stored as D
+      // doc 12: A + B only            -> fully recycled -> not stored
+      input.addData(
+        Doc(10, ts(0), s"$pA $pC"),
+        Doc(11, ts(1), s"$pD $pC"),
+        Doc(12, ts(2), s"$pA $pB"))
+      q.processAllAvailable()
+      assert(storeTexts(dir) == Map(1L -> s"$pA $pB", 10L -> pC, 11L -> pD),
+        s"batch 1 store mismatch: ${storeTexts(dir)}")
+
+      // batch 2: C entered the store via batch 1 -> doc 20 keeps only E
+      input.addData(Doc(20, ts(10), s"$pC $pE"))
+      q.processAllAvailable()
+      assert(storeTexts(dir)(20L) == pE)
+      assert(storeTexts(dir).keySet == Set(1L, 10L, 11L, 20L))
+    } finally q.stop()
+  }
+
+  test("ingestPassageBatch replay (same input, same batchId) is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpassagereplay").resolve("t").toString
+    Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val batch = Seq(Doc(10, ts(0), s"$pA $pC"), Doc(12, ts(2), s"$pB")).toDF()
+    val first = NearDupIngest.ingestPassageBatch(spark, batch, dir, batchId = 0)
+    assert(first == 1, s"only doc 10's C passage is novel, got $first")
+    assert(storeTexts(dir) == Map(1L -> s"$pA $pB", 10L -> pC))
+    // crash-replay: the prior append self-excludes from the corpus by
+    // doc_id, recomputes the same cut, and replaces the same file
+    val second = NearDupIngest.ingestPassageBatch(spark, batch, dir, batchId = 0)
+    assert(second == 1 && storeTexts(dir) == Map(1L -> s"$pA $pB", 10L -> pC))
+  }
 }
