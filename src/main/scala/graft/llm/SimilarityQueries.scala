@@ -520,8 +520,15 @@ object SimilarityQueries {
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
     val cent = e.where(col("vec_id") % 100 === seedRem)
       .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
-    require(!cent.isEmpty,
-      s"semantic dedup: no centroid seeds (no vec_id % 100 == $seedRem in the corpus)")
+    // Fail fast only on the dangerous case: vectors exist but no seed
+    // matches (the crossJoin would yield zero assigned rows and a
+    // kept=1 filter downstream would silently drop the whole corpus).
+    // A genuinely EMPTY input stays a lazy empty result. Cost: two
+    // limit-1 probes at construction — early-out scans, microseconds
+    // against any non-pathological layout.
+    require(!cent.isEmpty || emb.isEmpty,
+      s"semantic dedup: corpus has vectors but no centroid seeds " +
+        s"(no vec_id % 100 == $seedRem) — every vector would be silently dropped")
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
         (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))

@@ -46,6 +46,24 @@ object NearDupIngest {
   private def fp(text: org.apache.spark.sql.Column) =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Batch normalization shared by both ingest forms. `doc_id` is the
+    * STABLE document identity: re-delivery of an id is treated as a
+    * replay of the same content (the idempotence design hinges on it —
+    * the corpus read self-excludes the batch's ids), so an upstream
+    * that re-sends an id with DIFFERENT text violates the contract;
+    * the nearest safe behavior is keep-one-deterministically, never
+    * two rows under one id. Within a batch, duplicate ids collapse to
+    * the lexicographically-least text (replay-stable), which also
+    * prevents the passage reassembly from interleaving two documents'
+    * chunks under one id.
+    */
+  private def normalizedDocs(batch: DataFrame): DataFrame =
+    batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("text")))
+      .where(col("__rn") === 1).drop("__rn")
+
   /** Run one micro-batch of the ingest against the compacted store at
     * `storeDir` (schema: doc_id, text — must exist, seeded or prior
     * batches). Returns the number of rows appended.
@@ -58,8 +76,7 @@ object NearDupIngest {
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, jaccardMin: Double = 0.8, shingleK: Int = 3,
       maxDf: Int = 8): Long = {
-    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
-      col("text").cast("string").as("text"))
+    val docs = normalizedDocs(batch)
     // replay self-exclusion: a crashed attempt may already have
     // appended this batch's rows; they must not count as "corpus" or
     // the replay would drop everything and break idempotence
@@ -159,8 +176,7 @@ object NearDupIngest {
     */
   def ingestPassageBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, chunkTokens: Int = 16): Long = {
-    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
-      col("text").cast("string").as("text"))
+    val docs = normalizedDocs(batch)
     val corpus = Compaction.readCompacted(spark, storeDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
       .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -178,35 +194,40 @@ object NearDupIngest {
     appendIdempotent(spark, rebuilt.select("doc_id", "text"), storeDir, batchId)
   }
 
-  /** The passage-dedup ingest as a continuous flow over a streaming
-    * (doc_id, ts, text) frame: stream-edge exact dedup, then the
-    * per-batch passage cut into `storeDir`.
+  /** Shared flow skeleton over a streaming (doc_id, ts, text) frame:
+    * watermark-bounded exact dedup at the stream edge, then the
+    * supplied per-batch ingest — ONE builder, so a sink-protocol
+    * change (checkpointing, edge-dedup tuning) cannot drift between
+    * the two ingest forms.
     */
-  def startPassage(spark: SparkSession, docs: DataFrame, storeDir: String,
-      dupWindow: String = "1 hour", chunkTokens: Int = 16): StreamingQuery =
+  private def startWith(docs: DataFrame, dupWindow: String)(
+      perBatch: (DataFrame, Long) => Unit): StreamingQuery =
     StreamingIngest.dedupWithinWatermark(
         docs.withColumn("fp", fp(col("text"))), Seq("fp"), "ts", dupWindow)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestPassageBatch(spark, batch.drop("fp"), storeDir, batchId, chunkTokens)
-        ()
+        perBatch(batch.drop("fp"), batchId)
       }
       .start()
 
-  /** Start the composed flow over a streaming `docs` frame
-    * (doc_id, ts, text): watermark-bounded exact dedup at the edge,
-    * then the per-batch near-dup ingest into `storeDir`.
+  /** The passage-dedup ingest as a continuous flow: stream-edge exact
+    * dedup, then the per-batch passage cut into `storeDir`.
+    */
+  def startPassage(spark: SparkSession, docs: DataFrame, storeDir: String,
+      dupWindow: String = "1 hour", chunkTokens: Int = 16): StreamingQuery =
+    startWith(docs, dupWindow) { (batch, batchId) =>
+      ingestPassageBatch(spark, batch, storeDir, batchId, chunkTokens)
+      ()
+    }
+
+  /** Start the composed flow: watermark-bounded exact dedup at the
+    * edge, then the per-batch near-dup ingest into `storeDir`.
     */
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,
       dupWindow: String = "1 hour", jaccardMin: Double = 0.8): StreamingQuery =
-    StreamingIngest.dedupWithinWatermark(
-        docs.withColumn("fp", fp(col("text"))), Seq("fp"), "ts", dupWindow)
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch.drop("fp"), storeDir, batchId, jaccardMin)
-        ()
-      }
-      .start()
+    startWith(docs, dupWindow) { (batch, batchId) =>
+      ingestBatch(spark, batch, storeDir, batchId, jaccardMin)
+      ()
+    }
 }

@@ -96,6 +96,12 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     SortOrder(leftKey, Ascending) :: SortOrder(leftTs, Ascending) :: Nil
 
+  // the merge is 1:1 with the left stream and zipPartitions preserves
+  // its partitioning — advertise it, or every downstream key operation
+  // re-shuffles what the children just exchanged
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -130,11 +136,15 @@ case class AsOfJoinExec(
         else if (a == null) -1
         else if (b == null) 1
         else keyOrd.compare(a, b)
-      // buffer-backed values (UTF8String & friends) alias the row
-      // buffer their iterator reuses; anything REMEMBERED across rows
-      // must be deep-copied or it silently mutates under us
+      // buffer-backed values (UTF8String, unsafe array/map/struct)
+      // alias the row buffer their iterator reuses; anything
+      // REMEMBERED across rows must be deep-copied or it silently
+      // mutates under us. Primitives/Decimal/etc. are immutable.
       def copyKey(k: Any): Any = k match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case r: InternalRow => r.copy()
         case o => o
       }
       var rRow: InternalRow = null

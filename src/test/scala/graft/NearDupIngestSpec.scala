@@ -153,6 +153,26 @@ class NearDupIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("duplicate doc_ids within a batch collapse to one deterministic row, never interleave") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdupid").resolve("t").toString
+    Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    // two DIFFERENT texts under one id (upstream contract violation):
+    // keep-one (lexicographically-least text) — the store must never
+    // hold two rows for one id or a text interleaving both documents
+    val batch = Seq(Doc(5, ts(0), s"$pC $pD"), Doc(5, ts(1), s"$pE $pC")).toDF()
+    NearDupIngest.ingestPassageBatch(spark, batch, dir, batchId = 0)
+    val got = storeTexts(dir)
+    assert(got.keySet == Set(1L, 5L) && got(5L) == s"$pC $pD",
+      s"expected the least text kept whole, got $got")
+    // same collapse on the near-dup ingest path
+    val dir2 = java.nio.file.Files.createTempDirectory("graftdupid2").resolve("t").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir2)
+    NearDupIngest.ingestBatch(spark, Seq(Doc(5, ts(0), tNovel), Doc(5, ts(1), tNovel2)).toDF(),
+      dir2, batchId = 0)
+    val ids2 = Compaction.readCompacted(spark, dir2).select("doc_id").as[Long].collect()
+    assert(ids2.count(_ == 5L) == 1, s"one row per id, got ${ids2.toSeq}")
+  }
+
   test("ingestPassageBatch replay (same input, same batchId) is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graftpassagereplay").resolve("t").toString
     Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
