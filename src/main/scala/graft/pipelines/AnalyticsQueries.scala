@@ -230,23 +230,25 @@ object AnalyticsQueries {
     * integer seconds of intersection (inclusive ends, so touching
     * intervals overlap 0 s and still pair).
     */
-  val intervalJoin: QueryDef = QueryDef.sql(
-    "x_interval_join",
-    """WITH iv AS (
-      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s_us,
-      |         epoch_us(ts) + CAST(floor(least(value, 120.0) * 60) AS BIGINT) * 1000000 AS e_us
-      |  FROM events)
-      |SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
-      |       (least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) // 1000000 AS overlap_s
-      |FROM iv a JOIN iv b
-      |  ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'view'
-      | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""") { (s, d) =>
+  private def intervalJoinSql(capMin: Double): String =
+    s"""WITH iv AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS s_us,
+       |         epoch_us(ts) + CAST(floor(least(value, $capMin) * 60) AS BIGINT) * 1000000 AS e_us
+       |  FROM events)
+       |SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id,
+       |       (least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us)) // 1000000 AS overlap_s
+       |FROM iv a JOIN iv b
+       |  ON a.user_id = b.user_id AND a.event_type = 'click' AND b.event_type = 'view'
+       | AND a.s_us <= b.e_us AND b.s_us <= a.e_us""".stripMargin
+
+  private def intervalJoinDf(s: org.apache.spark.sql.SparkSession, d: String,
+      capMin: Double, bandSec: Long): org.apache.spark.sql.DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("s_us", unix_micros(col("ts")))
       // floor BEFORE the long cast: DuckDB's double→BIGINT cast rounds
       // while Spark's truncates — floor() is identical in both.
       .withColumn("e_us",
-        col("s_us") + floor(least(col("value"), lit(120.0)) * 60).cast("long") * 1000000L)
+        col("s_us") + floor(least(col("value"), lit(capMin)) * 60).cast("long") * 1000000L)
     val a = ev.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("s_us").as("a_s"), col("e_us").as("a_e"))
@@ -255,9 +257,23 @@ object AnalyticsQueries {
         col("s_us").as("b_s"), col("e_us").as("b_e"))
     graft.operators.IntervalJoin.intervalJoin(a, b, key = "user_id",
         lStartUs = "a_s", lEndUs = "a_e", rStartUs = "b_s", rEndUs = "b_e",
-        bandSec = 7200L)
+        bandSec = bandSec)
       .select(col("click_id"), col("view_id"), col("user_id"),
         expr("(least(a_e, b_e) - greatest(a_s, b_s)) div 1000000").as("overlap_s"))
+  }
+
+  val intervalJoin: QueryDef = QueryDef.sql(
+    "x_interval_join", intervalJoinSql(capMin = 120.0)) { (s, d) =>
+    intervalJoinDf(s, d, capMin = 120.0, bandSec = 7200L)
+  }
+
+  /** Tighter activity window (durations capped at 60 min, band sized
+    * to match): fewer, shorter overlaps; same parameterized builder
+    * and oracle on both sides.
+    */
+  val intervalJoinC60: QueryDef = QueryDef.sql(
+    "x_interval_join_c60", intervalJoinSql(capMin = 60.0)) { (s, d) =>
+    intervalJoinDf(s, d, capMin = 60.0, bandSec = 3600L)
   }
 
   /** Batch sessionization: each user's events grouped into sessions
@@ -311,5 +327,5 @@ object AnalyticsQueries {
 
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
-      rangeJoin, intervalJoin, sessionize, sessionizeG10)
+      rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10)
 }
