@@ -42,6 +42,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional comma-separated query-name filter for targeted profiling
+    // (e.g. SPARK_GRAFT_ONLY=j_role_playing,x_embed_neardup). Unset →
+    // the full registry, which is the only mode whose total is the
+    // round's comparable number.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Where to persist the full artifact. The driver's BENCH_r*.json
+    // keeps only a truncated log tail (r09 lost 47 of 108 per-query
+    // timings), so the bench also writes its complete JSON line to a
+    // file the builder commits per round (bench/roundN.json) — per-query
+    // regression attribution needs the full history, not the tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "")
     // Gate BEFORE the SparkSession spins up its own 32 threads: by the
     // time the warm-up runs, loadavg already reflects us, not the host.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "0.5").toDouble
@@ -79,11 +91,16 @@ object Bench {
     // reported instead of landing in — and being min()'d out of — the
     // first dedup query's first sample.
     val ib0 = System.nanoTime()
-    try llm.SharedIndex.sidPostings(spark, sfDir).count()
-    catch { case e: Throwable =>
-      failures ::= s"index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
-    }
-    val indexBuild = (System.nanoTime() - ib0) / 1e9
+    val indexOk =
+      try { llm.SharedIndex.sidPostings(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        failures ::= s"index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        false
+      }
+    // On failure the elapsed time is time-to-exception — meaningless as
+    // a build cost — so it is EXCLUDED from queries/total (the failure
+    // is already named in `errors` and the line marked invalid).
+    val indexBuild = if (indexOk) (System.nanoTime() - ib0) / 1e9 else -1.0
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
     // so a single sample is mostly noise. The first run also pays
@@ -91,7 +108,11 @@ object Bench {
     // comparable signal. A >3× spread between two samples of the SAME
     // plan is the contention signature — one extra sample keeps one
     // unlucky scheduling slice from defining the query's number.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
         val t0 = System.nanoTime()
@@ -125,16 +146,25 @@ object Bench {
     failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
     val ok = results.filter(_._2 >= 0)
     val loadEnd = loadAvg()
-    val qs = (ok + ("index_build" -> indexBuild))
+    val qs = (if (indexOk) ok + ("index_build" -> indexBuild) else ok)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
-    val total = ok.values.sum + indexBuild
-    val allValid = valid && failures.isEmpty && results.size == ok.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}""")
+    val total = ok.values.sum + (if (indexOk) indexBuild else 0.0)
+    val allValid = valid && failures.isEmpty && results.size == ok.size && only.isEmpty
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+    println(line)
+    if (outFile.nonEmpty)
+      try {
+        val p = java.nio.file.Paths.get(outFile)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+      }
     spark.stop()
     // Non-zero exit preserves the loud-failure contract for callers
     // that check rc — the artifact above is still on stdout.

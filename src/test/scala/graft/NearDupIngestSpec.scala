@@ -173,6 +173,140 @@ class NearDupIngestSpec extends SparkSpec {
     assert(ids2.count(_ == 5L) == 1, s"one row per id, got ${ids2.toSeq}")
   }
 
+  // ---------------------------------------------------------------
+  // Incremental index side tables
+  // ---------------------------------------------------------------
+
+  /** Root paths of every file-source scan in the (lazy) plan. */
+  private def scannedRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(p => p.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("steady-state admission scans ONLY the digest indexes, never the store's text") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndplan").resolve("t").toString
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ensureDocIdx(spark, dir, 3)
+    NearDupIngest.ensurePassageIdx(spark, dir, 16)
+    val batch = Seq(Doc(10, ts(0), tNovel)).toDF()
+
+    val docFlow = NearDupIngest.admitDocsFlow(spark, batch, dir,
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, pin = identity)
+    val docRoots = scannedRoots(docFlow)
+    assert(docRoots.exists(_.startsWith(NearDupIngest.fpIdxDir(dir))), s"fp index unread: $docRoots")
+    assert(docRoots.exists(_.startsWith(NearDupIngest.shIdxDir(dir, 3))), s"shingle index unread: $docRoots")
+    assert(!docRoots.exists(p => p == dir || p.startsWith(dir + "/")),
+      s"per-batch admission must not rescan the store (O(corpus) per batch at 100 TB): $docRoots")
+
+    val pgFlow = NearDupIngest.admitPassagesFlow(spark, batch, dir, chunkTokens = 16)
+    val pgRoots = scannedRoots(pgFlow)
+    assert(pgRoots.exists(_.startsWith(NearDupIngest.pgIdxDir(dir, 16))), s"passage index unread: $pgRoots")
+    assert(!pgRoots.exists(p => p == dir || p.startsWith(dir + "/")),
+      s"passage admission must not rescan the store: $pgRoots")
+  }
+
+  /** The pre-index formulation (full store-text rescan per batch),
+    * kept as the equivalence oracle: the incremental-index ingest must
+    * admit EXACTLY the docs this admits.
+    */
+  private def rescanSurvivorIds(batch: org.apache.spark.sql.DataFrame, dir: String,
+      jaccardMin: Double = 0.8, shingleK: Int = 3, maxDf: Int = 8): Set[Long] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def fpc(c: org.apache.spark.sql.Column) = md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id").orderBy("text")))
+      .where(col("__rn") === 1).drop("__rn")
+    val corpus = Compaction.readCompacted(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val keeper = Window.partitionBy("fp").orderBy("doc_id")
+    val exactNew = docs.withColumn("fp", fpc(col("text")))
+      .withColumn("rn", row_number().over(keeper)).where(col("rn") === 1)
+      .join(corpus.select(fpc(col("text")).as("fp")), Seq("fp"), "left_anti")
+      .select("doc_id", "text")
+    val post = graft.llm.TextOps.shinglePostings(exactNew.unionByName(corpus), shingleK)
+    val rare = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("shingle")
+    val deltaIds = exactNew.select(col("doc_id").as("doc_a"))
+    val deltaPost = post.join(deltaIds, col("doc_id") === col("doc_a"))
+      .join(rare, "shingle").select(col("doc_a"), col("shingle"))
+    val corpusPost = post.join(corpus.select(col("doc_id").as("doc_b")),
+      col("doc_id") === col("doc_b")).select(col("doc_b"), col("shingle").as("sh_r"))
+    val cand = deltaPost.join(corpusPost, col("shingle") === col("sh_r"))
+      .select("doc_a", "doc_b").distinct()
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val overlap = cand
+      .join(post.select(col("doc_id").as("pa"), col("shingle").as("sha")), col("doc_a") === col("pa"))
+      .join(post.select(col("doc_id").as("pb"), col("shingle").as("shb")),
+        col("doc_b") === col("pb") && col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ov"))
+    val nearDup = overlap
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .where(col("ov").cast("double") / (col("na") + col("nb") - col("ov")) >= jaccardMin)
+      .select(col("doc_a").as("doc_id")).distinct()
+    exactNew.join(nearDup, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+  }
+
+  test("incremental-index admission matches the full-rescan formulation batch for batch") {
+    // two stores seeded identically; one ingested incrementally, one
+    // adjudicated by the rescan oracle before each ingest
+    val dir = java.nio.file.Files.createTempDirectory("graftndequiv").resolve("t").toString
+    Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    val b1 = Seq(
+      Doc(10, ts(0), tNovel), Doc(11, ts(1), t1), Doc(12, ts(2), t2near),
+      Doc(13, ts(3), tNovel2), Doc(14, ts(4), tNovel2)).toDF()
+    val want1 = rescanSurvivorIds(b1, dir)
+    NearDupIngest.ingestBatch(spark, b1, dir, batchId = 0)
+    assert(storeIds(dir) == Set(1L, 2L, 3L) ++ want1,
+      s"batch 1: incremental admission must equal the rescan oracle ($want1)")
+
+    // batch 2 probes docs that entered via batch 1 — the index path
+    // must see them exactly as the rescan path sees the grown store
+    val b2 = Seq(Doc(20, ts(10), tNovelNear), Doc(21, ts(11), t3),
+      Doc(22, ts(12), text((1 to 20).map(i => s"golf$i"): _*))).toDF()
+    val want2 = rescanSurvivorIds(b2, dir)
+    val before = storeIds(dir)
+    NearDupIngest.ingestBatch(spark, b2, dir, batchId = 1)
+    assert(storeIds(dir) == before ++ want2,
+      s"batch 2: incremental admission must equal the rescan oracle ($want2)")
+  }
+
+  test("a store compaction between batches leaves the index path exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndcompact").resolve("t").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), dir, batchId = 0)
+    Compaction.compactParquet(spark, dir) // folds seed + ingest-0 into one generation
+    // near-dup of the pre-compaction append must still be caught, and
+    // a replayed batchId must not resurrect via the rewritten store
+    assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), tNovelNear)).toDF(), dir, 1) == 0L)
+    assert(storeIds(dir) == Set(1L, 10L))
+  }
+
+  test("deleting an index directory triggers an exact rebuild from the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndrebuild").resolve("t").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), dir, batchId = 0)
+    // repair path: lose the indexes; the next batch bootstraps them
+    // from the CURRENT store (seed + batch 0) and still catches dups
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    rm(new java.io.File(NearDupIngest.fpIdxDir(dir)))
+    rm(new java.io.File(NearDupIngest.shIdxDir(dir, 3)))
+    assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), t1), Doc(21, ts(6), tNovelNear)).toDF(), dir, 1) == 0L)
+    assert(storeIds(dir) == Set(1L, 10L))
+  }
+
   test("ingestPassageBatch replay (same input, same batchId) is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graftpassagereplay").resolve("t").toString
     Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
