@@ -267,6 +267,101 @@ object MultimodalQueries {
     frames.mapPartitions(_.grouped(64).flatMap(decodeFrameBatch)).toDF()
   }
 
+  // ----------------------------------------------------------------
+  // Audio/visual timestamp alignment — the third modality consumer:
+  // video frames vs caption/audio segments on the media timeline.
+  // ----------------------------------------------------------------
+
+  /** Frame ↔ caption-segment alignment: each document is a media item
+    * whose frames tick at a fixed `frameUs` cadence (frame count =
+    * the deterministic n_frames fake shared with x_frame_sample) and
+    * whose text is the caption/transcript track — chunked into
+    * `chunkTokens`-token segments, each spanning `tokUs` µs per token
+    * on the same timeline (fixed-rate speech, the standard forced-
+    * alignment stand-in). A frame pairs with every segment whose time
+    * interval it overlaps — subtitle alignment / audio-visual sync,
+    * the join a video-training pipeline runs to label frames with
+    * concurrent speech.
+    *
+    * Built on [[graft.operators.IntervalJoin.intervalJoinById]]
+    * (doc_id-keyed banded equi-join; frame_no / chunk_id are the
+    * per-side unique ids, so the dedup exchange carries three narrow
+    * columns) — the second real consumer of the interval operator.
+    * A tokenless document's segment gets an INVERTED interval
+    * (end = start − 1) and correctly pairs with nothing — the
+    * documented inverted-bounds contract. `overlap_ms` is exact
+    * integer milliseconds of intersection (inclusive µs ends).
+    *
+    * Scale shape: both sides explode partition-locally (fan-out ≤
+    * frames-per-item and segments-per-doc), then one banded equi-join
+    * on (doc_id, band) — no corpus×corpus term anywhere; band width
+    * is pinned to the max segment span, so per-row band fan-out ≤ 2.
+    */
+  private def avAlignDf(s: SparkSession, d: String, chunkTokens: Int,
+      tokUs: Long, frameUs: Long, bandSec: Long): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val frames = docs
+      .withColumn("n_frames", (length(col("text").cast("binary")) % 24 + 1).cast("long"))
+      .select(col("doc_id"), explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        (col("frame_no") * frameUs).as("f_s"),
+        (col("frame_no") * frameUs + (frameUs - 1)).as("f_e"))
+    val segUs = chunkTokens * tokUs
+    val segs = CurationQueries.chunkDf(docs.select("doc_id", "text"), chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * segUs).as("c_s"),
+        (col("chunk_id") * segUs + col("n_chunk_tokens") * tokUs - 1).as("c_e"))
+    graft.operators.IntervalJoin.intervalJoinById(frames, segs, key = "doc_id",
+        lId = "frame_no", rId = "chunk_id",
+        lStartUs = "f_s", lEndUs = "f_e", rStartUs = "c_s", rEndUs = "c_e",
+        bandSec = bandSec)
+      .select(col("doc_id"), col("frame_no"), col("chunk_id"),
+        expr("(least(f_e, c_e) - greatest(f_s, c_s) + 1) div 1000").as("overlap_ms"))
+  }
+
+  /** Naive-inequality oracle over the same deterministic timeline. */
+  private def avAlignSql(chunkTokens: Int, tokUs: Long, frameUs: Long): String = {
+    val c = chunkTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, n,
+       |         CASE WHEN n <= $c THEN 0 ELSE (n - $c + ${c - 1}) // $c END AS max_k
+       |  FROM t),
+       |seg AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |         CAST(k * ${c * tokUs} AS BIGINT) AS c_s,
+       |         CAST(k * ${c * tokUs} + least($c, n - k * $c) * $tokUs - 1 AS BIGINT) AS c_e
+       |  FROM (SELECT doc_id, n, unnest(generate_series(0, max_k)) AS k FROM k)),
+       |fi AS (
+       |  SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+       |         CAST(frame_no * $frameUs AS BIGINT) AS f_s,
+       |         CAST(frame_no * $frameUs + ${frameUs - 1} AS BIGINT) AS f_e
+       |  FROM (SELECT doc_id, unnest(generate_series(0, octet_length(encode(text)) % 24)) AS frame_no
+       |        FROM documents))
+       |SELECT fi.doc_id, fi.frame_no, seg.chunk_id,
+       |       CAST((least(f_e, c_e) - greatest(f_s, c_s) + 1) // 1000 AS BIGINT) AS overlap_ms
+       |FROM fi JOIN seg ON fi.doc_id = seg.doc_id AND f_s <= c_e AND c_s <= f_e""".stripMargin
+  }
+
+  /** 2 s frames, 16-token segments at 0.5 s/token (8 s max span,
+    * band = 8 s so segment fan-out stays ≤ 2).
+    */
+  val avAlign: QueryDef = QueryDef.sql(
+    "x_av_align", avAlignSql(chunkTokens = 16, tokUs = 500000L, frameUs = 2000000L)) { (s, d) =>
+    avAlignDf(s, d, chunkTokens = 16, tokUs = 500000L, frameUs = 2000000L, bandSec = 8L)
+  }
+
+  /** Faster cadence: 1 s frames, 24-token segments at 0.25 s/token
+    * (6 s max span, band = 6 s) — both knobs real on both sides.
+    */
+  val avAlignF1: QueryDef = QueryDef.sql(
+    "x_av_align_f1", avAlignSql(chunkTokens = 24, tokUs = 250000L, frameUs = 1000000L)) { (s, d) =>
+    avAlignDf(s, d, chunkTokens = 24, tokUs = 250000L, frameUs = 1000000L, bandSec = 6L)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(multimodalMeta, multimodalDecode, frameSample, framesDecoded)
+    Seq(multimodalMeta, multimodalDecode, frameSample, framesDecoded,
+      avAlign, avAlignF1)
 }

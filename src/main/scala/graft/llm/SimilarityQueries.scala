@@ -515,6 +515,13 @@ object SimilarityQueries {
     * zero assigned rows and a caller filtering kept=1 would silently
     * drop the whole corpus.
     */
+  /** Once-per-(session, corpus-plan, seed) memo for assignCells' seed
+    * probe — an entry exists only after the probe PASSED (a thrown
+    * require caches nothing and re-probes next call).
+    */
+  private val seedProbeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), java.lang.Boolean]()
+
   private def assignCells(emb: org.apache.spark.sql.DataFrame, seedRem: Int): org.apache.spark.sql.DataFrame = {
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
@@ -524,11 +531,18 @@ object SimilarityQueries {
     // matches (the crossJoin would yield zero assigned rows and a
     // kept=1 filter downstream would silently drop the whole corpus).
     // A genuinely EMPTY input stays a lazy empty result. Cost: two
-    // limit-1 probes at construction — early-out scans, microseconds
-    // against any non-pathological layout.
-    require(!cent.isEmpty || emb.isEmpty,
-      s"semantic dedup: corpus has vectors but no centroid seeds " +
-        s"(no vec_id % 100 == $seedRem) — every vector would be silently dropped")
+    // limit-1 probes at construction — memoized per (session, corpus
+    // plan, seed) like SharedIndex, so repeated construction of the
+    // same query (e.g. Bench's per-sample rebuild) probes once, not
+    // per sample.
+    val probeKey = (System.identityHashCode(emb.sparkSession),
+      emb.queryExecution.analyzed.semanticHash(), seedRem)
+    seedProbeMemo.computeIfAbsent(probeKey, { _ =>
+      require(!cent.isEmpty || emb.isEmpty,
+        s"semantic dedup: corpus has vectors but no centroid seeds " +
+          s"(no vec_id % 100 == $seedRem) — every vector would be silently dropped")
+      java.lang.Boolean.TRUE
+    })
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
         (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))

@@ -255,7 +255,10 @@ object AnalyticsQueries {
     val b = ev.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         col("s_us").as("b_s"), col("e_us").as("b_e"))
-    graft.operators.IntervalJoin.intervalJoin(a, b, key = "user_id",
+    // id-based form: the multi-band dedup exchanges only
+    // (user_id, click_id, view_id); bounds re-attach by id
+    graft.operators.IntervalJoin.intervalJoinById(a, b, key = "user_id",
+        lId = "click_id", rId = "view_id",
         lStartUs = "a_s", lEndUs = "a_e", rStartUs = "b_s", rEndUs = "b_e",
         bandSec = bandSec)
       .select(col("click_id"), col("view_id"), col("user_id"),

@@ -209,9 +209,14 @@ object AsOfJoinNative {
     require(lClash.isEmpty,
       s"asofJoinNative: left columns collide with emitted names: ${lClash.mkString(", ")}")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        AsOfJoinStrategy +: spark.experimental.extraStrategies
+    // synchronized: the check-then-prepend is otherwise racy on
+    // concurrent first calls (double registration is harmless to
+    // planning — the first match wins — but keeps the list clean)
+    AsOfJoinNative.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          AsOfJoinStrategy +: spark.experimental.extraStrategies
+      }
     }
     // Re-alias the right side through a fresh Project so a self-join
     // (both sides scanning the same table) cannot carry duplicate

@@ -54,6 +54,30 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(collectSet(df).contains((3L, 8L, 10L, None, None, None)))
   }
 
+  test("downstream groupBy(key) reuses the join's partitioning under AQE — no third exchange") {
+    // AsOfJoinExec advertises outputPartitioning = left child's, so a
+    // key-clustered consumer must be satisfied by the exchange the
+    // children ALREADY paid — a third Exchange between the exec and
+    // the aggregate would mean the advertisement regressed (the exact
+    // reason the r9 outputPartitioning fix exists).
+    val l = left((1L, 7L, 100L), (2L, 7L, 200L), (3L, 8L, 10L), (4L, 9L, 100L),
+      (5L, 8L, 500L), (6L, 9L, 700L))
+    val r = right((7L, 50L, 10L, 1.0), (8L, 9L, 11L, 2.0), (9L, 650L, 12L, 3.0))
+    val agg = native(l, r).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("prior_value").as("mx"))
+    agg.collect() // materialize so AQE finalizes its stage plan
+    // the AQE string renders Final AND Initial plans — count only the
+    // finalized one, or every exchange double-counts
+    val planStr = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(planStr.contains("AsOfJoin "), s"no AsOfJoinExec in:\n$planStr")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(planStr).size
+    assert(nEx == 2,
+      s"expected exactly the two child exchanges between scan and aggregate, got $nEx:\n$planStr")
+  }
+
   test("native equals declarative on random keyed event sets (property)") {
     val genL = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 30L)))
     val genR = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 30L)))

@@ -187,23 +187,32 @@ class PropertySpec extends SparkSpec {
     val genIv = for {
       k <- Gen.choose(1L, 3L)
       s <- Gen.choose(0L, 20L)
-      // lengths 0..10 s vs a 4 s band: covers point intervals, the
-      // ≤band contract, AND the longer-than-band graceful path
-      len <- Gen.oneOf(Gen.choose(0L, 3L), Gen.oneOf(0L, 5L, 10L))
+      // lengths -5..10 s vs a 4 s band: covers INVERTED intervals
+      // (end < start — accepted, matches the naive join; see the
+      // operator scaladoc), point intervals, the ≤band contract, AND
+      // the longer-than-band graceful path
+      len <- Gen.oneOf(Gen.choose(0L, 3L), Gen.oneOf(-5L, 0L, 5L, 10L))
     } yield (k, s, s + len)
     check(Prop.forAll(Gen.zip(Gen.listOfN(10, genIv), Gen.listOfN(10, genIv))) { case (ls, rs) =>
       val l = ls.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s * 1000000L, e * 1000000L) }
       val r = rs.zipWithIndex.map { case ((k, s, e), i) => (100L + i, k, s * 1000000L, e * 1000000L) }
+      val lDf = l.toDF("lid", "key", "ls", "le")
+      val rDf = r.toDF("rid", "key", "rs_", "re_")
       val got = graft.operators.IntervalJoin.intervalJoin(
-          l.toDF("lid", "key", "ls", "le"), r.toDF("rid", "key", "rs_", "re_"),
-          key = "key", lStartUs = "ls", lEndUs = "le",
+          lDf, rDf, key = "key", lStartUs = "ls", lEndUs = "le",
+          rStartUs = "rs_", rEndUs = "re_", bandSec = 4L)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      // the id-based (narrow-exchange) form must agree row for row
+      val gotById = graft.operators.IntervalJoin.intervalJoinById(
+          lDf, rDf, key = "key", lId = "lid", rId = "rid",
+          lStartUs = "ls", lEndUs = "le",
           rStartUs = "rs_", rEndUs = "re_", bandSec = 4L)
         .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       val ref = (for {
         a <- l; b <- r
         if a._2 == b._2 && a._3 <= b._4 && b._3 <= a._4
       } yield (a._1, b._1)).toSet
-      got == ref
+      got == ref && gotById == ref
     }, n = 10)
   }
 
