@@ -288,6 +288,11 @@ class NearDupIngestSpec extends SparkSpec {
     Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
     NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), dir, batchId = 0)
     Compaction.compactParquet(spark, dir) // folds seed + ingest-0 into one generation
+    // the INDEX dirs accrete one file per batch too and are compacted
+    // by the same protocol; the manifest-aware readIdx must keep the
+    // admission exact across their compaction as well
+    Compaction.compactParquet(spark, NearDupIngest.fpIdxDir(dir))
+    Compaction.compactParquet(spark, NearDupIngest.shIdxDir(dir, 3))
     // near-dup of the pre-compaction append must still be caught, and
     // a replayed batchId must not resurrect via the rewritten store
     assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), tNovelNear)).toDF(), dir, 1) == 0L)
