@@ -532,7 +532,181 @@ object CurationQueries {
       .select("doc_id", "chunk_id", "n_chunk_tokens", "cum_tokens", "shard_id")
   }
 
+  // ----------------------------------------------------------------
+  // Gopher-style rule filter (Rae et al. 2021 §A1.1 repetition/quality
+  // rules, adapted to this corpus's signals): a document keeps iff
+  //   - word count within [minWords, maxWords]
+  //   - mean word length within [3, 10]
+  //   - distinct-word ratio ≥ minDistinct (the word-level repetition
+  //     rule — low ratio = the doc is the same words over and over)
+  //   - fraction of characters in the most frequent word 2-gram
+  //     ≤ maxTop2 (the "top n-gram character fraction" rule)
+  // Emits the evidence columns alongside kept ∈ {0,1} so threshold
+  // choices are auditable downstream, and so the filter composes with
+  // the curation pipeline (filter kept=1) without recomputation.
+  //
+  // Scale shape: word stats are per-row array ops (no shuffle); the
+  // top-2-gram needs one doc-keyed shuffle (posexplode+lead grams →
+  // (doc, gram) partial-agg count → per-doc top-1 via the
+  // WindowGroupLimit rank) and a 1:1 join back — all keyed by doc_id,
+  // embarrassingly parallel at any corpus size. All ratios are single
+  // divisions of exact integers, so the output is bit-identical
+  // across engines and partitionings (no float summation anywhere).
+  // ----------------------------------------------------------------
+
+  def gopherFilterDf(docs: DataFrame, minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): DataFrame = {
+    val stats = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w).cast("long"))
+          .as("sum_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // top word-2-gram via the codegen'd posexplode+lead shape (nested
+    // array HOFs run interpreted — see TextOps.shinglePostings)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), lead("tok", 1).over(byDoc)).as("gram"),
+        lead("tok", 1).over(byDoc).isNotNull.as("complete"))
+      .where(col("complete"))
+    val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+      .where(col("rn") === 1)
+      // gram chars exclude the joining space — cnt occurrences cover
+      // cnt * that many characters of the document's word mass
+      .select(col("doc_id"), (col("cnt") * (length(col("gram")) - 1)).as("top2_chars"))
+    val scored = stats.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("sum_chars").cast("double") / nullif(col("n_words"), lit(0L)))
+          .as("mean_word_len"),
+        (col("n_distinct").cast("double") / nullif(col("n_words"), lit(0L)))
+          .as("distinct_word_ratio"),
+        coalesce(col("top2_chars").cast("double") / nullif(col("sum_chars"), lit(0L)),
+          lit(0.0)).as("top_2gram_char_frac"))
+    scored.withColumn("kept",
+      when(col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("distinct_word_ratio") >= minDistinct &&
+        col("top_2gram_char_frac") <= maxTop2, 1L).otherwise(0L))
+  }
+
+  private def gopherFilterSql(minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |stats AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sum_chars,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+       |  FROM t),
+       |gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+       |top AS (
+       |  SELECT doc_id, cnt * (length(gram) - 1) AS top2_chars FROM gc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1),
+       |scored AS (
+       |  SELECT s.doc_id, s.n_words,
+       |         CAST(s.sum_chars AS DOUBLE) / nullif(s.n_words, 0) AS mean_word_len,
+       |         CAST(s.n_distinct AS DOUBLE) / nullif(s.n_words, 0) AS distinct_word_ratio,
+       |         coalesce(CAST(top.top2_chars AS DOUBLE) / nullif(s.sum_chars, 0), 0.0)
+       |           AS top_2gram_char_frac
+       |  FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id)
+       |SELECT doc_id, n_words, mean_word_len, distinct_word_ratio, top_2gram_char_frac,
+       |       CAST(CASE WHEN n_words BETWEEN $minWords AND $maxWords
+       |                  AND mean_word_len BETWEEN 3.0 AND 10.0
+       |                  AND distinct_word_ratio >= $minDistinct
+       |                  AND top_2gram_char_frac <= $maxTop2
+       |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM scored""".stripMargin
+
+  val gopherFilter: QueryDef = QueryDef.sql(
+    "x_gopher_filter",
+    gopherFilterSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)) { (s, d) =>
+    gopherFilterDf(Tables.documents(s, d),
+      minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+  }
+
+  /** The aggressive config — tighter repetition bounds, the setting a
+    * high-quality-subset pass would use; same parameterized builder
+    * and oracle on both sides.
+    */
+  val gopherFilterStrict: QueryDef = QueryDef.sql(
+    "x_gopher_filter_strict",
+    gopherFilterSql(minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)) { (s, d) =>
+    gopherFilterDf(Tables.documents(s, d),
+      minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
+  }
+
+  /** Gopher-gated preprocessing pipeline: rule filter (kept=1) →
+    * exact-dedup keeper over normalized text → chunk → shard pack.
+    * The x_pipeline_e2e composition with the NEW rule filter as the
+    * quality gate — pins that x_gopher_filter composes with the
+    * dedup/chunk/pack stages (each independently oracle-checked)
+    * without recomputation or a new shuffle class.
+    */
+  val pipelineGopher: QueryDef = QueryDef.sql(
+    "x_pipeline_gopher",
+    s"""WITH gf AS (
+       |${gopherFilterSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)}),
+       |kd AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN gf ON d.doc_id = gf.doc_id AND gf.kept = 1),
+       |nrm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM kd),
+       |keep AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+       |  FROM nrm),
+       |surv AS (SELECT doc_id FROM keep WHERE rn = 1),
+       |ct AS (
+       |  SELECT d.doc_id,
+       |         CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents d JOIN surv USING (doc_id)),
+       |ck AS (
+       |  SELECT doc_id, n, CASE WHEN n <= 40 THEN 0 ELSE (n - 40 + 31) // 32 END AS max_k
+       |  FROM ct),
+       |cks AS (
+       |  SELECT doc_id, n, unnest(generate_series(0, max_k)) AS k FROM ck),
+       |chunks AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       |         CAST(least(40, n - k * 32) AS BIGINT) AS n_chunk_tokens
+       |  FROM cks),
+       |packed AS (
+       |  SELECT doc_id, chunk_id, n_chunk_tokens,
+       |         CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM chunks)
+       |SELECT doc_id, chunk_id, n_chunk_tokens, cum_tokens,
+       |       (cum_tokens - n_chunk_tokens) // 2000 AS shard_id
+       |FROM packed""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val kept = gopherFilterDf(docs,
+        minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+      .where(col("kept") === 1).select("doc_id")
+    val first = docs.join(kept, "doc_id")
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("norm"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+      .select("doc_id")
+    val chunks = chunkDf(docs.join(first, "doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    packCumSum(chunks, Seq("doc_id", "chunk_id"), "n_chunk_tokens")
+      .withColumn("shard_id", expr("(cum_tokens - n_chunk_tokens) div 2000"))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "cum_tokens", "shard_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
-      redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e)
+      redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e,
+      gopherFilter, gopherFilterStrict, pipelineGopher)
 }

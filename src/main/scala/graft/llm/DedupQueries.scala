@@ -691,8 +691,67 @@ object DedupQueries {
     dupProfileOf(s, d, minDf = 4)
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct passages (fixed `chunkTokens`-token windows, the
+    * x_passage_dedup chunker) appear in BOTH — the inter-source
+    * contamination/recycling report a corpus owner runs before
+    * weighting sources in a training mix (a source that is largely a
+    * re-crawl of another should not count twice).
+    *
+    * Scale shape: chunks collapse to DISTINCT (source, chunk) pairs
+    * first (one doc-keyed explode + a distinct keyed by chunk
+    * content), so the content join's per-chunk fan-out is bounded by
+    * the number of SOURCES sharing the chunk — |sources|² worst case
+    * per chunk, and the source set is config-bounded, not data-sized.
+    * At 100 TB the chunk key would be a 128-bit digest so only
+    * digests travel — same plan shape. No doc×doc term anywhere.
+    */
+  def crossSourceOverlapOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val ch = CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("chunk_text")).distinct()
+    ch.join(ch.select(col("source").as("source_b"), col("chunk_text")),
+        Seq("chunk_text"))
+      .where(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("source_a").as("source_a"), col("source_b"), col("n_shared"))
+  }
+
+  private def crossSourceOverlapSql(chunkTokens: Int): String = {
+    val c = chunkTokens
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, source, toks, n,
+       |         CASE WHEN n <= $c THEN 0 ELSE (n - $c + ${c - 1}) // $c END AS max_k
+       |  FROM t),
+       |ch AS (
+       |  SELECT DISTINCT source, array_to_string(list_slice(toks, k * $c + 1, k * $c + $c), ' ') AS chunk_text
+       |  FROM (SELECT doc_id, source, toks, unnest(generate_series(0, max_k)) AS k FROM k))
+       |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM ch a JOIN ch b ON a.chunk_text = b.chunk_text AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  val crossSourceOverlap: QueryDef = QueryDef.sql(
+    "x_cross_source_overlap", crossSourceOverlapSql(chunkTokens = 16)) { (s, d) =>
+    crossSourceOverlapOf(Tables.documents(s, d), chunkTokens = 16)
+  }
+
+  /** Coarser passages (24 tokens) — only whole recycled paragraphs
+    * count as shared; same parameterized builder and oracle.
+    */
+  val crossSourceOverlapC24: QueryDef = QueryDef.sql(
+    "x_cross_source_overlap_c24", crossSourceOverlapSql(chunkTokens = 24)) { (s, d) =>
+    crossSourceOverlapOf(Tables.documents(s, d), chunkTokens = 24)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
-      passageDedup, passageDedupC24, dupProfile, dupProfileD4)
+      passageDedup, passageDedupC24, dupProfile, dupProfileD4,
+      crossSourceOverlap, crossSourceOverlapC24)
 }

@@ -718,8 +718,183 @@ object SimilarityQueries {
     semDedupIncrOf(Tables.embeddings(s, d), tau = 0.4)
   }
 
+  // ----------------------------------------------------------------
+  // Approximate kNN graph via BANDED hyperplane LSH — OR-amplification:
+  // `bands` independent r-plane sketches; two vectors are candidates
+  // when ANY band's r sign bits agree. Single-band LSH at 16 planes
+  // leaves most of this corpus isolated (buckets too narrow); banding
+  // trades a bounded candidate-volume increase for the recall a kNN
+  // GRAPH needs (every node should find neighbors, not only the
+  // near-dup ones). Plane weights reuse the single-band formula with
+  // plane index band*r + bit, so determinism and the oracle pairing
+  // carry over unchanged.
+  // ----------------------------------------------------------------
+
+  /** (vec_id, band, bucket) banded sketch rows — `bands` rows per
+    * vector; candidate generation is then an equi-join on
+    * (band, bucket), never vec × vec.
+    */
+  private def bandedBuckets(e: org.apache.spark.sql.DataFrame,
+      bands: Int, r: Int): org.apache.spark.sql.DataFrame = {
+    require(bands > 0 && r > 0 && bands * r <= 62,
+      s"unsupported banded-LSH config: $bands bands × $r planes")
+    val dots = e.select(col("vec_id"), col("qe"),
+        explode(sequence(lit(0), lit(bands * r - 1))).as("plane"))
+      .select(col("vec_id"), col("plane"),
+        aggregate(
+          zip_with(col("qe"), sequence(lit(0), size(col("qe")) - 1),
+            (x, j) => x * (((col("plane") * 97 + j * 31 + 7) % 21) - 10)),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    dots
+      .groupBy(col("vec_id"), (col("plane") / lit(r)).cast("long").as("band"))
+      .agg(sum(when(col("dot") >= 0,
+          expr(s"shiftleft(cast(1 as bigint), plane % $r)")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** Directed approximate-kNN edges: banded-LSH candidates, exact
+    * quantized cosine on candidates only, top-`k` per source node by
+    * (sim desc, vec_b). Pinned (lazy localCheckpoint): the mutual
+    * graph reads the edge set from two plan branches, and the pin
+    * bounds the materialized intermediate at ≤ N·k narrow rows even
+    * for single-consumer callers (density).
+    */
+  private def knnEdgesDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val bkt = bandedBuckets(e, bands, r)
+    // distinct BEFORE scoring: a pair sharing several bands must be
+    // scored once, and the dedup key (vec_a, vec_b) is narrow
+    val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(bkt.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+          col("bucket").as("bucket_b")),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
+      .where(col("rn") <= k).drop("rn")
+      .localCheckpoint(eager = false)
+  }
+
+  /** The q/dots/bkt/cand/edges oracle CTE chain at a given config —
+    * one builder for the whole kNN family, mirroring knnEdgesDf.
+    */
+  private def knnEdgeCtes(bands: Int, r: Int, k: Int): String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p.i AS plane,
+       |         list_sum(list_transform(generate_series(1, len(qe)),
+       |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
+       |  FROM q, generate_series(0, ${bands * r - 1}) p(i)),
+       |bkt AS (
+       |  SELECT vec_id, plane // $r AS band,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $r)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, plane // $r),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+       |  FROM bkt ba JOIN bkt bb
+       |    ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.vec_id != bb.vec_id),
+       |edges AS (
+       |  SELECT vec_a, vec_b, sim FROM (
+       |    SELECT c.vec_a, c.vec_b, $qcosSql AS sim
+       |    FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= $k)""".stripMargin
+
+  /** Mutual-kNN graph: the reciprocal edges (b ∈ topk(a) AND
+    * a ∈ topk(b)), emitted once with vec_a < vec_b. Reciprocity is
+    * the standard robustness filter for graph-based clustering /
+    * diversity pruning over embedding corpora: a one-way edge into a
+    * dense cluster core says little; a mutual edge is evidence both
+    * endpoints are genuinely close.
+    *
+    * Scale shape: the edge set is ≤ N·k rows; the reciprocity check
+    * is a self equi-join on the swapped key pair — never a pair
+    * enumeration beyond the already-bounded candidates. Banded-LSH
+    * candidate volume is the knob: more/narrower bands as the corpus
+    * grows, exactly like the single-band plane count.
+    */
+  private def knnGraphSql(bands: Int, r: Int, k: Int): String =
+    s"""WITH ${knnEdgeCtes(bands, r, k)}
+       |SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b, e1.sim AS sim
+       |FROM edges e1 JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+       |WHERE e1.vec_a < e1.vec_b""".stripMargin
+
+  private def knnGraphDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val edges = knnEdgesDf(s, d, bands, r, k)
+    val rev = edges.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"))
+    edges.join(rev, Seq("vec_a", "vec_b"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  val knnGraph: QueryDef = QueryDef.sql(
+    "x_knn_graph", knnGraphSql(bands = 4, r = 8, k = 5)) { (s, d) =>
+    knnGraphDf(s, d, bands = 4, r = 8, k = 5)
+  }
+
+  /** More bands (6×8): the higher-recall config — more candidates per
+    * node, same top-k; the config a grower corpus would move AWAY
+    * from (toward narrower buckets), pinned here so the
+    * parameterization is proven real in both engines.
+    */
+  val knnGraphB6: QueryDef = QueryDef.sql(
+    "x_knn_graph_b6", knnGraphSql(bands = 6, r = 8, k = 5)) { (s, d) =>
+    knnGraphDf(s, d, bands = 6, r = 8, k = 5)
+  }
+
+  /** Density pruning over the directed kNN edges (the D4 /
+    * SemDeDup-follow-up shape): a node whose top-k contains ≥
+    * `minClose` neighbors at sim ≥ `tau` sits in a dense semantic
+    * clump and is dropped (kept=0) to diversify the corpus; sparse
+    * nodes keep. Emits the evidence columns (k_found, n_close,
+    * max_sim) so the threshold choice is auditable. Counts and max
+    * are order-insensitive — no float summation, so the output is
+    * bit-stable under any partitioning (a mean-similarity variant
+    * would not be). Nodes with no LSH candidate at all are trivially
+    * kept and not emitted (the caller left-joins and defaults).
+    */
+  private def knnDensitySql(bands: Int, r: Int, k: Int, tau: Double, minClose: Int): String =
+    s"""WITH ${knnEdgeCtes(bands, r, k)}
+       |SELECT vec_a AS vec_id,
+       |       CAST(count(*) AS BIGINT) AS k_found,
+       |       CAST(sum(CASE WHEN sim >= $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       |       max(sim) AS max_sim,
+       |       CAST(CASE WHEN sum(CASE WHEN sim >= $tau THEN 1 ELSE 0 END) >= $minClose
+       |            THEN 0 ELSE 1 END AS BIGINT) AS kept
+       |FROM edges GROUP BY vec_a""".stripMargin
+
+  private def knnDensityDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int, tau: Double, minClose: Int): org.apache.spark.sql.DataFrame = {
+    knnEdgesDf(s, d, bands, r, k)
+      .groupBy(col("vec_a").as("vec_id"))
+      .agg(
+        count(lit(1)).as("k_found"),
+        sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_close"),
+        max(col("sim")).as("max_sim"))
+      .withColumn("kept",
+        when(col("n_close") >= minClose, 0L).otherwise(1L))
+  }
+
+  val knnDensity: QueryDef = QueryDef.sql(
+    "x_knn_density",
+    knnDensitySql(bands = 4, r = 8, k = 5, tau = 0.25, minClose = 3)) { (s, d) =>
+    knnDensityDf(s, d, bands = 4, r = 8, k = 5, tau = 0.25, minClose = 3)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
-      semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr)
+      semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
+      knnGraph, knnGraphB6, knnDensity)
 }

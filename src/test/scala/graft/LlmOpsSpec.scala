@@ -418,4 +418,79 @@ class LlmOpsSpec extends SparkSpec {
     // f0_q: checksum("abc") = ((0*31+97)*31+98)*31+99 = 96354 -> &255 = 98
     assert(r.getAs[Long]("f0_q") == math.round(98.0 / 255 * 1000))
   }
+
+  test("mutual-kNN graph: a clump of identical vectors is fully reciprocal; an opposite vector never pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("knng").toString
+    // ids 0-3: identical vectors -> same bucket in every band (same
+    // sign on every plane), pairwise sim 1.0; id 9 is the NEGATED
+    // vector -> every plane dot flips sign, so its per-band bucket is
+    // the bitwise complement of the clump's — it never shares a
+    // bucket and can never become a candidate.
+    val v = Seq(1.0f, 2.0f, 0.5f, -1.5f)
+    val neg = v.map(-_)
+    (Seq(0L, 1L, 2L, 3L).map(id => (id, v, 0)) :+ ((9L, neg, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = llm.SimilarityQueries.knnGraph.run(spark, dir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // k=5 ≥ clump size, so each node's top-k holds all three others:
+    // every clump pair is mutual; nothing touches 9
+    assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("kNN density: a dense clump drops, candidate-less vectors are absent (trivially kept)") {
+    val dir = java.nio.file.Files.createTempDirectory("knnd").toString
+    val v = Seq(1.0f, 2.0f, 0.5f, -1.5f)
+    val neg = v.map(-_)
+    (Seq(0L, 1L, 2L, 3L).map(id => (id, v, 0)) :+ ((9L, neg, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = llm.SimilarityQueries.knnDensity.run(spark, dir)
+      .select("vec_id", "k_found", "n_close", "kept")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // each clump node sees the 3 others at sim ~1.0 ≥ τ=0.25 —
+    // n_close=3 meets minClose=3, so the whole clump is pruned;
+    // 9 has no LSH candidate and yields no row
+    assert(got == Set((0L, 3L, 3L, 0L), (1L, 3L, 3L, 0L),
+      (2L, 3L, 3L, 0L), (3L, 3L, 3L, 0L)))
+  }
+
+  test("cross-source overlap counts distinct shared passages once per source pair") {
+    // 16-token chunker: docs 1 (src a) and 2 (src b) are identical ->
+    // share their one chunk; doc 3 (src b) repeats the SAME text, but
+    // (source, chunk) dedup counts it once; doc 4 (src c) is disjoint.
+    val t16 = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, t16, "a"), (2L, t16, "b"), (3L, t16, "b"), (4L, "totally different words here", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = llm.DedupQueries.crossSourceOverlapOf(docs, chunkTokens = 16)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L)))
+  }
+
+  test("gopher filter: repetition and length rules flag the right documents with exact evidence") {
+    val docs = Seq(
+      // 24 distinct words, mean length (9*5+15*6)/24 = 5.6: passes every default rule
+      (1L, (1 to 24).map(i => s"word$i").mkString(" ")),
+      // 30 words, 2 distinct, one dominating bigram: dropped by both repetition rules
+      (2L, Seq.fill(15)("spam ham").mkString(" ")),
+      // too short (5 words)
+      (3L, "just five words right here"),
+      // mean word length 16 > 10
+      (4L, Seq.fill(25)("extraordinarily").zipWithIndex.map { case (w, i) => w + i }.mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = llm.CurationQueries.gopherFilterDf(docs,
+        minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+      .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // exact evidence on the repetitive doc: 30 words (105 chars of
+    // word mass), 2 distinct; "spam ham" occurs 15 of 29 grams at 7
+    // word chars each -> top frac = 15*7/105 = 1.0 (the whole word
+    // mass is covered by one bigram)
+    val r2 = llm.CurationQueries.gopherFilterDf(docs, 20, 100000, 0.30, 0.10)
+      .where($"doc_id" === 2).head()
+    assert(r2.getAs[Long]("n_words") == 30L)
+    assert(r2.getAs[Double]("distinct_word_ratio") == 2.0 / 30)
+    assert(r2.getAs[Double]("top_2gram_char_frac") == 1.0)
+  }
 }

@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkSpec {
     // with a label-mismatch (non-equi) predicate
     "x_hard_negatives", "x_hard_negatives_k10",
     // x_semdedup_incr: same centroid broadcast as x_semdedup
-    "x_semdedup_incr")
+    "x_semdedup_incr",
+    // x_pipeline_gopher: inherits x_token_pack's triangular offsets
+    // join through the shared packCumSum prefix sum, like x_pipeline_e2e
+    "x_pipeline_gopher")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
