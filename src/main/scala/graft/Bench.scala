@@ -112,7 +112,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Per-query contention evidence: loadavg is sampled immediately
+    // BEFORE each query's samples and emitted beside its timing
+    // (`query_loadavg` below). The start-of-run gate can only certify
+    // the first query — r10's artifact was gated valid yet carried six
+    // mid-run contention spikes that needed an out-of-band idle-host
+    // re-run to adjudicate. With a per-entry load, a spiked timing
+    // carries its own evidence: {secs: 7.05, load: 4.1} self-identifies
+    // as contention, {secs: 7.05, load: 0.2} as a plan regression.
+    // (1-minute loadavg lags the bench's own work by design — it is a
+    // CONTENTION indicator relative to its neighbors, not a utilization
+    // gauge; entries early in the run sit near loadavg_start, and a
+    // burst shows as a step change against surrounding entries.)
     val results = selected.map { case (name, fn) =>
+      val loadBefore = loadAvg()
       def once(): Double = {
         spark.catalog.clearCache() // queries are independent; don't let one query's index GC-pressure the next
         val t0 = System.nanoTime()
@@ -134,7 +147,7 @@ object Bench {
         if (a < 0 || b < 0) Seq(a, b)
         else if (math.max(a, b) > 3 * math.min(a, b)) Seq(a, b, once())
         else Seq(a, b)
-      name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+      name -> ((if (samples.exists(_ < 0)) -1.0 else samples.min), loadBefore)
     }
     // A broken query must fail the bench LOUDLY — but it must not
     // erase the artifact: an aborted run leaves NO number at all (that
@@ -144,9 +157,14 @@ object Bench {
     // and the whole line marked `"valid": false` — parseable,
     // self-adjudicating, impossible to mistake for a clean total.
     failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
-    val ok = results.filter(_._2 >= 0)
+    val ok = results.collect { case (n, (secs, _)) if secs >= 0 => n -> secs }
     val loadEnd = loadAvg()
     val qs = (if (indexOk) ok + ("index_build" -> indexBuild) else ok)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Sibling map keyed identically to `queries` (kept separate so the
+    // driver's name→seconds contract for `queries` is untouched).
+    val loads = results.collect { case (n, (secs, load)) if secs >= 0 => n -> load }
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
@@ -155,7 +173,7 @@ object Bench {
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + (if (indexOk) indexBuild else 0.0)
     val allValid = valid && failures.isEmpty && results.size == ok.size && only.isEmpty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {

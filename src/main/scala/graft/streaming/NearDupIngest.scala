@@ -34,6 +34,10 @@ import graft.operators.Compaction
   *   - `<store>.fpidx`          — (doc_id, fp): exact-dup fingerprints
   *   - `<store>.shidx-k<k>`     — (doc_id, sh): md5 shingle digests
   *   - `<store>.pgidx-c<c>`     — (doc_id, pg): md5 passage digests
+  *   - `<store>.dfidx-k<k>`     — (sh, df, batch_id): PARTIAL
+  *     document-frequency counts, one row per (shingle, batch);
+  *     a digest's corpus df is the SUM of its matching partials
+  *   - `<store>.cntidx-k<c>`    — (doc_id, n): per-doc shingle count
   *
   * Every join in the admission dataflow tests only digest EQUALITY
   * (df cap, candidate generation, overlap counting, passage anti-
@@ -46,7 +50,22 @@ import graft.operators.Compaction
   * maintained by the same idempotent single-file-per-batch append as
   * the store itself. Like the store, an index directory accretes one
   * file per batch and can be folded by [[Compaction.compactParquet]];
-  * the read path is manifest-aware.
+  * the read path is manifest-aware (and the df partials are
+  * compaction-safe by construction — compaction preserves the row
+  * multiset and df is derived by summation, never by row identity).
+  *
+  * '''Why PARTIAL df counts, not a merged (sh, df) table.''' A merged
+  * table would need read-modify-write per batch (random updates — not
+  * a parquet-append shape) or a full re-aggregation per batch (the
+  * O(index) cost this table exists to kill). Partials keep the write
+  * path a pure idempotent append, and the READ stays delta-bounded:
+  * the admission equi-joins the batch's digests against the partials
+  * FIRST and sums only the matched rows, so the aggregation's input is
+  * O(batch digests × matching partial rows), never O(index). The
+  * `batch_id` column exists solely for replay self-exclusion — the
+  * aggregated row carries no doc_id to anti-join on, so a replayed
+  * batch excludes its own prior partials by id instead (bootstrap rows
+  * carry batch_id = -1, never a real foreachBatch id).
   *
   * Exactly-once, by construction rather than coordination:
   *   - the corpus and indexes are resolved through the manifest
@@ -70,9 +89,14 @@ import graft.operators.Compaction
   * Scale shape: per batch, one rare-shingle equi-join (delta digests
   * × df-capped index digests) + the exact-verify join — the
   * x_dedup_incremental dataflow with the delta bounded by micro-batch
-  * size, so per-batch cost is O(batch × doc-size), independent of
-  * corpus length; `NearDupIngestSpec` machine-checks that the
-  * steady-state admission plan scans ONLY the index directories.
+  * size. Steady-state per-batch cost is O(batch × doc-size),
+  * independent of corpus length: the store's text is never read, the
+  * indexes appear only as probe sides of digest/doc_id equi-joins,
+  * and every AGGREGATION input is delta- or candidate-bounded (df
+  * from partial-count sums after the delta semi-join, per-doc counts
+  * from the cnt table after the candidate semi-join).
+  * `NearDupIngestSpec` machine-checks both properties on the
+  * admission plan (index-dirs-only scans; no full-index Aggregate).
   * Store growth is one file per batch per target, exactly the
   * small-file accretion [[Compaction.compactParquet]] exists to fold.
   */
@@ -89,10 +113,14 @@ object NearDupIngest {
   private[graft] def fpIdxDir(storeDir: String): String = storeDir + ".fpidx"
   private[graft] def shIdxDir(storeDir: String, k: Int): String = s"$storeDir.shidx-k$k"
   private[graft] def pgIdxDir(storeDir: String, c: Int): String = s"$storeDir.pgidx-c$c"
+  private[graft] def dfIdxDir(storeDir: String, k: Int): String = s"$storeDir.dfidx-k$k"
+  private[graft] def cntIdxDir(storeDir: String, k: Int): String = s"$storeDir.cntidx-k$k"
 
   private val fpSchema = StructType.fromDDL("doc_id BIGINT, fp STRING")
   private val shSchema = StructType.fromDDL("doc_id BIGINT, sh STRING")
   private val pgSchema = StructType.fromDDL("doc_id BIGINT, pg STRING")
+  private val dfSchema = StructType.fromDDL("sh STRING, df BIGINT, batch_id BIGINT")
+  private val cntSchema = StructType.fromDDL("doc_id BIGINT, n BIGINT")
 
   /** Delta-side shingle digests: the same k-token shingles as the
     * batch dedup family, md5'd — every downstream operation is an
@@ -146,6 +174,26 @@ object NearDupIngest {
       storeText(spark, storeDir).select(col("doc_id"), fp(col("text")).as("fp"))
     }
     ensureIdx(shIdxDir(storeDir, k)) { shingleDigests(storeText(spark, storeDir), k) }
+    // Count side tables bootstrap from the shingle index (a ONE-TIME
+    // full-index aggregate; thereafter maintained by per-batch delta
+    // appends). The shingle index is ensured above, so a repair-path
+    // rebuild of any subset of index dirs converges on the same store
+    // snapshot. Narrow bootstrap edge: a bootstrap racing a crash-
+    // replay whose store append already landed folds that batch's
+    // digests into the -1 rows, which the replay's batch_id exclusion
+    // cannot remove — df can only be OVERcounted, so shingles look
+    // more common, candidates shrink, and the worst case is an
+    // admitted near-dup (swept by the batch-mode corpus pass), never
+    // dropped novel content — the same safe-direction skew as the
+    // store-before-index append ordering.
+    ensureIdx(dfIdxDir(storeDir, k)) {
+      readIdx(spark, shIdxDir(storeDir, k), shSchema)
+        .groupBy("sh").agg(count(lit(1)).as("df")).withColumn("batch_id", lit(-1L))
+    }
+    ensureIdx(cntIdxDir(storeDir, k)) {
+      readIdx(spark, shIdxDir(storeDir, k), shSchema)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
   }
 
   private[graft] def ensurePassageIdx(spark: SparkSession, storeDir: String, c: Int): Unit =
@@ -180,13 +228,30 @@ object NearDupIngest {
     * replay-deterministic), exact dedup vs the fingerprint index
     * (anti-join), near-dup vs the shingle-digest index (rare-digest
     * candidates + exact Jaccard ≥ `jaccardMin`). Returns survivors as
-    * (doc_id, text, fp); replay self-exclusion (by the batch's
-    * doc_ids) is applied to BOTH index reads, mirroring the corpus
-    * self-exclusion of the pre-index formulation.
+    * (doc_id, text, fp); replay self-exclusion is applied to EVERY
+    * index read — by the batch's doc_ids where the index carries one
+    * (fp/sh/cnt), by `batchId` for the df partials — mirroring the
+    * corpus self-exclusion of the pre-index formulation.
+    *
+    * '''Every aggregation here is delta-bounded''' — the per-batch
+    * cost is O(batch × doc-size), independent of corpus length:
+    *   - a digest's combined df = its delta count + the SUM of its
+    *     matching df-partials (the partials are semi-joined down to
+    *     the delta's digests BEFORE the sum — the full (sh, df) table
+    *     is probed, never re-aggregated);
+    *   - per-doc shingle counts come from `deltaPost` for the delta
+    *     side and from the cnt index — semi-joined down to candidate
+    *     docs — for the corpus side;
+    *   - overlap counting joins delta postings against only the
+    *     CANDIDATE docs' index postings (semi-join on doc_b first).
+    * The shingle index itself appears only as the probe side of
+    * equi-joins keyed by digest or doc_id. `NearDupIngestSpec`
+    * machine-checks this ("no full-index aggregate" plan calculus),
+    * on top of the store's-text-never-scanned assertion.
     */
   private[graft] def admitDocsFlow(spark: SparkSession, batch: DataFrame,
       storeDir: String, jaccardMin: Double, shingleK: Int, maxDf: Int,
-      pin: DataFrame => DataFrame): DataFrame = {
+      batchId: Long, pin: DataFrame => DataFrame): DataFrame = {
     val docs = normalizedDocs(batch)
     val batchIds = docs.select("doc_id")
     val fpIdx = readIdx(spark, fpIdxDir(storeDir), fpSchema)
@@ -202,28 +267,47 @@ object NearDupIngest {
       .select("doc_id", "text", "fp"))
 
     // near-dup vs index: x_dedup_incremental's shape with the batch as
-    // the delta side. df cap over the COMBINED digests (delta ∪ index)
-    // keeps the candidate fan-out bounded exactly as in the batch
-    // query; only the delta derives digests from text.
+    // the delta side; only the delta derives digests from text.
     val deltaPost = pin(shingleDigests(exactNew, shingleK))
-    val post = deltaPost.unionByName(shIdx)
-    val rare = post.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("sh")
+
+    // df cap over the COMBINED digests (delta + corpus), with the
+    // corpus side read from the df-partials table: probe by the
+    // delta's digests first (semi-join on sh), THEN sum the matched
+    // partials — identical to counting over delta ∪ index, but the
+    // aggregation input is delta-bounded.
+    val deltaDf = deltaPost.groupBy("sh").agg(count(lit(1)).as("ddf"))
+    val dfParts = readIdx(spark, dfIdxDir(storeDir, shingleK), dfSchema)
+      .where(col("batch_id") =!= lit(batchId)) // replay self-exclusion
+    val corpusDf = dfParts.join(deltaDf.select("sh"), Seq("sh"), "left_semi")
+      .groupBy("sh").agg(sum("df").as("cdf"))
+    val rare = deltaDf.join(corpusDf, Seq("sh"), "left")
+      .where(col("ddf") + coalesce(col("cdf"), lit(0L)) <= maxDf)
+      .select("sh")
+
     val deltaIds = exactNew.select(col("doc_id").as("doc_a"))
     val deltaRare = deltaPost.join(deltaIds, col("doc_id") === col("doc_a"))
       .join(rare, "sh").select(col("doc_a"), col("sh"))
     val corpusPost = shIdx.select(col("doc_id").as("doc_b"), col("sh").as("sh_r"))
-    val cand = deltaRare.join(corpusPost, col("sh") === col("sh_r"))
-      .select("doc_a", "doc_b").distinct()
-    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pinned: the candidate set feeds three branches (overlap pairs,
+    // the candidate-doc semi-joins for postings and counts)
+    val cand = pin(deltaRare.join(corpusPost, col("sh") === col("sh_r"))
+      .select("doc_a", "doc_b").distinct())
+    val candB = cand.select(col("doc_b")).distinct()
+
+    // overlap counting probes the index for CANDIDATE docs only
+    val candPost = corpusPost.join(candB, Seq("doc_b"), "left_semi")
     val overlap = cand
-      .join(post.select(col("doc_id").as("pa"), col("sh").as("sha")), col("doc_a") === col("pa"))
-      .join(post.select(col("doc_id").as("pb"), col("sh").as("shb")),
+      .join(deltaPost.select(col("doc_id").as("pa"), col("sh").as("sha")), col("doc_a") === col("pa"))
+      .join(candPost.select(col("doc_b").as("pb"), col("sh_r").as("shb")),
         col("doc_b") === col("pb") && col("sha") === col("shb"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ov"))
+    val na = deltaPost.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nb = readIdx(spark, cntIdxDir(storeDir, shingleK), cntSchema)
+      .join(batchIds, Seq("doc_id"), "left_anti") // replay self-exclusion
+      .join(candB.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left_semi")
     val nearDup = overlap
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(na.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nb.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .where(col("ov").cast("double") / (col("na") + col("nb") - col("ov")) >= jaccardMin)
       .select(col("doc_a").as("doc_id")).distinct()
     exactNew.join(nearDup, Seq("doc_id"), "left_anti")
@@ -240,13 +324,23 @@ object NearDupIngest {
       maxDf: Int = 8): Long = {
     ensureDocIdx(spark, storeDir, shingleK)
     val survivors = admitDocsFlow(spark, batch, storeDir, jaccardMin, shingleK,
-      maxDf, pin = _.localCheckpoint(false)).localCheckpoint(false)
+      maxDf, batchId, pin = _.localCheckpoint(false)).localCheckpoint(false)
     // store first (see scaladoc: no-replay skew must fail toward a
-    // future sweepable dup, never toward dropping novel content)
+    // future sweepable dup, never toward dropping novel content).
+    // The count tables go LAST for the same reason: a crash between
+    // appends can only leave df undercounted (more candidates, exact
+    // verify unaffected) or a candidate doc without a cnt row (its
+    // pair drops — dup admitted, swept later), never a dropped novel
+    // doc.
     val n = appendIdempotent(spark, survivors.select("doc_id", "text"), storeDir, batchId)
     appendIdempotent(spark, survivors.select("doc_id", "fp"), fpIdxDir(storeDir), batchId)
-    appendIdempotent(spark, shingleDigests(survivors, shingleK),
-      shIdxDir(storeDir, shingleK), batchId)
+    val shNew = shingleDigests(survivors, shingleK).localCheckpoint(false)
+    appendIdempotent(spark, shNew, shIdxDir(storeDir, shingleK), batchId)
+    appendIdempotent(spark,
+      shNew.groupBy("sh").agg(count(lit(1)).as("df")).withColumn("batch_id", lit(batchId)),
+      dfIdxDir(storeDir, shingleK), batchId)
+    appendIdempotent(spark, shNew.groupBy("doc_id").agg(count(lit(1)).as("n")),
+      cntIdxDir(storeDir, shingleK), batchId)
     n
   }
 
@@ -283,6 +377,32 @@ object NearDupIngest {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Single maintenance entry point: fold the store AND every sibling
+    * index side table it has accreted (each gains one file per batch).
+    * Discovery is by the directory-name contract (`<store>.fpidx`,
+    * `.shidx-k*`, `.pgidx-c*`, `.dfidx-k*`, `.cntidx-k*`), so a
+    * maintenance job needs no knowledge of which k/c configs ran.
+    * Safe concurrently with the stream: each directory's compaction is
+    * independently atomic under the manifest+lease protocol, the
+    * admission reads each dir through [[readIdx]] (manifest-aware),
+    * and the df partials are aggregation-derived (sum), so folding
+    * their files never changes a probe result —
+    * `NearDupIngestSpec` pins admission exactness across it.
+    */
+  def compactStoreAndIndexes(spark: SparkSession, storeDir: String): Unit = {
+    Compaction.compactParquet(spark, storeDir)
+    val store = Paths.get(storeDir)
+    val name = store.getFileName.toString
+    val prefixes = Seq(".fpidx", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k")
+      .map(name + _)
+    val siblings = Option(store.getParent).map { parent =>
+      Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && prefixes.exists(f.getName.startsWith))
+        .map(_.getAbsolutePath).toSeq.sorted
+    }.getOrElse(Seq.empty)
+    siblings.foreach(Compaction.compactParquet(spark, _))
+  }
+
   /** The lazy passage-admission dataflow (see [[admitDocsFlow]] for
     * the pin/plan-test contract): batch chunks at fixed windows,
     * keep-first within the batch by (doc_id, chunk_id) over the
@@ -302,7 +422,11 @@ object NearDupIngest {
     val keptInBatch = ch.withColumn("rn", row_number().over(
         Window.partitionBy("pg").orderBy("doc_id", "chunk_id")))
       .where(col("rn") === 1)
-    keptInBatch.join(pgIdx.select("pg").distinct(), Seq("pg"), "left_anti")
+    // no distinct on the index side: an anti-join's semantics ignore
+    // right-side duplicates, and the distinct would be a full-index
+    // aggregate per batch — O(index), the cost class the side tables
+    // exist to avoid
+    keptInBatch.join(pgIdx.select("pg"), Seq("pg"), "left_anti")
       .select("doc_id", "chunk_id", "chunk_text", "pg")
   }
 

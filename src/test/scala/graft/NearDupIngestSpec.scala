@@ -188,6 +188,53 @@ class NearDupIngestSpec extends SparkSpec {
         }
     }.flatten
 
+  /** "No full-index Aggregate" plan calculus: walk the optimized plan
+    * upward from every index-directory scan; a scan stops being
+    * O(index) ("unbounded") once it passes through
+    *   - the RIGHT side of an anti/semi join (consumed as a filter of
+    *     the other side),
+    *   - a semi join whose probe (right) side is itself bounded — the
+    *     delta-keys probe pattern,
+    *   - an equi-join where the OTHER side is bounded (index rows
+    *     surviving the join are limited to the bounded side's matches).
+    * An anti join does NOT bound its left side (excluding a batch's
+    * few doc_ids leaves the index effectively whole). Any Aggregate
+    * whose input still carries an unbounded index scan re-aggregates
+    * the full index every micro-batch — the O(index)-per-batch cost
+    * this spec pins against. Returns the offending (aggregate, scan)
+    * descriptions; admission plans must return none.
+    */
+  private def fullIndexAggregates(df: org.apache.spark.sql.DataFrame,
+      idxDirs: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(p: LogicalPlan): Set[String] = p match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+              .filter(rp => idxDirs.exists(rp.startsWith)).toSet
+          case _ => Set.empty
+        }
+      case j: Join =>
+        val ls = walk(j.left); val rs = walk(j.right)
+        j.joinType match {
+          case LeftAnti => ls // right consumed; left NOT bounded by exclusion
+          case LeftSemi => if (rs.isEmpty) Set.empty else ls ++ rs
+          case _        => if (ls.isEmpty || rs.isEmpty) Set.empty else ls ++ rs
+        }
+      case a: Aggregate =>
+        val cs = walk(a.child)
+        if (cs.nonEmpty)
+          bad += s"Aggregate over unbounded index scan(s) ${cs.mkString(", ")}"
+        Set.empty
+      case other => other.children.map(walk).fold(Set.empty[String])(_ ++ _)
+    }
+    walk(df.queryExecution.optimizedPlan)
+    bad.toList
+  }
+
   test("steady-state admission scans ONLY the digest indexes, never the store's text") {
     val dir = java.nio.file.Files.createTempDirectory("graftndplan").resolve("t").toString
     Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
@@ -196,10 +243,12 @@ class NearDupIngestSpec extends SparkSpec {
     val batch = Seq(Doc(10, ts(0), tNovel)).toDF()
 
     val docFlow = NearDupIngest.admitDocsFlow(spark, batch, dir,
-      jaccardMin = 0.8, shingleK = 3, maxDf = 8, pin = identity)
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, batchId = 0, pin = identity)
     val docRoots = scannedRoots(docFlow)
     assert(docRoots.exists(_.startsWith(NearDupIngest.fpIdxDir(dir))), s"fp index unread: $docRoots")
     assert(docRoots.exists(_.startsWith(NearDupIngest.shIdxDir(dir, 3))), s"shingle index unread: $docRoots")
+    assert(docRoots.exists(_.startsWith(NearDupIngest.dfIdxDir(dir, 3))), s"df index unread: $docRoots")
+    assert(docRoots.exists(_.startsWith(NearDupIngest.cntIdxDir(dir, 3))), s"cnt index unread: $docRoots")
     assert(!docRoots.exists(p => p == dir || p.startsWith(dir + "/")),
       s"per-batch admission must not rescan the store (O(corpus) per batch at 100 TB): $docRoots")
 
@@ -208,6 +257,33 @@ class NearDupIngestSpec extends SparkSpec {
     assert(pgRoots.exists(_.startsWith(NearDupIngest.pgIdxDir(dir, 16))), s"passage index unread: $pgRoots")
     assert(!pgRoots.exists(p => p == dir || p.startsWith(dir + "/")),
       s"passage admission must not rescan the store: $pgRoots")
+  }
+
+  test("admission aggregates are delta/candidate-bounded — no full-index Aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndagg").resolve("t").toString
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ensureDocIdx(spark, dir, 3)
+    NearDupIngest.ensurePassageIdx(spark, dir, 16)
+    val idxDirs = Seq(NearDupIngest.fpIdxDir(dir), NearDupIngest.shIdxDir(dir, 3),
+      NearDupIngest.dfIdxDir(dir, 3), NearDupIngest.cntIdxDir(dir, 3),
+      NearDupIngest.pgIdxDir(dir, 16))
+    val batch = Seq(Doc(10, ts(0), tNovel), Doc(11, ts(1), t1)).toDF()
+
+    val docFlow = NearDupIngest.admitDocsFlow(spark, batch, dir,
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, batchId = 0, pin = identity)
+    assert(fullIndexAggregates(docFlow, idxDirs).isEmpty,
+      s"doc admission re-aggregates the full index per batch: ${fullIndexAggregates(docFlow, idxDirs)}")
+
+    val pgFlow = NearDupIngest.admitPassagesFlow(spark, batch, dir, chunkTokens = 16)
+    assert(fullIndexAggregates(pgFlow, idxDirs).isEmpty,
+      s"passage admission re-aggregates the full index per batch: ${fullIndexAggregates(pgFlow, idxDirs)}")
+
+    // the calculus itself must still flag the bad shape: a groupBy
+    // straight over the shingle index is the r10 formulation
+    val shIdx = spark.read.parquet(NearDupIngest.shIdxDir(dir, 3))
+    val badPlan = shIdx.groupBy("sh").count()
+    assert(fullIndexAggregates(badPlan, idxDirs).nonEmpty,
+      "calculus failed to flag a full-index aggregate")
   }
 
   /** The pre-index formulation (full store-text rescan per batch),
@@ -287,12 +363,17 @@ class NearDupIngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graftndcompact").resolve("t").toString
     Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
     NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), dir, batchId = 0)
-    Compaction.compactParquet(spark, dir) // folds seed + ingest-0 into one generation
-    // the INDEX dirs accrete one file per batch too and are compacted
-    // by the same protocol; the manifest-aware readIdx must keep the
-    // admission exact across their compaction as well
-    Compaction.compactParquet(spark, NearDupIngest.fpIdxDir(dir))
-    Compaction.compactParquet(spark, NearDupIngest.shIdxDir(dir, 3))
+    // ONE maintenance entry point folds seed + ingest-0 AND every
+    // index side table the ingest accreted (fp, shingle, df-partials,
+    // cnt): the manifest-aware readIdx must keep admission exact
+    // across all of them — for the df partials that additionally pins
+    // that compaction preserves the partial-row multiset (df is
+    // derived by summation)
+    NearDupIngest.compactStoreAndIndexes(spark, dir)
+    for (idx <- Seq(NearDupIngest.fpIdxDir(dir), NearDupIngest.shIdxDir(dir, 3),
+        NearDupIngest.dfIdxDir(dir, 3), NearDupIngest.cntIdxDir(dir, 3)))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, Compaction.ManifestName)),
+        s"maintenance entry point skipped $idx")
     // near-dup of the pre-compaction append must still be caught, and
     // a replayed batchId must not resurrect via the rewritten store
     assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), tNovelNear)).toDF(), dir, 1) == 0L)
@@ -308,6 +389,8 @@ class NearDupIngestSpec extends SparkSpec {
     def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
     rm(new java.io.File(NearDupIngest.fpIdxDir(dir)))
     rm(new java.io.File(NearDupIngest.shIdxDir(dir, 3)))
+    rm(new java.io.File(NearDupIngest.dfIdxDir(dir, 3)))
+    rm(new java.io.File(NearDupIngest.cntIdxDir(dir, 3)))
     assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), t1), Doc(21, ts(6), tNovelNear)).toDF(), dir, 1) == 0L)
     assert(storeIds(dir) == Set(1L, 10L))
   }
