@@ -707,7 +707,11 @@ object DedupQueries {
     * digests travel — same plan shape. No doc×doc term anywhere.
     */
   def crossSourceOverlapOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    // a token-less doc still emits one k=0 chunk with chunk_text '';
+    // without the filter, two sources each holding such a doc would
+    // report a spurious shared "passage"
     val ch = CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
+      .where(col("chunk_text") =!= "")
       .join(docs.select("doc_id", "source"), "doc_id")
       .select(col("source"), col("chunk_text")).distinct()
     ch.join(ch.select(col("source").as("source_b"), col("chunk_text")),
@@ -730,7 +734,8 @@ object DedupQueries {
        |  FROM t),
        |ch AS (
        |  SELECT DISTINCT source, array_to_string(list_slice(toks, k * $c + 1, k * $c + $c), ' ') AS chunk_text
-       |  FROM (SELECT doc_id, source, toks, unnest(generate_series(0, max_k)) AS k FROM k))
+       |  FROM (SELECT doc_id, source, toks, unnest(generate_series(0, max_k)) AS k FROM k)
+       |  WHERE array_to_string(list_slice(toks, k * $c + 1, k * $c + $c), ' ') <> '')
        |SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared
        |FROM ch a JOIN ch b ON a.chunk_text = b.chunk_text AND a.source < b.source
        |GROUP BY 1, 2""".stripMargin
