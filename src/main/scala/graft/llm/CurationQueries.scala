@@ -586,8 +586,12 @@ object CurationQueries {
           .as("mean_word_len"),
         (col("n_distinct").cast("double") / nullif(col("n_words"), lit(0L)))
           .as("distinct_word_ratio"),
-        coalesce(col("top2_chars").cast("double") / nullif(col("sum_chars"), lit(0L)),
-          lit(0.0)).as("top_2gram_char_frac"))
+        // overlapping occurrences of a self-overlapping gram ("a a" in
+        // "a a a a") can make cnt × gram-chars exceed the doc's word
+        // mass; clamp so the column keeps its documented fraction
+        // semantics for downstream threshold tuning
+        least(coalesce(col("top2_chars").cast("double") / nullif(col("sum_chars"), lit(0L)),
+          lit(0.0)), lit(1.0)).as("top_2gram_char_frac"))
     scored.withColumn("kept",
       when(col("n_words").between(minWords, maxWords) &&
         col("mean_word_len").between(3.0, 10.0) &&
@@ -617,8 +621,8 @@ object CurationQueries {
        |  SELECT s.doc_id, s.n_words,
        |         CAST(s.sum_chars AS DOUBLE) / nullif(s.n_words, 0) AS mean_word_len,
        |         CAST(s.n_distinct AS DOUBLE) / nullif(s.n_words, 0) AS distinct_word_ratio,
-       |         coalesce(CAST(top.top2_chars AS DOUBLE) / nullif(s.sum_chars, 0), 0.0)
-       |           AS top_2gram_char_frac
+       |         least(coalesce(CAST(top.top2_chars AS DOUBLE) / nullif(s.sum_chars, 0), 0.0),
+       |               1.0) AS top_2gram_char_frac
        |  FROM stats s LEFT JOIN top ON s.doc_id = top.doc_id)
        |SELECT doc_id, n_words, mean_word_len, distinct_word_ratio, top_2gram_char_frac,
        |       CAST(CASE WHEN n_words BETWEEN $minWords AND $maxWords
@@ -705,8 +709,94 @@ object CurationQueries {
       .select("doc_id", "chunk_id", "n_chunk_tokens", "cum_tokens", "shard_id")
   }
 
+  // ----------------------------------------------------------------
+  // Second Gopher evidence rule (Rae et al. 2021 §A1.1 formatting
+  // signals): symbol-to-word ratio and bullet-line fraction. A doc
+  // keeps iff
+  //   - (count of '#' + non-overlapping '...' occurrences) / words
+  //     ≤ symNum/symDen
+  //   - (lines starting with a bullet marker) / lines ≤ bulNum/bulDen
+  // Thresholds are RATIONALS compared as cross-multiplied exact
+  // integers (n_symbols * symDen <= symNum * n_words), so `kept` never
+  // touches a float; the double ratio columns are evidence only, each
+  // a single division of exact integers — the same bit-stable pattern
+  // as gopherFilterDf. Scale shape: per-row string/array ops, zero
+  // shuffle, embarrassingly parallel at any corpus size.
+  // ----------------------------------------------------------------
+
+  def gopherSymbolsDf(docs: DataFrame, symNum: Int, symDen: Int,
+      bulNum: Int, bulDen: Int): DataFrame = {
+    val counted = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      // '#' count + non-overlapping '...' count; both engines replace
+      // leftmost-non-overlapping, and the '...' length delta is always
+      // a multiple of 3, so the double division casts back exactly
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long").as("n_hash"),
+      ((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("n_ellipsis"),
+      split(col("text"), "\n").as("lines"))
+    val stats = counted.select(
+      col("doc_id"), col("n_words"),
+      (col("n_hash") + col("n_ellipsis")).as("n_symbols"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("lines"),
+          l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("long").as("n_bullet"))
+    stats.select(
+      col("doc_id"), col("n_words"), col("n_lines"),
+      coalesce(col("n_symbols").cast("double") / nullif(col("n_words"), lit(0L)),
+        lit(0.0)).as("symbol_word_ratio"),
+      coalesce(col("n_bullet").cast("double") / nullif(col("n_lines"), lit(0L)),
+        lit(0.0)).as("bullet_line_frac"),
+      when(col("n_symbols") * lit(symDen) <= col("n_words") * lit(symNum) &&
+          col("n_bullet") * lit(bulDen) <= col("n_lines") * lit(bulNum), 1L)
+        .otherwise(0L).as("kept"))
+  }
+
+  private def gopherSymbolsSql(symNum: Int, symDen: Int,
+      bulNum: Int, bulDen: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+       |         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |           + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |           AS n_symbols,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_words, n_symbols,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(len(list_filter(lines,
+       |           l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bullet
+       |  FROM t)
+       |SELECT doc_id, n_words, n_lines,
+       |       coalesce(CAST(n_symbols AS DOUBLE) / nullif(n_words, 0), 0.0) AS symbol_word_ratio,
+       |       coalesce(CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0), 0.0) AS bullet_line_frac,
+       |       CAST(CASE WHEN n_symbols * $symDen <= $symNum * n_words
+       |                  AND n_bullet * $bulDen <= $bulNum * n_lines
+       |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM s""".stripMargin
+
+  val gopherSymbols: QueryDef = QueryDef.sql(
+    "x_gopher_symbols",
+    gopherSymbolsSql(symNum = 1, symDen = 10, bulNum = 9, bulDen = 10)) { (s, d) =>
+    gopherSymbolsDf(Tables.documents(s, d), symNum = 1, symDen = 10, bulNum = 9, bulDen = 10)
+  }
+
+  /** The aggressive config — symbol ratio ≤ 1/20, bullet lines ≤ 1/2;
+    * same parameterized builder and oracle on both sides.
+    */
+  val gopherSymbolsStrict: QueryDef = QueryDef.sql(
+    "x_gopher_symbols_strict",
+    gopherSymbolsSql(symNum = 1, symDen = 20, bulNum = 1, bulDen = 2)) { (s, d) =>
+    gopherSymbolsDf(Tables.documents(s, d), symNum = 1, symDen = 20, bulNum = 1, bulDen = 2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e,
-      gopherFilter, gopherFilterStrict, pipelineGopher)
+      gopherFilter, gopherFilterStrict, pipelineGopher,
+      gopherSymbols, gopherSymbolsStrict)
 }

@@ -736,7 +736,11 @@ object SimilarityQueries {
     */
   private def bandedBuckets(e: org.apache.spark.sql.DataFrame,
       bands: Int, r: Int): org.apache.spark.sql.DataFrame = {
-    require(bands > 0 && r > 0 && bands * r <= 62,
+    // the bucket long holds only r bits (one band's signature), so the
+    // structural bound is r <= 62 — bands is free; the bands*r cap just
+    // keeps the plane-index weight arithmetic (plane * 97 + j * 31 + 7,
+    // int literals) far from Int overflow
+    require(bands > 0 && r > 0 && r <= 62 && bands * r <= (1 << 20),
       s"unsupported banded-LSH config: $bands bands × $r planes")
     val dots = e.select(col("vec_id"), col("qe"),
         explode(sequence(lit(0), lit(bands * r - 1))).as("plane"))
@@ -892,9 +896,61 @@ object SimilarityQueries {
     knnDensityDf(s, d, bands = 4, r = 8, k = 5, tau = 0.25, minClose = 3)
   }
 
+  /** Graph-based diversity sample — the mutual-kNN graph CONSUMED:
+    * connected components over the mutual edges (min-label, reusing
+    * [[graft.operators.ConnectedComponents]]), then keep exactly one
+    * representative per component (the min vec_id, which under
+    * min-label CC is the component id itself — deterministic, no
+    * tie-break ambiguity). Emits every vector with its component id,
+    * component size, and kept ∈ {0,1}; singletons (no mutual edge)
+    * keep trivially with comp_size 1. This is the diversity shape a
+    * training-mix pass runs after near-dup clustering: one doc per
+    * semantic clump, mirroring how x_pipeline_gopher consumes the
+    * rule filter.
+    *
+    * Scale shape: the mutual edge set is ≤ N·k/2 rows before CC;
+    * min-label CC is the polylog-round iteration already adjudicated
+    * for x_dedup_clusters; the representative choice is a single
+    * equality predicate on the labeling — no new join class.
+    */
+  private def knnDiverseSql(bands: Int, r: Int, k: Int): String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(bands, r, k)},
+       |mut AS (
+       |  SELECT e1.vec_a AS a, e1.vec_b AS b
+       |  FROM edges e1 JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+       |  WHERE e1.vec_a < e1.vec_b),
+       |und AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+       |reach(v, rr) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, u.b FROM reach JOIN und u ON reach.rr = u.a),
+       |lab AS (SELECT v, CAST(min(rr) AS BIGINT) AS component_id FROM reach GROUP BY v)
+       |SELECT v AS vec_id, component_id,
+       |       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS comp_size,
+       |       CAST(CASE WHEN v = component_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM lab""".stripMargin
+
+  private def knnDiverseDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val mutual = knnGraphDf(s, d, bands, r, k)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val verts = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    graft.operators.ConnectedComponents.components(verts, mutual)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("component_id"))
+      .withColumn("comp_size",
+        count(lit(1)).over(Window.partitionBy("component_id")).cast("long"))
+      .withColumn("kept",
+        when(col("vec_id") === col("component_id"), 1L).otherwise(0L))
+  }
+
+  val knnDiverse: QueryDef = QueryDef.sql(
+    "x_knn_diverse", knnDiverseSql(bands = 4, r = 8, k = 5)) { (s, d) =>
+    knnDiverseDf(s, d, bands = 4, r = 8, k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
-      knnGraph, knnGraphB6, knnDensity)
+      knnGraph, knnGraphB6, knnDensity, knnDiverse)
 }

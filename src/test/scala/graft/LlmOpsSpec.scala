@@ -493,4 +493,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("distinct_word_ratio") == 2.0 / 30)
     assert(r2.getAs[Double]("top_2gram_char_frac") == 1.0)
   }
+
+  test("gopher symbols: symbol and bullet-line rules with exact evidence, both configs") {
+    // the sf corpus carries no '#'/'...'/bullets (the oracle there
+    // proves engine equivalence only), so the rule's logic is
+    // exercised HERE on crafted documents
+    val docs = Seq(
+      (1L, "a perfectly ordinary sentence with no formatting noise at all"),
+      (2L, "w1 # w2 # w3 # w4 # w5 #"), // 5 words, 5 hashes -> ratio 1.0
+      (3L, "one two three... four five..."), // 2 non-overlapping ellipses / 5 words
+      // 6 lines, 4 bullet lines (incl. an indented one): frac 4/6 —
+      // inside the default 9/10 cap, outside the strict 1/2 cap
+      (4L, "intro line\n- item one\n  - item two\n* item three\n• item four\nplain tail"),
+      (5L, "a.....") // 5 dots = ONE non-overlapping '...', not three overlapping
+    ).toDF("doc_id", "text")
+    def keptMap(symNum: Int, symDen: Int, bulNum: Int, bulDen: Int) =
+      llm.CurationQueries.gopherSymbolsDf(docs, symNum, symDen, bulNum, bulDen)
+        .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(keptMap(1, 10, 9, 10) == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L))
+    assert(keptMap(1, 20, 1, 2) == Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    val rows = llm.CurationQueries.gopherSymbolsDf(docs, 1, 10, 9, 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(2L).getAs[Double]("symbol_word_ratio") == 1.0)
+    assert(rows(3L).getAs[Double]("symbol_word_ratio") == 2.0 / 5)
+    assert(rows(4L).getAs[Long]("n_lines") == 6L)
+    assert(rows(4L).getAs[Double]("bullet_line_frac") == 4.0 / 6)
+    assert(rows(5L).getAs[Double]("symbol_word_ratio") == 1.0) // overlap-free count
+  }
 }
