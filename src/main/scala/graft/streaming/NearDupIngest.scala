@@ -38,6 +38,8 @@ import graft.operators.Compaction
   *     document-frequency counts, one row per (shingle, batch);
   *     a digest's corpus df is the SUM of its matching partials
   *   - `<store>.cntidx-k<c>`    — (doc_id, n): per-doc shingle count
+  *   - `<store>.stats`          — (batch_id, n_in, n_admitted): the
+  *     per-batch admission funnel (operational observability)
   *
   * Every join in the admission dataflow tests only digest EQUALITY
   * (df cap, candidate generation, overlap counting, passage anti-
@@ -115,6 +117,7 @@ object NearDupIngest {
   private[graft] def pgIdxDir(storeDir: String, c: Int): String = s"$storeDir.pgidx-c$c"
   private[graft] def dfIdxDir(storeDir: String, k: Int): String = s"$storeDir.dfidx-k$k"
   private[graft] def cntIdxDir(storeDir: String, k: Int): String = s"$storeDir.cntidx-k$k"
+  private[graft] def statsDir(storeDir: String): String = storeDir + ".stats"
 
   private val fpSchema = StructType.fromDDL("doc_id BIGINT, fp STRING")
   private val shSchema = StructType.fromDDL("doc_id BIGINT, sh STRING")
@@ -341,7 +344,37 @@ object NearDupIngest {
       dfIdxDir(storeDir, shingleK), batchId)
     appendIdempotent(spark, shNew.groupBy("doc_id").agg(count(lit(1)).as("n")),
       cntIdxDir(storeDir, shingleK), batchId)
+    appendStats(spark, storeDir, batchId, batch.count(), n)
     n
+  }
+
+  /** Per-batch admission-funnel record — the operational signal a
+    * live pipeline alarms on (a source whose admission rate collapses
+    * to ~0 is a re-crawl; a rate stuck at 1.0 means the dedup index
+    * broke). One row per batch — (batch_id, n_in, n_admitted) —
+    * written by the same idempotent rename-replace as every other
+    * side table, so replays overwrite their own record rather than
+    * double-count, and the `.stats` directory folds under
+    * [[compactStoreAndIndexes]]. n_in counts RAW rows (before the
+    * within-batch id collapse), so n_in - n_admitted is everything
+    * the ingest removed, whatever the reason.
+    */
+  private def appendStats(spark: SparkSession, storeDir: String, batchId: Long,
+      nIn: Long, nAdmitted: Long): Unit = {
+    import spark.implicits._
+    appendIdempotent(spark,
+      Seq((batchId, nIn, nAdmitted)).toDF("batch_id", "n_in", "n_admitted"),
+      statsDir(storeDir), batchId)
+    ()
+  }
+
+  /** Manifest-aware read of the admission-funnel records (empty, not
+    * an error, before the first batch lands).
+    */
+  def ingestStats(spark: SparkSession, storeDir: String): DataFrame = {
+    val schema = StructType.fromDDL("batch_id BIGINT, n_in BIGINT, n_admitted BIGINT")
+    if (Files.exists(Paths.get(statsDir(storeDir)))) readIdx(spark, statsDir(storeDir), schema)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Idempotent single-file append into `dir`: the batch lands as ONE
@@ -360,6 +393,9 @@ object NearDupIngest {
         .getOrElse(Array.empty[java.io.File])
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       val target = java.nio.file.Paths.get(dir, s"ingest-$batchId.parquet")
+      // the stats table has no bootstrap (its first row IS the first
+      // batch), so the append creates its directory itself
+      java.nio.file.Files.createDirectories(target.getParent)
       part match {
         case Some(p) =>
           java.nio.file.Files.move(p.toPath, target,
@@ -393,7 +429,7 @@ object NearDupIngest {
     Compaction.compactParquet(spark, storeDir)
     val store = Paths.get(storeDir)
     val name = store.getFileName.toString
-    val prefixes = Seq(".fpidx", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k")
+    val prefixes = Seq(".fpidx", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k", ".stats")
       .map(name + _)
     val siblings = Option(store.getParent).map { parent =>
       Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -460,6 +496,7 @@ object NearDupIngest {
     val n = appendIdempotent(spark, rebuilt.select("doc_id", "text"), storeDir, batchId)
     appendIdempotent(spark, novel.select("doc_id", "pg"),
       pgIdxDir(storeDir, chunkTokens), batchId)
+    appendStats(spark, storeDir, batchId, batch.count(), n)
     n
   }
 

@@ -97,10 +97,36 @@ class NearDupIngestSpec extends SparkSpec {
     val second = NearDupIngest.ingestBatch(spark, batch, dir, batchId = 0)
     assert(second == 2 && storeIds(dir) == Set(1L, 2L, 10L, 13L))
     assert(Compaction.readCompacted(spark, dir).count() == 4)
+    // the admission-funnel record is ONE row per batch, replay-stable
+    def stats() = NearDupIngest.ingestStats(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats() == Map(0L -> ((4L, 2L))),
+      s"after replay: one (n_in=4, n_admitted=2) record, got ${stats()}")
     // and a LATER batch near-duplicating a replayed doc is still caught
     val b2 = Seq(Doc(21, ts(9), tNovelNear)).toDF()
     assert(NearDupIngest.ingestBatch(spark, b2, dir, batchId = 1) == 0L)
     assert(storeIds(dir) == Set(1L, 2L, 10L, 13L))
+    assert(stats() == Map(0L -> ((4L, 2L)), 1L -> ((1L, 0L))),
+      s"all-dropped batch records its funnel row too, got ${stats()}")
+  }
+
+  test("compactStoreAndIndexes folds only its OWN store's side tables, never a prefix-sibling's") {
+    val parent = java.nio.file.Files.createTempDirectory("graftsibling")
+    val dirA = parent.resolve("t").toString
+    val dirB = parent.resolve("t2").toString // name-prefix sibling of "t"
+    for (d <- Seq(dirA, dirB)) {
+      Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+      NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), d, batchId = 0)
+    }
+    NearDupIngest.compactStoreAndIndexes(spark, dirA)
+    def hasManifest(d: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d, Compaction.ManifestName))
+    for (idx <- Seq(NearDupIngest.fpIdxDir(dirA), NearDupIngest.shIdxDir(dirA, 3),
+        NearDupIngest.statsDir(dirA)))
+      assert(hasManifest(idx), s"own side table not folded: $idx")
+    for (idx <- Seq(dirB, NearDupIngest.fpIdxDir(dirB), NearDupIngest.shIdxDir(dirB, 3),
+        NearDupIngest.statsDir(dirB)))
+      assert(!hasManifest(idx), s"sibling store's directory touched: $idx")
   }
 
   test("ingestBatch with an all-duplicate batch appends nothing and replays clean") {
