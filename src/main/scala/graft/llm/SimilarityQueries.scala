@@ -954,9 +954,19 @@ object SimilarityQueries {
     knnDiverseDf(s, d, bands = 4, r = 8, k = 5)
   }
 
+  /** Higher-recall candidate config (6×8 bands, the x_knn_graph_b6
+    * setting): more mutual edges → coarser components → a smaller,
+    * more aggressive diversity sample; same parameterized builder and
+    * oracle on both sides.
+    */
+  val knnDiverseB6: QueryDef = QueryDef.sql(
+    "x_knn_diverse_b6", knnDiverseSql(bands = 6, r = 8, k = 5)) { (s, d) =>
+    knnDiverseDf(s, d, bands = 6, r = 8, k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
-      knnGraph, knnGraphB6, knnDensity, knnDiverse)
+      knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6)
 }

@@ -293,4 +293,47 @@ class PropertySpec extends SparkSpec {
       got == ref
     }, n = 5)
   }
+
+  test("gopher symbols rule equals a brute-force scala reference on random noisy texts") {
+    // vocabulary deliberately rich in the rule's edge cases: hashes
+    // inside words, '..' non-ellipses, 5-dot runs (ONE non-overlapping
+    // '...'), bullet markers mid-line (not counted) and line-leading
+    // (counted, incl. after indent)
+    val genTok = Gen.oneOf("w1", "x", "#", "...", "-", "*", "•", "a#b", "..", ".....")
+    val genLine = for {
+      indent <- Gen.oneOf("", "  ")
+      n <- Gen.choose(0, 5)
+      toks <- Gen.listOfN(n, genTok)
+    } yield indent + toks.mkString(" ")
+    val genText = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genLine).map(_.mkString("\n")))
+    val (symNum, symDen, bulNum, bulDen) = (1, 10, 9, 10)
+    check(Prop.forAll(Gen.listOfN(6, genText)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+        .toDF("doc_id", "text")
+      val got = graft.llm.CurationQueries
+        .gopherSymbolsDf(docs, symNum, symDen, bulNum, bulDen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+        .toMap
+      val ref = texts.zipWithIndex.map { case (t, i) =>
+        val nWords = "[a-z0-9]+".r.findAllIn(t.toLowerCase).length.toLong
+        val nHash = t.count(_ == '#').toLong
+        var (j, nEll) = (0, 0L)
+        while ({ val k = t.indexOf("...", j); k >= 0 && { nEll += 1; j = k + 3; true } }) ()
+        val nSym = nHash + nEll
+        val lines = t.split("\n", -1)
+        val nLines = lines.length.toLong
+        val nBullet = lines.count { l =>
+          val s = l.dropWhile(_ == ' ')
+          s.startsWith("-") || s.startsWith("*") || s.startsWith("•")
+        }.toLong
+        val symRatio = if (nWords == 0) 0.0 else nSym.toDouble / nWords
+        val bulFrac = if (nLines == 0) 0.0 else nBullet.toDouble / nLines
+        val kept = if (nSym * symDen <= nWords * symNum &&
+          nBullet * bulDen <= nLines * bulNum) 1L else 0L
+        (i.toLong + 1) -> ((nWords, nLines, symRatio, bulFrac, kept))
+      }.toMap
+      got == ref
+    }, n = 8)
+  }
 }
