@@ -262,11 +262,20 @@ object NearDupIngest {
     val shIdx = readIdx(spark, shIdxDir(storeDir, shingleK), shSchema)
       .join(batchIds, Seq("doc_id"), "left_anti")
 
-    // exact dedup, batch-internal (deterministic keeper) then vs index
+    // exact dedup, batch-internal (deterministic keeper) then vs index.
+    // The index test is a PROBE, not an anti-join against the raw
+    // index: a LeftAnti join can only broadcast its RIGHT side, so
+    // `docs ⟕̸ fpIdx` would shuffle the ENTIRE fingerprint index every
+    // micro-batch (O(index) shuffle — the join-shape twin of the
+    // full-index aggregate). Instead the index is semi-joined down to
+    // the batch's fingerprints first (the index STREAMS under a
+    // broadcast of the delta keys — no index-side exchange), and the
+    // anti-join's build side is then the delta-bounded hit set.
     val keeper = Window.partitionBy("fp").orderBy("doc_id")
-    val exactNew = pin(docs.withColumn("fp", fp(col("text")))
+    val docsFp = docs.withColumn("fp", fp(col("text")))
       .withColumn("rn", row_number().over(keeper)).where(col("rn") === 1)
-      .join(fpIdx.select("fp"), Seq("fp"), "left_anti")
+    val hitFps = fpIdx.select("fp").join(docsFp.select("fp"), Seq("fp"), "left_semi")
+    val exactNew = pin(docsFp.join(hitFps, Seq("fp"), "left_anti")
       .select("doc_id", "text", "fp"))
 
     // near-dup vs index: x_dedup_incremental's shape with the batch as
@@ -447,7 +456,8 @@ object NearDupIngest {
     * (doc_id, chunk_id, chunk_text, pg).
     */
   private[graft] def admitPassagesFlow(spark: SparkSession, batch: DataFrame,
-      storeDir: String, chunkTokens: Int): DataFrame = {
+      storeDir: String, chunkTokens: Int,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
     val docs = normalizedDocs(batch)
     val batchIds = docs.select("doc_id")
     val pgIdx = readIdx(spark, pgIdxDir(storeDir, chunkTokens), pgSchema)
@@ -455,14 +465,21 @@ object NearDupIngest {
     val ch = graft.llm.CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
       .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
       .withColumn("pg", md5(col("chunk_text")))
-    val keptInBatch = ch.withColumn("rn", row_number().over(
+    // pinned: the kept set feeds both the probe keys and the anti-join
+    val keptInBatch = pin(ch.withColumn("rn", row_number().over(
         Window.partitionBy("pg").orderBy("doc_id", "chunk_id")))
-      .where(col("rn") === 1)
-    // no distinct on the index side: an anti-join's semantics ignore
-    // right-side duplicates, and the distinct would be a full-index
-    // aggregate per batch — O(index), the cost class the side tables
-    // exist to avoid
-    keptInBatch.join(pgIdx.select("pg"), Seq("pg"), "left_anti")
+      .where(col("rn") === 1))
+    // PROBE the passage index by the batch's digests (semi-join — the
+    // index streams under a broadcast of the delta keys, never
+    // shuffles), then anti-join against the delta-bounded hit set; an
+    // anti-join straight against the raw index would shuffle the
+    // whole index per batch (LeftAnti can only broadcast its right
+    // side). No distinct anywhere: anti-join semantics ignore
+    // right-side duplicates, and a distinct would be a full-index
+    // aggregate — O(index), the cost class the side tables exist to
+    // avoid.
+    val hitPgs = pgIdx.select("pg").join(keptInBatch.select("pg"), Seq("pg"), "left_semi")
+    keptInBatch.join(hitPgs, Seq("pg"), "left_anti")
       .select("doc_id", "chunk_id", "chunk_text", "pg")
   }
 
@@ -488,7 +505,8 @@ object NearDupIngest {
   def ingestPassageBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, chunkTokens: Int = 16): Long = {
     ensurePassageIdx(spark, storeDir, chunkTokens)
-    val novel = admitPassagesFlow(spark, batch, storeDir, chunkTokens)
+    val novel = admitPassagesFlow(spark, batch, storeDir, chunkTokens,
+        pin = _.localCheckpoint(false))
       .localCheckpoint(false)
     val rebuilt = novel.groupBy("doc_id").agg(
       array_join(transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),

@@ -214,21 +214,27 @@ class NearDupIngestSpec extends SparkSpec {
         }
     }.flatten
 
-  /** "No full-index Aggregate" plan calculus: walk the optimized plan
+  /** "No O(index) per batch" plan calculus: walk the optimized plan
     * upward from every index-directory scan; a scan stops being
     * O(index) ("unbounded") once it passes through
     *   - the RIGHT side of an anti/semi join (consumed as a filter of
     *     the other side),
     *   - a semi join whose probe (right) side is itself bounded — the
-    *     delta-keys probe pattern,
+    *     delta-keys probe pattern (the index STREAMS under a
+    *     broadcast of the probe keys; no index-side exchange),
     *   - an equi-join where the OTHER side is bounded (index rows
     *     surviving the join are limited to the bounded side's matches).
     * An anti join does NOT bound its left side (excluding a batch's
-    * few doc_ids leaves the index effectively whole). Any Aggregate
-    * whose input still carries an unbounded index scan re-aggregates
-    * the full index every micro-batch — the O(index)-per-batch cost
-    * this spec pins against. Returns the offending (aggregate, scan)
-    * descriptions; admission plans must return none.
+    * few doc_ids leaves the index effectively whole). Two violation
+    * classes, both O(index) per micro-batch:
+    *   - an Aggregate whose input still carries an unbounded index
+    *     scan re-aggregates the full index every batch;
+    *   - an unbounded index scan on an anti/semi join's BUILD (right)
+    *     side: LeftAnti/LeftSemi can only broadcast their right side,
+    *     so an index there forces a full index SHUFFLE per batch —
+    *     the join-shape twin of the full-index aggregate.
+    * Returns the offending descriptions; admission plans must return
+    * none.
     */
   private def fullIndexAggregates(df: org.apache.spark.sql.DataFrame,
       idxDirs: Seq[String]): Seq[String] = {
@@ -246,9 +252,13 @@ class NearDupIngestSpec extends SparkSpec {
       case j: Join =>
         val ls = walk(j.left); val rs = walk(j.right)
         j.joinType match {
-          case LeftAnti => ls // right consumed; left NOT bounded by exclusion
-          case LeftSemi => if (rs.isEmpty) Set.empty else ls ++ rs
-          case _        => if (ls.isEmpty || rs.isEmpty) Set.empty else ls ++ rs
+          case LeftAnti | LeftSemi =>
+            if (rs.nonEmpty)
+              bad += s"unbounded index scan(s) on ${j.joinType} build side: ${rs.mkString(", ")}"
+            // right consumed as a filter; anti does NOT bound the left
+            if (j.joinType == LeftAnti) ls
+            else if (rs.isEmpty) Set.empty else ls ++ rs
+          case _ => if (ls.isEmpty || rs.isEmpty) Set.empty else ls ++ rs
         }
       case a: Aggregate =>
         val cs = walk(a.child)
@@ -304,12 +314,19 @@ class NearDupIngestSpec extends SparkSpec {
     assert(fullIndexAggregates(pgFlow, idxDirs).isEmpty,
       s"passage admission re-aggregates the full index per batch: ${fullIndexAggregates(pgFlow, idxDirs)}")
 
-    // the calculus itself must still flag the bad shape: a groupBy
-    // straight over the shingle index is the r10 formulation
+    // the calculus itself must still flag both bad shapes: a groupBy
+    // straight over the shingle index (the r10 aggregate
+    // formulation), and an anti-join with the raw index on the build
+    // side (the r10 exact-dedup join shape — full index shuffle)
     val shIdx = spark.read.parquet(NearDupIngest.shIdxDir(dir, 3))
-    val badPlan = shIdx.groupBy("sh").count()
-    assert(fullIndexAggregates(badPlan, idxDirs).nonEmpty,
+    val badAgg = shIdx.groupBy("sh").count()
+    assert(fullIndexAggregates(badAgg, idxDirs).nonEmpty,
       "calculus failed to flag a full-index aggregate")
+    val badAnti = batch.select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("sh"))
+      .join(shIdx.select("sh"), Seq("sh"), "left_anti")
+    assert(fullIndexAggregates(badAnti, idxDirs).exists(_.contains("build side")),
+      "calculus failed to flag an index on an anti-join build side")
   }
 
   /** The pre-index formulation (full store-text rescan per batch),
