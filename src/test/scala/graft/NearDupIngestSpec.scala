@@ -438,6 +438,59 @@ class NearDupIngestSpec extends SparkSpec {
     assert(storeIds(dir) == Set(1L, 10L))
   }
 
+  /** Pre-index passage formulation (re-chunk the store's text per
+    * batch) — the equivalence oracle for the probe-shaped index path:
+    * batch chunks, keep-first within batch by (doc_id, chunk_id) per
+    * digest, drop chunks present anywhere in the store's re-chunking
+    * (excluding the batch's own ids).
+    */
+  private def rescanNovelChunks(batch: org.apache.spark.sql.DataFrame, dir: String,
+      chunkTokens: Int = 16): Set[(Long, Long, String)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id").orderBy("text")))
+      .where(col("__rn") === 1).drop("__rn")
+    val corpus = Compaction.readCompacted(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val ch = graft.llm.CurationQueries.chunkDf(docs, chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .withColumn("pg", md5(col("chunk_text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pg").orderBy("doc_id", "chunk_id")))
+      .where(col("rn") === 1)
+    val stored = graft.llm.CurationQueries.chunkDf(corpus, chunkTokens, overlap = 0)
+      .select(md5(col("chunk_text")).as("pg"))
+    ch.join(stored, Seq("pg"), "left_anti")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+  }
+
+  test("probe-shaped passage admission matches the full-rescan formulation") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpgequiv").resolve("t").toString
+    Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+    val b1 = Seq(Doc(10, ts(0), s"$pA $pC"), Doc(11, ts(1), s"$pD $pC"),
+      Doc(12, ts(2), s"$pB")).toDF()
+    val want1 = rescanNovelChunks(b1, dir)
+    NearDupIngest.ensurePassageIdx(spark, dir, 16)
+    val got1 = NearDupIngest.admitPassagesFlow(spark, b1, dir, chunkTokens = 16)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got1 == want1, s"batch 1: index path $got1 vs rescan $want1")
+    // grow the store through the real ingest, then re-adjudicate a
+    // second batch against the rescan of the GROWN store
+    NearDupIngest.ingestPassageBatch(spark, b1, dir, batchId = 0)
+    val b2 = Seq(Doc(20, ts(10), s"$pC $pE")).toDF()
+    val want2 = rescanNovelChunks(b2, dir)
+    val got2 = NearDupIngest.admitPassagesFlow(spark, b2, dir, chunkTokens = 16)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got2 == want2, s"batch 2: index path $got2 vs rescan $want2")
+  }
+
   test("ingestPassageBatch replay (same input, same batchId) is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graftpassagereplay").resolve("t").toString
     Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
