@@ -91,14 +91,23 @@ import graft.operators.Compaction
   * Scale shape: per batch, one rare-shingle equi-join (delta digests
   * × df-capped index digests) + the exact-verify join — the
   * x_dedup_incremental dataflow with the delta bounded by micro-batch
-  * size. Steady-state per-batch cost is O(batch × doc-size),
-  * independent of corpus length: the store's text is never read, the
-  * indexes appear only as probe sides of digest/doc_id equi-joins,
-  * and every AGGREGATION input is delta- or candidate-bounded (df
-  * from partial-count sums after the delta semi-join, per-doc counts
-  * from the cnt table after the candidate semi-join).
-  * `NearDupIngestSpec` machine-checks both properties on the
-  * admission plan (index-dirs-only scans; no full-index Aggregate).
+  * size. Steady-state per-batch cost is O(batch × doc-size) in
+  * SHUFFLE and AGGREGATION terms, independent of corpus length: the
+  * store's text is never read, the indexes appear only as streamed
+  * probe sides of digest/doc_id equi-joins (never on an anti/semi
+  * build side, never under an exchange), and every aggregation input
+  * is delta- or candidate-bounded (df from partial-count sums after
+  * the delta semi-join, per-doc counts from the cnt table after the
+  * candidate semi-join). `NearDupIngestSpec` machine-checks all of it
+  * on the admission plan (index-dirs-only scans; no full-index
+  * Aggregate; no index on an anti/semi build side). The remaining
+  * per-batch index cost is scan I/O — the probes stream the digest
+  * files under a broadcast of the delta keys. That is the honest
+  * floor for this layout; the next scale decade would partition the
+  * digest directories by a digest prefix and join on
+  * (prefix, digest) so dynamic partition pruning skips file groups a
+  * batch's digests cannot touch — a layout change only, the dataflow
+  * above is already keyed for it.
   * Store growth is one file per batch per target, exactly the
   * small-file accretion [[Compaction.compactParquet]] exists to fold.
   */
