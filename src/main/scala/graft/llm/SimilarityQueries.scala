@@ -740,7 +740,7 @@ object SimilarityQueries {
     // structural bound is r <= 62 — bands is free; the bands*r cap just
     // keeps the plane-index weight arithmetic (plane * 97 + j * 31 + 7,
     // int literals) far from Int overflow
-    require(bands > 0 && r > 0 && r <= 62 && bands * r <= (1 << 20),
+    require(bands > 0 && r > 0 && r <= 62 && bands.toLong * r <= (1L << 20),
       s"unsupported banded-LSH config: $bands bands × $r planes")
     val dots = e.select(col("vec_id"), col("qe"),
         explode(sequence(lit(0), lit(bands * r - 1))).as("plane"))

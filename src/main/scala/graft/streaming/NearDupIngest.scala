@@ -67,7 +67,14 @@ import graft.operators.Compaction
   * `batch_id` column exists solely for replay self-exclusion — the
   * aggregated row carries no doc_id to anti-join on, so a replayed
   * batch excludes its own prior partials by id instead (bootstrap rows
-  * carry batch_id = -1, never a real foreachBatch id).
+  * carry batch_id = -1, never a real foreachBatch id — guarded by a
+  * require in both ingest entry points). One consequence: an id
+  * re-delivered under a DIFFERENT batchId (out of contract — see
+  * normalizedDocs) is excluded from the fp/sh/cnt reads by doc_id but
+  * its old df partials still count, so shared shingles' df can be
+  * overcounted by one — fewer candidates, worst case an admitted
+  * near-dup (the documented safe skew direction), never dropped novel
+  * content.
   *
   * Exactly-once, by construction rather than coordination:
   *   - the corpus and indexes are resolved through the manifest
@@ -343,6 +350,12 @@ object NearDupIngest {
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, jaccardMin: Double = 0.8, shingleK: Int = 3,
       maxDf: Int = 8): Long = {
+    // -1 is the bootstrap sentinel in the df-partials table; a batch
+    // claiming it would silently exclude the ENTIRE bootstrap from
+    // the df probe (admission then over-drops) and corrupt future
+    // replay exclusion with its own -1-tagged partial. foreachBatch
+    // ids are always >= 0.
+    require(batchId >= 0, s"batchId must be >= 0 (-1 is the bootstrap sentinel): $batchId")
     ensureDocIdx(spark, storeDir, shingleK)
     val survivors = admitDocsFlow(spark, batch, storeDir, jaccardMin, shingleK,
       maxDf, batchId, pin = _.localCheckpoint(false)).localCheckpoint(false)
@@ -373,9 +386,13 @@ object NearDupIngest {
     * written by the same idempotent rename-replace as every other
     * side table, so replays overwrite their own record rather than
     * double-count, and the `.stats` directory folds under
-    * [[compactStoreAndIndexes]]. n_in counts RAW rows (before the
-    * within-batch id collapse), so n_in - n_admitted is everything
-    * the ingest removed, whatever the reason.
+    * [[compactStoreAndIndexes]]. Granularity follows the ingest's
+    * dedup unit: the doc ingest records RAW rows in vs docs admitted
+    * (so n_in - n_admitted is everything removed, whatever the
+    * reason); the passage ingest records chunks in vs novel chunks
+    * (its store rows are reassembled docs, whose count says nothing
+    * about recycling). Counting n_in is one extra O(batch) pass over
+    * the micro-batch input — the admitted cost class.
     */
   private def appendStats(spark: SparkSession, storeDir: String, batchId: Long,
       nIn: Long, nAdmitted: Long): Unit = {
@@ -447,11 +464,20 @@ object NearDupIngest {
     Compaction.compactParquet(spark, storeDir)
     val store = Paths.get(storeDir)
     val name = store.getFileName.toString
-    val prefixes = Seq(".fpidx", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k", ".stats")
-      .map(name + _)
+    // Exact suffix grammar, not a bare startsWith: a crashed
+    // bootstrap's `<idx>.tmp` staging dir (with Spark's _temporary
+    // inside) would otherwise match its index's prefix and abort the
+    // whole sweep when compactParquet rejects the subdirectory — and
+    // an unluckily-named sibling store (`t.fpidxfoo`) must never be
+    // swept by `t`'s maintenance.
+    val exact = Set(name + ".fpidx", name + ".stats")
+    val parameterized = Seq(".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k").map(name + _)
+    def ours(n: String): Boolean =
+      exact(n) || parameterized.exists(p =>
+        n.length > p.length && n.startsWith(p) && n.drop(p.length).forall(_.isDigit))
     val siblings = Option(store.getParent).map { parent =>
       Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && prefixes.exists(f.getName.startsWith))
+        .filter(f => f.isDirectory && ours(f.getName))
         .map(_.getAbsolutePath).toSeq.sorted
     }.getOrElse(Seq.empty)
     siblings.foreach(Compaction.compactParquet(spark, _))
@@ -513,6 +539,7 @@ object NearDupIngest {
     */
   def ingestPassageBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, chunkTokens: Int = 16): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 (-1 is the bootstrap sentinel): $batchId")
     ensurePassageIdx(spark, storeDir, chunkTokens)
     val novel = admitPassagesFlow(spark, batch, storeDir, chunkTokens,
         pin = _.localCheckpoint(false))
@@ -523,7 +550,15 @@ object NearDupIngest {
     val n = appendIdempotent(spark, rebuilt.select("doc_id", "text"), storeDir, batchId)
     appendIdempotent(spark, novel.select("doc_id", "pg"),
       pgIdxDir(storeDir, chunkTokens), batchId)
-    appendStats(spark, storeDir, batchId, batch.count(), n)
+    // funnel at CHUNK granularity: the passage ingest reassembles one
+    // store row per doc with any novel chunk, so a doc-level rate
+    // would read 1.0 on a heavily-recycled batch and the stats table's
+    // broken-index alarm could never fire; chunks-in vs novel-chunks
+    // is the rate that means something here (one extra O(batch)
+    // chunking pass — the admitted cost class)
+    val nInChunks = graft.llm.CurationQueries
+      .chunkDf(normalizedDocs(batch), chunkTokens, overlap = 0).count()
+    appendStats(spark, storeDir, batchId, nInChunks, novel.count())
     n
   }
 

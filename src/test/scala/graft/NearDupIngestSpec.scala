@@ -118,9 +118,17 @@ class NearDupIngestSpec extends SparkSpec {
       Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(d)
       NearDupIngest.ingestBatch(spark, Seq(Doc(10, ts(0), tNovel)).toDF(), d, batchId = 0)
     }
+    // a crashed bootstrap's staging leftover (Spark _temporary inside)
+    // and an unluckily-named sibling dataset must both be skipped —
+    // the sweep would otherwise abort on the subdirectory
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dirA + ".dfidx-k3.tmp", "_temporary"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirA + ".fpidxfoo"))
     NearDupIngest.compactStoreAndIndexes(spark, dirA)
     def hasManifest(d: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(d, Compaction.ManifestName))
+    assert(!hasManifest(dirA + ".dfidx-k3.tmp") && !hasManifest(dirA + ".fpidxfoo"),
+      "maintenance swept a staging leftover or an unrelated sibling")
     for (idx <- Seq(NearDupIngest.fpIdxDir(dirA), NearDupIngest.shIdxDir(dirA, 3),
         NearDupIngest.statsDir(dirA)))
       assert(hasManifest(idx), s"own side table not folded: $idx")
@@ -250,6 +258,7 @@ class NearDupIngestSpec extends SparkSpec {
           case _ => Set.empty
         }
       case j: Join =>
+        import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
         val ls = walk(j.left); val rs = walk(j.right)
         j.joinType match {
           case LeftAnti | LeftSemi =>
@@ -258,7 +267,13 @@ class NearDupIngestSpec extends SparkSpec {
             // right consumed as a filter; anti does NOT bound the left
             if (j.joinType == LeftAnti) ls
             else if (rs.isEmpty) Set.empty else ls ++ rs
-          case _ => if (ls.isEmpty || rs.isEmpty) Set.empty else ls ++ rs
+          // outer joins PRESERVE their outer side — a bounded inner
+          // side cannot bound an index on the preserved side
+          case LeftOuter  => if (ls.isEmpty) Set.empty else ls ++ rs
+          case RightOuter => if (rs.isEmpty) Set.empty else ls ++ rs
+          case FullOuter  => ls ++ rs
+          case Inner | Cross => if (ls.isEmpty || rs.isEmpty) Set.empty else ls ++ rs
+          case _ => ls ++ rs // unknown join types: stay conservative
         }
       case a: Aggregate =>
         val cs = walk(a.child)
@@ -502,5 +517,11 @@ class NearDupIngestSpec extends SparkSpec {
     // doc_id, recomputes the same cut, and replaces the same file
     val second = NearDupIngest.ingestPassageBatch(spark, batch, dir, batchId = 0)
     assert(second == 1 && storeTexts(dir) == Map(1L -> s"$pA $pB", 10L -> pC))
+    // passage-mode funnel is CHUNK-granular: 3 chunks in (pA,pC | pB),
+    // 1 novel — a doc-level rate would read 1.0 here and the stats
+    // table's broken-index alarm could never fire
+    val st = NearDupIngest.ingestStats(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(st == Set((0L, 3L, 1L)), s"chunk-granular funnel expected (0,3,1), got $st")
   }
 }

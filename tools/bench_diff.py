@@ -67,7 +67,11 @@ def main():
         slow_load = (ln if slower_new else lo).get(k, -1.0)
         base = bn if slower_new else bo
         # elevated = 25%+ above that run's own median per-entry load
-        contended = slow_load >= 0 and base >= 0 and slow_load > 1.25 * base
+        # AND at least +0.5 absolute — on a near-idle run (median
+        # ~0.05) a pure ratio would label any hair of load
+        # "contention" and wave real plan regressions through
+        contended = (slow_load >= 0 and base >= 0
+                     and slow_load > max(1.25 * base, base + 0.5))
         verdict = "CONTENTION" if contended else "UNEXPLAINED"
         if verdict == "UNEXPLAINED":
             plan_findings += 1
