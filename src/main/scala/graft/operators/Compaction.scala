@@ -207,6 +207,19 @@ object Compaction {
     }
   }
 
+  /** The live parquet file paths of `dir` under the manifest protocol
+    * (all parquet files for a never-compacted dir). This is the
+    * building block for readers that must assemble a MULTI-directory
+    * live set themselves — e.g. a `partitionBy` layout whose leaf
+    * directories are each independently compacted flat datasets and
+    * must be read together under one `basePath` so the partition
+    * column survives.
+    */
+  def livePaths(dir: String): Seq[String] = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    liveFiles(root, readManifest(root)).map(_.toString)
+  }
+
   /** Read the dataset resolving the live file list through `_manifest`
     * when present (exactly-once across a concurrent compaction swap,
     * appended files included); falls back to the plain directory scan

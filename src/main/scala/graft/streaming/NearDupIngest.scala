@@ -31,7 +31,10 @@ import graft.operators.Compaction
   * full-corpus scan per batch, exactly what kills the design at
   * 100 TB. So each store keeps digest side tables as siblings:
   *
-  *   - `<store>.fpidx`          — (doc_id, fp): exact-dup fingerprints
+  *   - `<store>.fpidx-p<h>`     — (doc_id, fp): exact-dup
+  *     fingerprints, laid out in `pfx=…` partitions keyed by the
+  *     first h hex chars of fp so the probe join is partition-pruned
+  *     (see [[FpPfxChars]])
   *   - `<store>.shidx-k<k>`     — (doc_id, sh): md5 shingle digests
   *   - `<store>.pgidx-c<c>`     — (doc_id, pg): md5 passage digests
   *   - `<store>.dfidx-k<k>`     — (sh, df, batch_id): PARTIAL
@@ -109,12 +112,15 @@ import graft.operators.Compaction
   * on the admission plan (index-dirs-only scans; no full-index
   * Aggregate; no index on an anti/semi build side). The remaining
   * per-batch index cost is scan I/O — the probes stream the digest
-  * files under a broadcast of the delta keys. That is the honest
-  * floor for this layout; the next scale decade would partition the
-  * digest directories by a digest prefix and join on
-  * (prefix, digest) so dynamic partition pruning skips file groups a
-  * batch's digests cannot touch — a layout change only, the dataflow
-  * above is already keyed for it.
+  * files under a broadcast of the delta keys. For the FP index that
+  * scan is now partition-pruned: the index is laid out by a
+  * fingerprint prefix and the probe joins on (pfx, fp), so dynamic
+  * partition pruning skips the leaves a batch's fingerprints cannot
+  * touch (`NearDupIngestSpec` asserts the pruning subquery is
+  * planned; [[FpPfxChars]] documents why the shingle/df/cnt/pg
+  * probes deliberately stay flat — delta-dense probes and pinned
+  * probe sides make pruning there cosmetic). The shingle-side scan
+  * I/O is thus the honest per-batch floor for this layout.
   * Store growth is one file per batch per target, exactly the
   * small-file accretion [[Compaction.compactParquet]] exists to fold.
   */
@@ -128,14 +134,50 @@ object NearDupIngest {
   // Index side tables
   // ---------------------------------------------------------------
 
-  private[graft] def fpIdxDir(storeDir: String): String = storeDir + ".fpidx"
+  /** Hex chars of the fingerprint used as the fp index's PARTITION
+    * prefix — the "next layout decade" the flat design documented:
+    * the fp index is laid out `pfx=<first hex chars>/...`, the probe
+    * joins on (pfx, fp), and Catalyst's dynamic partition pruning
+    * (broadcast-reuse form — the probe's delta side already
+    * broadcasts for the semi-join) skips every partition the batch's
+    * fingerprints cannot touch. Probe I/O drops from O(index) to
+    * ~`1 - (1-1/P)^B` of it for a batch of B docs over P=16^chars
+    * partitions — a real decade for the trickle-batch regime the
+    * streaming ingest exists for (B ≪ P), degrading gracefully to
+    * the old full scan when B ≳ P. 1 hex char (16 partitions) keeps
+    * local tests honest; a 100 TB deployment would use 3–4 (4k–65k
+    * partitions — the value is baked into the directory name, so
+    * differently-laid-out indexes can never alias).
+    *
+    * Only the FP index gets this treatment, deliberately:
+    *   - the shingle/df probes are DELTA-DENSE (a batch of B docs
+    *     probes ~B × shingles-per-doc digests — at any plausible P
+    *     nearly every partition is touched, so pruning buys ~nothing
+    *     while multiplying the per-batch small-file accretion by P);
+    *   - the passage probe's delta side is behind the production
+    *     `localCheckpoint` pin, which erases the selective predicate
+    *     DPP's planner precondition looks for — the pruning would
+    *     exist in the plan test and silently not in production;
+    *   - the cnt probe's candidate set derives from the pinned
+    *     candidate frame, same story.
+    * The fp probe is the one that is both sparse (ONE digest per doc)
+    * and un-pinned on the delta side, so its pruning is real in the
+    * production plan — and `NearDupIngestSpec` asserts the dynamic
+    * pruning subquery is actually planned.
+    */
+  private[graft] val FpPfxChars = 1
+
+  private def pfxOf(c: org.apache.spark.sql.Column) = substring(c, 1, FpPfxChars)
+
+  private[graft] def fpIdxDir(storeDir: String): String = s"$storeDir.fpidx-p$FpPfxChars"
   private[graft] def shIdxDir(storeDir: String, k: Int): String = s"$storeDir.shidx-k$k"
   private[graft] def pgIdxDir(storeDir: String, c: Int): String = s"$storeDir.pgidx-c$c"
   private[graft] def dfIdxDir(storeDir: String, k: Int): String = s"$storeDir.dfidx-k$k"
   private[graft] def cntIdxDir(storeDir: String, k: Int): String = s"$storeDir.cntidx-k$k"
   private[graft] def statsDir(storeDir: String): String = storeDir + ".stats"
 
-  private val fpSchema = StructType.fromDDL("doc_id BIGINT, fp STRING")
+  // pfx is the partition column of the fp index's directory layout
+  private val fpSchema = StructType.fromDDL("doc_id BIGINT, fp STRING, pfx STRING")
   private val shSchema = StructType.fromDDL("doc_id BIGINT, sh STRING")
   private val pgSchema = StructType.fromDDL("doc_id BIGINT, pg STRING")
   private val dfSchema = StructType.fromDDL("sh STRING, df BIGINT, batch_id BIGINT")
@@ -162,6 +204,27 @@ object NearDupIngest {
       Compaction.readCompacted(spark, dir).select(schema.fieldNames.map(col): _*)
     else spark.read.schema(schema).parquet(dir)
 
+  /** Manifest-aware read of a `pfx=…`-partitioned index. Each leaf is
+    * an independently-compacted FLAT dataset (manifest per leaf); the
+    * live files of every leaf are read together under one `basePath`
+    * so the pfx partition column — and with it dynamic partition
+    * pruning on the probe join — survives. Falls back to the plain
+    * partitioned read when no leaf has been compacted yet.
+    */
+  private def readPartIdx(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val leaves = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+    if (leaves.exists(l => Files.exists(l.toPath.resolve(Compaction.ManifestName)))) {
+      val files = leaves.toSeq.flatMap(l => Compaction.livePaths(l.getPath))
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.option("basePath", dir).schema(schema).parquet(files: _*)
+          .select(schema.fieldNames.map(col): _*)
+    } else spark.read.schema(schema).parquet(dir)
+  }
+
   /** One-time bootstrap: derive the index from the store's text and
     * publish it with an atomic directory rename (derive → `.tmp` →
     * move), so a crashed bootstrap leaves no half-index a later call
@@ -170,12 +233,13 @@ object NearDupIngest {
     * documented repair path: delete an index directory and the next
     * batch rebuilds it from the store.
     */
-  private def ensureIdx(idxDir: String)(derive: => DataFrame): Unit = {
+  private def ensureIdx(idxDir: String, partitionCols: Seq[String] = Nil)(
+      derive: => DataFrame): Unit = {
     val target = Paths.get(idxDir)
     if (!Files.exists(target)) {
       val tmp = Paths.get(idxDir + ".tmp")
       rmTree(tmp.toFile)
-      derive.write.mode("overwrite").parquet(tmp.toString)
+      derive.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileAlreadyExistsException => rmTree(tmp.toFile)
@@ -189,8 +253,9 @@ object NearDupIngest {
         col("text").cast("string").as("text"))
 
   private[graft] def ensureDocIdx(spark: SparkSession, storeDir: String, k: Int): Unit = {
-    ensureIdx(fpIdxDir(storeDir)) {
+    ensureIdx(fpIdxDir(storeDir), partitionCols = Seq("pfx")) {
       storeText(spark, storeDir).select(col("doc_id"), fp(col("text")).as("fp"))
+        .withColumn("pfx", pfxOf(col("fp")))
     }
     ensureIdx(shIdxDir(storeDir, k)) { shingleDigests(storeText(spark, storeDir), k) }
     // Count side tables bootstrap from the shingle index (a ONE-TIME
@@ -273,8 +338,6 @@ object NearDupIngest {
       batchId: Long, pin: DataFrame => DataFrame): DataFrame = {
     val docs = normalizedDocs(batch)
     val batchIds = docs.select("doc_id")
-    val fpIdx = readIdx(spark, fpIdxDir(storeDir), fpSchema)
-      .join(batchIds, Seq("doc_id"), "left_anti")
     val shIdx = readIdx(spark, shIdxDir(storeDir, shingleK), shSchema)
       .join(batchIds, Seq("doc_id"), "left_anti")
 
@@ -287,10 +350,18 @@ object NearDupIngest {
     // the batch's fingerprints first (the index STREAMS under a
     // broadcast of the delta keys — no index-side exchange), and the
     // anti-join's build side is then the delta-bounded hit set.
+    // Join order matters for pruning: the semi-probe runs DIRECTLY on
+    // the partitioned scan with pfx in the join key — an intervening
+    // join would break the scan⟶join pattern Catalyst's partition-
+    // pruning rule matches — and the replay self-exclusion by doc_id
+    // follows on the delta-bounded hit rows (semi and anti are both
+    // row filters on the index, so they commute).
     val keeper = Window.partitionBy("fp").orderBy("doc_id")
     val docsFp = docs.withColumn("fp", fp(col("text")))
       .withColumn("rn", row_number().over(keeper)).where(col("rn") === 1)
-    val hitFps = fpIdx.select("fp").join(docsFp.select("fp"), Seq("fp"), "left_semi")
+    val hitRows = readPartIdx(spark, fpIdxDir(storeDir), fpSchema)
+      .join(docsFp.select(pfxOf(col("fp")).as("pfx"), col("fp")), Seq("pfx", "fp"), "left_semi")
+    val hitFps = hitRows.join(batchIds, Seq("doc_id"), "left_anti").select("fp")
     val exactNew = pin(docsFp.join(hitFps, Seq("fp"), "left_anti")
       .select("doc_id", "text", "fp"))
 
@@ -367,7 +438,9 @@ object NearDupIngest {
     // pair drops — dup admitted, swept later), never a dropped novel
     // doc.
     val n = appendIdempotent(spark, survivors.select("doc_id", "text"), storeDir, batchId)
-    appendIdempotent(spark, survivors.select("doc_id", "fp"), fpIdxDir(storeDir), batchId)
+    appendIdempotentPartitioned(spark,
+      survivors.select(col("doc_id"), col("fp"), pfxOf(col("fp")).as("pfx")),
+      fpIdxDir(storeDir), batchId)
     val shNew = shingleDigests(survivors, shingleK).localCheckpoint(false)
     appendIdempotent(spark, shNew, shIdxDir(storeDir, shingleK), batchId)
     appendIdempotent(spark,
@@ -444,13 +517,54 @@ object NearDupIngest {
     } finally rmTree(scratch.toFile)
   }
 
+  /** The partitioned-layout form of [[appendIdempotent]]: the batch
+    * lands as ONE file per TOUCHED `pfx=…` leaf (each via the same
+    * atomic rename-replace), and leaves this batch touched on a PRIOR
+    * attempt but not this one have their `ingest-<id>` file removed —
+    * so a replay converges on exactly this attempt's rows, just like
+    * the flat form. The per-leaf moves are not jointly atomic; a crash
+    * mid-append leaves a PARTIAL index append, which is the documented
+    * safe direction (an admitted doc missing from the fp index can at
+    * worst let a future exact dup through — swept by the batch-mode
+    * corpus pass — never drop novel content), and the torn window is
+    * invisible to a same-batch replay because every index read
+    * self-excludes the batch's own doc_ids.
+    */
+  private def appendIdempotentPartitioned(spark: SparkSession, rows: DataFrame,
+      dir: String, batchId: Long): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft-ingest-$batchId-")
+    try {
+      rows.coalesce(1).write.partitionBy("pfx").mode("overwrite")
+        .parquet(s"$scratch/out")
+      val leaves = Option(new java.io.File(s"$scratch/out").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+      val touched = leaves.flatMap { leaf =>
+        Option(leaf.listFiles()).getOrElse(Array.empty[java.io.File])
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .map { p =>
+            val target = Paths.get(dir, leaf.getName, s"ingest-$batchId.parquet")
+            Files.createDirectories(target.getParent)
+            Files.move(p.toPath, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            leaf.getName
+          }
+      }.toSet
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("pfx=") && !touched(f.getName))
+        .foreach { leaf =>
+          Files.deleteIfExists(Paths.get(leaf.getPath, s"ingest-$batchId.parquet"))
+        }
+    } finally rmTree(scratch.toFile)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** Single maintenance entry point: fold the store AND every sibling
     * index side table it has accreted (each gains one file per batch).
-    * Discovery is by the directory-name contract (`<store>.fpidx`,
+    * Discovery is by the directory-name contract (`<store>.fpidx-p*`,
     * `.shidx-k*`, `.pgidx-c*`, `.dfidx-k*`, `.cntidx-k*`), so a
     * maintenance job needs no knowledge of which k/c configs ran.
     * Safe concurrently with the stream: each directory's compaction is
@@ -470,8 +584,9 @@ object NearDupIngest {
     // whole sweep when compactParquet rejects the subdirectory — and
     // an unluckily-named sibling store (`t.fpidxfoo`) must never be
     // swept by `t`'s maintenance.
-    val exact = Set(name + ".fpidx", name + ".stats")
-    val parameterized = Seq(".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k").map(name + _)
+    val exact = Set(name + ".stats")
+    val parameterized =
+      Seq(".fpidx-p", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k").map(name + _)
     def ours(n: String): Boolean =
       exact(n) || parameterized.exists(p =>
         n.length > p.length && n.startsWith(p) && n.drop(p.length).forall(_.isDigit))
@@ -480,7 +595,18 @@ object NearDupIngest {
         .filter(f => f.isDirectory && ours(f.getName))
         .map(_.getAbsolutePath).toSeq.sorted
     }.getOrElse(Seq.empty)
-    siblings.foreach(Compaction.compactParquet(spark, _))
+    // a pfx-partitioned index is compacted per LEAF — each `pfx=…`
+    // directory is an independently-atomic flat dataset (compacting
+    // the root would collapse the partition column into the data
+    // files and corrupt partition discovery; Compaction rejects it)
+    siblings.foreach { s =>
+      val leaves = Option(new java.io.File(s).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+      if (leaves.nonEmpty) leaves.sortBy(_.getName)
+        .foreach(l => Compaction.compactParquet(spark, l.getAbsolutePath))
+      else Compaction.compactParquet(spark, s)
+    }
   }
 
   /** The lazy passage-admission dataflow (see [[admitDocsFlow]] for

@@ -129,13 +129,21 @@ class NearDupIngestSpec extends SparkSpec {
       java.nio.file.Files.exists(java.nio.file.Paths.get(d, Compaction.ManifestName))
     assert(!hasManifest(dirA + ".dfidx-k3.tmp") && !hasManifest(dirA + ".fpidxfoo"),
       "maintenance swept a staging leftover or an unrelated sibling")
-    for (idx <- Seq(NearDupIngest.fpIdxDir(dirA), NearDupIngest.shIdxDir(dirA, 3),
-        NearDupIngest.statsDir(dirA)))
+    for (idx <- Seq(NearDupIngest.shIdxDir(dirA, 3), NearDupIngest.statsDir(dirA)))
       assert(hasManifest(idx), s"own side table not folded: $idx")
-    for (idx <- Seq(dirB, NearDupIngest.fpIdxDir(dirB), NearDupIngest.shIdxDir(dirB, 3),
-        NearDupIngest.statsDir(dirB)))
+    // the fp index is pfx-partitioned: maintenance folds each LEAF
+    assert(fpLeaves(NearDupIngest.fpIdxDir(dirA)).nonEmpty &&
+      fpLeaves(NearDupIngest.fpIdxDir(dirA)).forall(l => hasManifest(l.getPath)),
+      s"fp index leaves not folded under ${NearDupIngest.fpIdxDir(dirA)}")
+    for (idx <- Seq(dirB, NearDupIngest.shIdxDir(dirB, 3), NearDupIngest.statsDir(dirB)))
       assert(!hasManifest(idx), s"sibling store's directory touched: $idx")
+    assert(fpLeaves(NearDupIngest.fpIdxDir(dirB)).forall(l => !hasManifest(l.getPath)),
+      "sibling store's fp index touched")
   }
+
+  private def fpLeaves(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("pfx=")).toSeq
 
   test("ingestBatch with an all-duplicate batch appends nothing and replays clean") {
     val dir = java.nio.file.Files.createTempDirectory("graftndempty").resolve("t").toString
@@ -344,6 +352,30 @@ class NearDupIngestSpec extends SparkSpec {
       "calculus failed to flag an index on an anti-join build side")
   }
 
+  test("fp-index probe plans a real dynamic partition-pruning subquery on the pfx layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graftnddpp").resolve("t").toString
+    Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ensureDocIdx(spark, dir, 3)
+    assert(fpLeaves(NearDupIngest.fpIdxDir(dir)).nonEmpty, "fp index is not pfx-partitioned")
+    val batch = Seq(Doc(10, ts(0), tNovel), Doc(11, ts(1), t1)).toDF()
+    val flow = NearDupIngest.admitDocsFlow(spark, batch, dir,
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, batchId = 0, pin = identity)
+    // the fp scan's line in the physical plan must carry a NON-fallback
+    // pruning subquery on pfx: `dynamicpruningexpression(true)` is the
+    // planner's gave-up form (broadcast not reusable), which would mean
+    // the partitioned layout prunes nothing at runtime
+    val fpScanLines = flow.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains(".fpidx-p")).toSeq
+    assert(fpScanLines.nonEmpty, "no fp-index scan in the admission plan")
+    assert(fpScanLines.exists(l =>
+        l.contains("dynamicpruningexpression(") && !l.contains("dynamicpruningexpression(true)")),
+      s"fp probe is not partition-pruned:\n${fpScanLines.mkString("\n")}")
+    // and the pruned probe still computes the right answer: doc 11 is
+    // an exact dup of corpus doc 1, doc 10 is novel
+    val admitted = flow.select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(10L), s"pruned probe admitted $admitted")
+  }
+
   /** The pre-index formulation (full store-text rescan per batch),
     * kept as the equivalence oracle: the incremental-index ingest must
     * admit EXACTLY the docs this admits.
@@ -428,10 +460,14 @@ class NearDupIngestSpec extends SparkSpec {
     // that compaction preserves the partial-row multiset (df is
     // derived by summation)
     NearDupIngest.compactStoreAndIndexes(spark, dir)
-    for (idx <- Seq(NearDupIngest.fpIdxDir(dir), NearDupIngest.shIdxDir(dir, 3),
+    for (idx <- Seq(NearDupIngest.shIdxDir(dir, 3),
         NearDupIngest.dfIdxDir(dir, 3), NearDupIngest.cntIdxDir(dir, 3)))
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, Compaction.ManifestName)),
         s"maintenance entry point skipped $idx")
+    assert(fpLeaves(NearDupIngest.fpIdxDir(dir)).nonEmpty &&
+      fpLeaves(NearDupIngest.fpIdxDir(dir)).forall(l =>
+        java.nio.file.Files.exists(l.toPath.resolve(Compaction.ManifestName))),
+      s"maintenance entry point skipped fp index leaves under ${NearDupIngest.fpIdxDir(dir)}")
     // near-dup of the pre-compaction append must still be caught, and
     // a replayed batchId must not resurrect via the rewritten store
     assert(NearDupIngest.ingestBatch(spark, Seq(Doc(20, ts(5), tNovelNear)).toDF(), dir, 1) == 0L)
