@@ -964,9 +964,88 @@ object SimilarityQueries {
     knnDiverseDf(s, d, bands = 6, r = 8, k = 5)
   }
 
+  /** Label-centroid outlier mining — the mislabel/noise audit a
+    * labeled training set runs before fine-tuning: each label's
+    * centroid is the RE-QUANTIZED component mean of its members'
+    * quantized embeddings (exact longs in, exact longs out — the
+    * x_ann_ivf_trained Lloyd-step primitive applied per label), and
+    * the `k` members LEAST cosine-similar to their own label's
+    * centroid are flagged, rank attached. A vector far from its label
+    * centroid is the classic mislabel / outlier candidate.
+    *
+    * Scale shape: one bounded 64× component unpivot shuffled by
+    * (label, pos) for the centroids; the centroid table is |labels|
+    * rows and broadcasts back for scoring (narrow, no corpus×corpus
+    * term); the per-label bottom-k is a rank-1..k window
+    * (WindowGroupLimit prunes before the final shuffle). All
+    * arithmetic is exact-integer sums + one double division — the
+    * engine-reproducibility contract of the embedding family.
+    */
+  private def labelOutliersSql(k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, label, qe,
+       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * qe[i])) AS DOUBLE)) AS nrm
+       |  FROM q),
+       |comp AS (SELECT label, qe, generate_subscripts(qe, 1) AS i FROM e),
+       |cmean AS (SELECT label, i, CAST(round(avg(qe[i])) AS BIGINT) AS v FROM comp GROUP BY label, i),
+       |cent AS (SELECT label, list(v ORDER BY i) AS cent_qe FROM cmean GROUP BY label),
+       |cn AS (
+       |  SELECT label, cent_qe,
+       |         sqrt(CAST(list_sum(list_transform(generate_series(1, len(cent_qe)), i -> cent_qe[i] * cent_qe[i])) AS DOUBLE)) AS cent_nrm
+       |  FROM cent),
+       |scored AS (
+       |  SELECT e.label, e.vec_id,
+       |         CAST(list_sum(list_transform(generate_series(1, len(e.qe)), i -> e.qe[i] * c.cent_qe[i])) AS DOUBLE) /
+       |           (e.nrm * c.cent_nrm) AS centroid_sim
+       |  FROM e JOIN cn c ON e.label = c.label)
+       |SELECT label, vec_id, centroid_sim, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_sim ASC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k""".stripMargin
+
+  private[graft] def labelOutliersOf(emb: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val cmean = e.select(col("label"), posexplode(col("qe")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
+    val cents = cmean.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        t => t.getField("v")).as("cent_qe"))
+      .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
+    e.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("centroid_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("label").orderBy(col("centroid_sim").asc, col("vec_id"))).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  private def labelOutliersDf(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    labelOutliersOf(Tables.embeddings(s, d), k)
+
+  val labelOutliers: QueryDef = QueryDef.sql(
+    "x_label_outliers", labelOutliersSql(k = 8)) { (s, d) =>
+    labelOutliersDf(s, d, k = 8)
+  }
+
+  /** The audit at a deeper cut (k = 16) — pinning that the flag depth
+    * is a real parameter of the rank window, not baked into the plan.
+    */
+  val labelOutliersK16: QueryDef = QueryDef.sql(
+    "x_label_outliers_k16", labelOutliersSql(k = 16)) { (s, d) =>
+    labelOutliersDf(s, d, k = 16)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
-      knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6)
+      knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
+      labelOutliers, labelOutliersK16)
 }

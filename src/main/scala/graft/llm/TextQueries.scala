@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.llm.TextOps._
@@ -49,6 +50,33 @@ object TextQueries {
             nullif(size(col("toks")), lit(0)))).as("quality"))
   }
 
+  /** Per-doc language predictions shared by x_lang_id (which exposes
+    * them) and x_lang_audit (which aggregates them per source):
+    * marker-token counts per language, argmax with the fixed priority
+    * tie-break (en > de > es > fr > zh).
+    */
+  private[graft] def langPredictionsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def cnt(toks: org.apache.spark.sql.Column, words: Seq[String]) =
+      size(filter(toks, x => x.isin(words: _*))).cast("long")
+    val t = docs.select(
+      col("doc_id"), col("source"), col("lang").as("labeled_lang"),
+      tokens(col("text")).as("toks"))
+    val c = t.select(
+      col("doc_id"), col("source"), col("labeled_lang"),
+      cnt(col("toks"), Seq("the", "a", "of")).as("c_en"),
+      cnt(col("toks"), Seq("der", "und", "die")).as("c_de"),
+      cnt(col("toks"), Seq("el", "la", "y")).as("c_es"),
+      cnt(col("toks"), Seq("le", "et", "les")).as("c_fr"),
+      cnt(col("toks"), Seq("d", "zh")).as("c_zh"))
+    c.withColumn("predicted_lang",
+      when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr"), col("c_zh")), "en")
+        .when(col("c_de") >= greatest(col("c_es"), col("c_fr"), col("c_zh")), "de")
+        .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), "es")
+        .when(col("c_fr") >= col("c_zh"), "fr")
+        .otherwise("zh"))
+  }
+
   /** Language ID: per-language marker-token counts, argmax with a
     * fixed priority tie-break (en > de > es > fr > zh). On real text
     * the marker lists would be the top-k stopwords per language; the
@@ -75,23 +103,82 @@ object TextQueries {
       |            WHEN c_fr >= c_zh THEN 'fr'
       |            ELSE 'zh' END AS predicted_lang
       |FROM c""") { (s, d) =>
-    def cnt(toks: org.apache.spark.sql.Column, words: Seq[String]) =
-      size(filter(toks, x => x.isin(words: _*))).cast("long")
-    val t = Tables.documents(s, d).select(
-      col("doc_id"), col("lang").as("labeled_lang"), tokens(col("text")).as("toks"))
-    val c = t.select(
-      col("doc_id"), col("labeled_lang"),
-      cnt(col("toks"), Seq("the", "a", "of")).as("c_en"),
-      cnt(col("toks"), Seq("der", "und", "die")).as("c_de"),
-      cnt(col("toks"), Seq("el", "la", "y")).as("c_es"),
-      cnt(col("toks"), Seq("le", "et", "les")).as("c_fr"),
-      cnt(col("toks"), Seq("d", "zh")).as("c_zh"))
-    c.withColumn("predicted_lang",
-      when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr"), col("c_zh")), "en")
-        .when(col("c_de") >= greatest(col("c_es"), col("c_fr"), col("c_zh")), "de")
-        .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")), "es")
-        .when(col("c_fr") >= col("c_zh"), "fr")
-        .otherwise("zh"))
+    langPredictionsOf(Tables.documents(s, d)).select("doc_id", "labeled_lang",
+      "c_en", "c_de", "c_es", "c_fr", "c_zh", "predicted_lang")
+  }
+
+  private[graft] def langAuditOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = langPredictionsOf(docs).select("source", "labeled_lang", "predicted_lang")
+    val agg = p.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("predicted_lang") === col("labeled_lang"), 1L).otherwise(0L)).as("n_agree"))
+    val top = p.where(col("predicted_lang") =!= col("labeled_lang"))
+      .groupBy("source", "labeled_lang", "predicted_lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("labeled_lang"), col("predicted_lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"),
+        concat(col("labeled_lang"), lit("->"), col("predicted_lang")).as("top_confusion"))
+    agg.join(top, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs")).as("agree_frac"),
+        col("top_confusion"))
+  }
+
+  /** Per-source language-label AUDIT — the lang-id operator consumed
+    * downstream, the way a corpus pipeline actually uses it: for each
+    * source, how often does the n-gram prediction agree with the
+    * upstream `lang` label, and which (labeled → predicted)
+    * disagreement dominates? A source whose agree rate collapses is a
+    * mislabeled crawl (or a lang-id regression) — the operational
+    * alarm this table feeds. Exact integer counts + one division;
+    * the dominant-confusion pick breaks ties deterministically
+    * (count desc, then labeled, then predicted); sources with no
+    * disagreement carry a NULL top_confusion on both engines.
+    *
+    * Scale shape: per-row scan → two small aggregations keyed by
+    * source (map-side partials; |sources| × |langs|² rows at most) —
+    * no corpus-sized shuffle anywhere.
+    */
+  val langAudit: QueryDef = QueryDef.sql(
+    "x_lang_audit",
+    """WITH t AS (
+      |  SELECT doc_id, source, lang AS labeled_lang,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, labeled_lang,
+      |         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS c_en,
+      |         CAST(len(list_filter(toks, x -> x IN ('der', 'und', 'die'))) AS BIGINT) AS c_de,
+      |         CAST(len(list_filter(toks, x -> x IN ('el', 'la', 'y'))) AS BIGINT) AS c_es,
+      |         CAST(len(list_filter(toks, x -> x IN ('le', 'et', 'les'))) AS BIGINT) AS c_fr,
+      |         CAST(len(list_filter(toks, x -> x IN ('d', 'zh'))) AS BIGINT) AS c_zh
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, source, labeled_lang,
+      |         CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) THEN 'en'
+      |              WHEN c_de >= greatest(c_es, c_fr, c_zh) THEN 'de'
+      |              WHEN c_es >= greatest(c_fr, c_zh) THEN 'es'
+      |              WHEN c_fr >= c_zh THEN 'fr'
+      |              ELSE 'zh' END AS predicted_lang
+      |  FROM c),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM p GROUP BY source),
+      |conf AS (
+      |  SELECT source, labeled_lang, predicted_lang, count(*) AS cnt
+      |  FROM p WHERE predicted_lang <> labeled_lang GROUP BY 1, 2, 3),
+      |topconf AS (
+      |  SELECT source, labeled_lang || '->' || predicted_lang AS top_confusion FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, labeled_lang, predicted_lang) AS rn
+      |    FROM conf) WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.n_agree,
+      |       CAST(a.n_agree AS DOUBLE) / a.n_docs AS agree_frac, t.top_confusion
+      |FROM agg a LEFT JOIN topconf t ON a.source = t.source""") { (s, d) =>
+    langAuditOf(Tables.documents(s, d))
   }
 
   /** Document fingerprinting: md5 of normalized text plus a Karp-Rabin
@@ -678,7 +765,7 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(textStats, langId, fingerprint, qualitySignals, winnowFingerprints,
+    Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2)

@@ -520,4 +520,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(4L).getAs[Double]("bullet_line_frac") == 4.0 / 6)
     assert(rows(5L).getAs[Double]("symbol_word_ratio") == 1.0) // overlap-free count
   }
+
+  test("label-centroid outliers: farthest member flagged first, exact-tie broken by vec_id") {
+    val emb = Seq(
+      // label 1: two members near (1,0), one orthogonal stray -> the
+      // stray (id 3) is the rank-1 outlier
+      (1L, 1, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(0.9f, 0.1f)),
+      (3L, 1, Seq(0.0f, 1.0f)),
+      // label 2: two members symmetric about the centroid (500, 500):
+      // sims are EXACTLY equal -> the vec_id tie-break elects id 4
+      (4L, 2, Seq(1.0f, 0.0f)),
+      (5L, 2, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = llm.SimilarityQueries.labelOutliersOf(emb, k = 1)
+      .select("label", "vec_id", "rk").as[(Int, Long, Long)].collect().toSet
+    assert(got == Set((1, 3L, 1L), (2, 4L, 1L)))
+  }
+
+  test("lang audit: per-source agree rate and dominant confusion, NULL when all agree") {
+    val docs = Seq(
+      (1L, "the a of", "en", "s1"),      // predicted en -> agree
+      (2L, "der und die", "en", "s1"),   // predicted de -> en->de confusion
+      (3L, "el la y", "es", "s2")        // predicted es -> agree
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = llm.TextQueries.langAuditOf(docs)
+      .select("source", "n_docs", "n_agree", "agree_frac", "top_confusion")
+      .as[(String, Long, Long, Double, Option[String])].collect().toSet
+    assert(got == Set(
+      ("s1", 2L, 1L, 0.5, Some("en->de")),
+      ("s2", 1L, 1L, 1.0, None)))
+  }
 }
