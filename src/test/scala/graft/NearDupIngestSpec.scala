@@ -374,6 +374,24 @@ class NearDupIngestSpec extends SparkSpec {
     // an exact dup of corpus doc 1, doc 10 is novel
     val admitted = flow.select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(10L), s"pruned probe admitted $admitted")
+
+    // the MANIFEST read path (per-leaf compaction -> explicit live-file
+    // list under one basePath) must keep both properties: partition
+    // discovery survives the file-list read, so the pruning subquery
+    // still plans, and admission is unchanged
+    NearDupIngest.compactStoreAndIndexes(spark, dir)
+    assert(fpLeaves(NearDupIngest.fpIdxDir(dir)).exists(l =>
+        java.nio.file.Files.exists(l.toPath.resolve(Compaction.ManifestName))),
+      "precondition: no fp leaf was compacted")
+    val flow2 = NearDupIngest.admitDocsFlow(spark, batch, dir,
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, batchId = 0, pin = identity)
+    val fpScanLines2 = flow2.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains(".fpidx-p")).toSeq
+    assert(fpScanLines2.exists(l =>
+        l.contains("dynamicpruningexpression(") && !l.contains("dynamicpruningexpression(true)")),
+      s"fp probe lost pruning on the compacted (file-list) read path:\n${fpScanLines2.mkString("\n")}")
+    val admitted2 = flow2.select("doc_id").as[Long].collect().toSet
+    assert(admitted2 == Set(10L), s"compacted-path probe admitted $admitted2")
   }
 
   /** The pre-index formulation (full store-text rescan per batch),
