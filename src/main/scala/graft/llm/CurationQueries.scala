@@ -794,9 +794,117 @@ object CurationQueries {
     gopherSymbolsDf(Tables.documents(s, d), symNum = 1, symDen = 20, bulNum = 1, bulDen = 2)
   }
 
+  /** Water-filling token-budget allocation — the source-balancing
+    * decision a mixture designer actually executes: given a total
+    * token budget B = total × num/den, find the water level L with
+    * Σ min(nᵢ, L) = B and give every source min(nᵢ, L) tokens —
+    * small sources keep everything, the big ones are capped at a
+    * COMMON level (the continuous form of "cap every source at X"
+    * where X is solved for, not guessed). All arithmetic is exact
+    * integers: the level's closed form is found by sorting sources
+    * ascending by size and testing, per rank j with prefix sum Pⱼ and
+    * rⱼ sources remaining, the integer inequality
+    * prev·rⱼ ≤ B−Pⱼ < nⱼ·rⱼ (exactly one rank passes when B < total);
+    * capped sources get ⌊(B−Pⱼ)/rⱼ⌋ with the division remainder
+    * distributed one token each to the first capped sources in sort
+    * order, so Σ alloc_tokens == B EXACTLY (no float level, no
+    * rounding drift). B ≥ total degenerates to everyone-uncapped.
+    *
+    * Scale shape: one map-side-partial aggregation to |sources| rows,
+    * then windows over that bounded frame (the x_mix_weights
+    * contract: |sources| ≪ corpus, a driver-sized single partition)
+    * — the corpus-sized scan never shuffles.
+    */
+  private def tokenBudgetSql(num: Int, den: Int): String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |         CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS idx,
+       |         count(*) OVER () AS m,
+       |         sum(n_tokens) OVER () AS total,
+       |         coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+       |         coalesce(lag(n_tokens) OVER (ORDER BY n_tokens, source), 0) AS prev_n
+       |  FROM s),
+       |v AS (
+       |  SELECT *, (total * $num) // $den AS budget, m - idx + 1 AS rem FROM w),
+       |f AS (
+       |  SELECT *, (budget - pfx >= prev_n * rem AND budget - pfx < n_tokens * rem) AS valid
+       |  FROM v),
+       |j AS (SELECT *, min(CASE WHEN valid THEN idx END) OVER () AS j_idx FROM f),
+       |lv AS (
+       |  SELECT *,
+       |         max(CASE WHEN idx = j_idx THEN (budget - pfx) // rem END) OVER () AS lev,
+       |         max(CASE WHEN idx = j_idx
+       |             THEN (budget - pfx) - rem * ((budget - pfx) // rem) END) OVER () AS extra
+       |  FROM j),
+       |a AS (
+       |  SELECT source, n_tokens,
+       |         CAST(CASE WHEN j_idx IS NULL OR idx < j_idx THEN n_tokens
+       |              ELSE lev + (CASE WHEN idx - j_idx + 1 <= extra THEN 1 ELSE 0 END)
+       |              END AS BIGINT) AS alloc_tokens
+       |  FROM lv)
+       |SELECT source, n_tokens, alloc_tokens,
+       |       CAST(CASE WHEN alloc_tokens < n_tokens THEN 1 ELSE 0 END AS BIGINT) AS capped
+       |FROM a""".stripMargin
+
+  private[graft] def tokenBudgetOf(docs: org.apache.spark.sql.DataFrame,
+      num: Int, den: Int): org.apache.spark.sql.DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"budget fraction must be in (0, 1]: $num/$den")
+    val bySource = docs.groupBy("source").agg(
+      sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val all = Window.partitionBy() // rows = |sources|: bounded, see scaladoc
+    val ord = Window.partitionBy().orderBy(col("n_tokens"), col("source"))
+    val ordPfx = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val w = bySource
+      .withColumn("idx", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("total", sum("n_tokens").over(all))
+      .withColumn("pfx", coalesce(sum("n_tokens").over(ordPfx), lit(0L)))
+      .withColumn("prev_n", coalesce(lag("n_tokens", 1).over(ord), lit(0L)))
+      // `div` = exact integer division on both engines; every operand
+      // that survives the CASE masks below is non-negative, so the
+      // floor-vs-trunc divergence on negatives can never surface
+      .withColumn("budget", expr(s"(total * $num) div $den"))
+      .withColumn("rem", col("m") - col("idx") + 1)
+      .withColumn("valid",
+        col("budget") - col("pfx") >= col("prev_n") * col("rem") &&
+          col("budget") - col("pfx") < col("n_tokens") * col("rem"))
+    val lv = w.withColumn("j_idx", min(when(col("valid"), col("idx"))).over(all))
+      .withColumn("lev",
+        max(when(col("idx") === col("j_idx"), expr("(budget - pfx) div rem"))).over(all))
+      .withColumn("extra",
+        max(when(col("idx") === col("j_idx"),
+          col("budget") - col("pfx") - col("rem") * expr("(budget - pfx) div rem"))).over(all))
+    lv.withColumn("alloc_tokens",
+        when(col("j_idx").isNull || col("idx") < col("j_idx"), col("n_tokens"))
+          .otherwise(col("lev") +
+            when(col("idx") - col("j_idx") + 1 <= col("extra"), 1L).otherwise(0L)))
+      .withColumn("capped",
+        when(col("alloc_tokens") < col("n_tokens"), 1L).otherwise(0L))
+      .select("source", "n_tokens", "alloc_tokens", "capped")
+  }
+
+  val tokenBudget: QueryDef = QueryDef.sql(
+    "x_token_budget", tokenBudgetSql(num = 1, den = 2)) { (s, d) =>
+    tokenBudgetOf(Tables.documents(s, d), num = 1, den = 2)
+  }
+
+  /** The 30% budget — a second solve point of the same level search,
+    * pinning that the budget fraction is a real parameter (a tighter
+    * budget caps MORE sources at a LOWER level).
+    */
+  val tokenBudgetB30: QueryDef = QueryDef.sql(
+    "x_token_budget_b30", tokenBudgetSql(num = 3, den = 10)) { (s, d) =>
+    tokenBudgetOf(Tables.documents(s, d), num = 3, den = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
-      gopherSymbols, gopherSymbolsStrict)
+      gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30)
 }

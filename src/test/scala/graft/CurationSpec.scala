@@ -130,4 +130,31 @@ class CurationSpec extends SparkSpec {
     assert(fps.count() == fps.distinct().count())
     out.unpersist()
   }
+
+  test("token budget: water level caps exactly to the budget; remainder spread by sort order") {
+    import spark.implicits._
+    // sources sized 10/20/100/1000 tokens; budget = 1130/2 = 565.
+    // Water level lands at the largest source: 10+20+100 pass whole,
+    // the 1000-token source is capped at 435 — allocations sum to 565
+    def doc(src: String, n: Int) = (src, (1 to n).map(_ => "w").mkString(" "))
+    val docs = Seq(doc("a", 10), doc("b", 20), doc("c", 100), doc("d", 1000))
+      .toDF("source", "text")
+    val got = CurationQueries.tokenBudgetOf(docs, num = 1, den = 2)
+      .select("source", "n_tokens", "alloc_tokens", "capped")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 10L, 10L, 0L), ("b", 20L, 20L, 0L),
+      ("c", 100L, 100L, 0L), ("d", 1000L, 435L, 1L)))
+
+    // equal twins + an odd budget: level floor 2, one remainder token
+    // to the sort-order-first source — Σ alloc == budget EXACTLY
+    val twins = Seq(doc("x", 5), doc("y", 5)).toDF("source", "text")
+    val g2 = CurationQueries.tokenBudgetOf(twins, num = 1, den = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(g2 == Set(("x", 5L, 3L, 1L), ("y", 5L, 2L, 1L)))
+
+    // budget == total degenerates to everyone-uncapped
+    val g3 = CurationQueries.tokenBudgetOf(twins, num = 1, den = 1)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(g3 == Set(("x", 5L, 5L, 0L), ("y", 5L, 5L, 0L)))
+  }
 }
