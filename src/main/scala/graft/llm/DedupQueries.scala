@@ -754,9 +754,77 @@ object DedupQueries {
     crossSourceOverlapOf(Tables.documents(s, d), chunkTokens = 24)
   }
 
+  /** ASYMMETRIC containment detection — the quote-expansion case
+    * symmetric Jaccard structurally misses: a short document wholly
+    * quoted inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but
+    * containment |A∩B|/|A| = 1. Directed pairs
+    * (doc_inner contained-in doc_outer) are emitted when
+    * den·overlap ≥ num·n_inner (the threshold is compared as
+    * cross-multiplied exact integers; the containment column is the
+    * one evidence division). Same candidate discipline as
+    * x_dedup_ngram — rare-shingle (df ≤ 8) candidate pairs, exact
+    * distinct-shingle overlap on candidates only — so the recall
+    * contract is the family's: a pair sharing ONLY ubiquitous
+    * shingles is out of candidate scope on both engines.
+    */
+  private[graft] def containmentPairs(post: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"containment threshold must be in (0, 1]: $num/$den")
+    val cand = rareShingleCandidates(post)
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pa = post.select(col("doc_id").as("da2"), col("sid").as("sid_a"))
+    val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
+    val ver = cand
+      .join(pa, col("doc_a") === col("da2"))
+      .join(pb, col("doc_b") === col("db2") && col("sid_a") === col("sid_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
+      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
+    // both directions of each unordered candidate pair
+    val ab = ver.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+      col("overlap"), col("n_a").as("n_inner"), col("n_b").as("n_outer"))
+    val ba = ver.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+      col("overlap"), col("n_b").as("n_inner"), col("n_a").as("n_outer"))
+    ab.unionByName(ba)
+      .where(lit(den.toLong) * col("overlap") >= lit(num.toLong) * col("n_inner"))
+      .select(col("doc_inner"), col("doc_outer"), col("overlap"),
+        col("n_inner"), col("n_outer"),
+        (col("overlap").cast("double") / col("n_inner")).as("containment"))
+  }
+
+  private def containmentSql(num: Int, den: Int): String =
+    s"""WITH $ngramPairCtes,
+       |full_p AS (
+       |  SELECT v.doc_a, v.doc_b, v.overlap, ca.n AS n_a, cb.n AS n_b
+       |  FROM ver v
+       |  JOIN cnt ca ON v.doc_a = ca.doc_id
+       |  JOIN cnt cb ON v.doc_b = cb.doc_id),
+       |dirs AS (
+       |  SELECT doc_a AS doc_inner, doc_b AS doc_outer, overlap,
+       |         n_a AS n_inner, n_b AS n_outer FROM full_p
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, overlap, n_b, n_a FROM full_p)
+       |SELECT doc_inner, doc_outer, overlap, n_inner, n_outer,
+       |       CAST(overlap AS DOUBLE) / n_inner AS containment
+       |FROM dirs WHERE $den * overlap >= $num * n_inner""".stripMargin
+
+  val containment: QueryDef = QueryDef.sql(
+    "x_containment", containmentSql(num = 9, den = 10)) { (s, d) =>
+    containmentPairs(SharedIndex.sidPostings(s, d), num = 9, den = 10)
+  }
+
+  /** The looser 0.7 threshold — a second solve point pinning that the
+    * cross-multiplied cut is a real parameter, and the setting that
+    * surfaces the partial-quotation tier (e.g. the long side of an
+    * expansion pair, contained only fractionally in the short side).
+    */
+  val containmentT7: QueryDef = QueryDef.sql(
+    "x_containment_t7", containmentSql(num = 7, den = 10)) { (s, d) =>
+    containmentPairs(SharedIndex.sidPostings(s, d), num = 7, den = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
-      crossSourceOverlap, crossSourceOverlapC24)
+      crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7)
 }

@@ -538,6 +538,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Set((1, 3L, 1L), (2, 4L, 1L)))
   }
 
+  test("containment: nested docs pair directionally; threshold widens the reverse tier") {
+    // A(10 toks) ⊂ D(15) ⊂ B(20): 8/13/18 trigram shingles. Forward
+    // containments are all 1.0; reverse D-in-B is 13/18 ≈ 0.72 —
+    // inside t7 only; B-in-A (8/18) and D-in-A (8/13) never qualify
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(doc(1, 10), doc(2, 15), doc(3, 20)).toDF("doc_id", "text")
+    val post = shinglePostings(docs, 3).withColumnRenamed("shingle", "sid")
+    def pairs(num: Int, den: Int) =
+      llm.DedupQueries.containmentPairs(post, num, den)
+        .select("doc_inner", "doc_outer").as[(Long, Long)].collect().toSet
+    assert(pairs(9, 10) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(7, 10) == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L)))
+  }
+
   test("lang audit: per-source agree rate and dominant confusion, NULL when all agree") {
     val docs = Seq(
       (1L, "the a of", "en", "s1"),      // predicted en -> agree
