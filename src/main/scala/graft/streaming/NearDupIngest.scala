@@ -485,6 +485,36 @@ object NearDupIngest {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** The alarm the funnel table exists to feed: per batch, the
+    * admission rate plus a classified `alarm` column —
+    * `low_admission` (rate ≤ `minRate`: the batch is a re-crawl or an
+    * upstream replay storm), `full_admission` (rate ≥ `maxRate`: the
+    * dedup index stopped rejecting anything, i.e. it broke or was
+    * deleted without a rebuild), null otherwise. Batches with fewer
+    * than `minIn` units are never flagged — small batches legitimately
+    * swing to 0/1 — and a zero-unit batch has a null rate. Thresholds
+    * are compared as cross-multiplied exact integers; `rate` is the
+    * one evidence division. Pure per-row arithmetic over the
+    * |batches|-row stats table — monitoring-cost, not corpus-cost.
+    */
+  def ingestAlarms(stats: DataFrame, minRateNum: Int = 1, minRateDen: Int = 20,
+      maxRateNum: Int = 1, maxRateDen: Int = 1, minIn: Long = 100L): DataFrame = {
+    require(minRateDen > 0 && maxRateDen > 0 && minIn >= 0,
+      s"bad alarm thresholds: $minRateNum/$minRateDen, $maxRateNum/$maxRateDen, $minIn")
+    stats.select(col("batch_id"), col("n_in"), col("n_admitted"))
+      .withColumn("rate",
+        col("n_admitted").cast("double") / nullif(col("n_in"), lit(0L)))
+      .withColumn("alarm",
+        when(col("n_in") >= minIn &&
+            col("n_admitted") * minRateDen <= col("n_in") * minRateNum, "low_admission")
+          .when(col("n_in") >= minIn &&
+            col("n_admitted") * maxRateDen >= col("n_in") * maxRateNum, "full_admission"))
+  }
+
+  /** Directory-flavored [[ingestAlarms]] over a store's own funnel. */
+  def ingestAlarms(spark: SparkSession, storeDir: String): DataFrame =
+    ingestAlarms(ingestStats(spark, storeDir))
+
   /** Idempotent single-file append into `dir`: the batch lands as ONE
     * file named by its batchId via atomic rename-replace, so a
     * foreachBatch replay overwrites its own previous attempt and rows

@@ -215,6 +215,25 @@ class NearDupIngestSpec extends SparkSpec {
     assert(ids2.count(_ == 5L) == 1, s"one row per id, got ${ids2.toSeq}")
   }
 
+  test("ingest alarms classify re-crawl and broken-index batches, never small ones") {
+    val stats = Seq(
+      (0L, 1000L, 10L),   // 1% admitted at volume -> re-crawl signature
+      (1L, 1000L, 1000L), // everything admitted at volume -> index broke
+      (2L, 1000L, 500L),  // healthy
+      (3L, 10L, 10L),     // tiny batch: 1.0 rate is legitimate, no flag
+      (4L, 0L, 0L)        // empty batch: rate NULL, no flag
+    ).toDF("batch_id", "n_in", "n_admitted")
+    val got = NearDupIngest.ingestAlarms(stats)
+      .select("batch_id", "rate", "alarm")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map { case (b, r, a) => b -> ((r, a)) }.toMap
+    assert(got(0L) == ((Some(0.01), Some("low_admission"))))
+    assert(got(1L) == ((Some(1.0), Some("full_admission"))))
+    assert(got(2L) == ((Some(0.5), None)))
+    assert(got(3L) == ((Some(1.0), None)))
+    assert(got(4L) == ((None, None)))
+  }
+
   // ---------------------------------------------------------------
   // Incremental index side tables
   // ---------------------------------------------------------------
