@@ -902,9 +902,66 @@ object CurationQueries {
     tokenBudgetOf(Tables.documents(s, d), num = 3, den = 10)
   }
 
+  /** Deterministic shard-layout audit for training-data writes: each
+    * doc's shard is a multiplicative hash of its id (Knuth's 2654435761
+    * mod 2^32, id pre-reduced mod 2^31 so every product stays inside
+    * exact Long range) taken mod `nShards`; the output is the
+    * per-shard balance row — docs, tokens, and each shard's token
+    * share — that a 100 TB pack job checks BEFORE committing the
+    * expensive write fan-out. Content-independent hashing keeps the
+    * layout stable under re-runs and incremental appends (a new doc
+    * never moves an old one), unlike greedy bin packing.
+    *
+    * Scale shape: the per-doc hash is embarrassingly parallel; the
+    * audit is one |shards|-row aggregate with map-side partials.
+    * Deliberately NO position-within-shard sequence is assigned — a
+    * global (or per-shard) row_number is the scale smell this layout
+    * avoids; writers address rows by (shard, file, rowgroup) instead.
+    * The token share is the family's one evidence division, over a
+    * |shards|-row window.
+    */
+  private def shardAssignSql(nShards: Int): String =
+    s"""WITH per_doc AS (
+       |  SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |shards AS (
+       |  SELECT h % $nShards AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM per_doc GROUP BY h % $nShards)
+       |SELECT shard, n_docs, n_tokens,
+       |       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM shards""".stripMargin
+
+  private[graft] def shardAssignOf(docs: DataFrame, nShards: Int): DataFrame = {
+    val perDoc = docs.select(
+      ((col("doc_id") % 2147483648L) * 2654435761L % 4294967296L).as("h"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val shards = perDoc.groupBy((col("h") % nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val all = Window.partitionBy() // rows = |shards|: bounded, see scaladoc
+    shards.withColumn("token_share",
+      col("n_tokens").cast("double") / sum(col("n_tokens")).over(all).cast("double"))
+  }
+
+  val shardAssign: QueryDef = QueryDef.sql(
+    "x_shard_assign", shardAssignSql(nShards = 8)) { (s, d) =>
+    shardAssignOf(Tables.documents(s, d), nShards = 8)
+  }
+
+  /** The 16-way fan-out: double the shards must roughly halve each
+    * token share — pinning that the modulus is a real layout
+    * parameter, not baked into the hash.
+    */
+  val shardAssignS16: QueryDef = QueryDef.sql(
+    "x_shard_assign_s16", shardAssignSql(nShards = 16)) { (s, d) =>
+    shardAssignOf(Tables.documents(s, d), nShards = 16)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
-      gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30)
+      gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
+      shardAssign, shardAssignS16)
 }

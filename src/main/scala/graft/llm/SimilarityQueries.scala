@@ -1042,10 +1042,114 @@ object SimilarityQueries {
     labelOutliersDf(s, d, k = 16)
   }
 
+  /** Semi-supervised kNN label propagation — the auto-labeling pass a
+    * partially-labeled training corpus runs before fine-tuning: a
+    * deterministic holdout (vec_id % 5 = 0) plays the UNLABELED side;
+    * each holdout vector takes the majority label of its `k` nearest
+    * labeled neighbors (exact quantized cosine), with the agreement
+    * flag against the held-out true label emitted so the query doubles
+    * as the classifier's accuracy audit.
+    *
+    * Scale shape: candidates come from the same banded-LSH
+    * (band, bucket) equi-join as the kNN graph — never query×corpus —
+    * but ASYMMETRIC: holdout sketches probe labeled sketches only.
+    * The vote is a (query, label) aggregate over ≤ k rows per query
+    * (votes + best-sim argmax, all order-insensitive), so the output
+    * is bit-stable under any partitioning. Holdout vectors with no
+    * LSH candidate are not emitted (the caller's fallback is a brute
+    * broadcast pass over exactly those — the x_ann_topk shape).
+    * Tie-break is total: (votes desc, best_sim desc, label asc).
+    */
+  private def labelPropSql(bands: Int, r: Int, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, p.i AS plane,
+       |         list_sum(list_transform(generate_series(1, len(qe)),
+       |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
+       |  FROM q, generate_series(0, ${bands * r - 1}) p(i)),
+       |bkt AS (
+       |  SELECT vec_id, plane // $r AS band,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $r)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, plane // $r),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+       |  FROM bkt ba JOIN bkt bb ON ba.band = bb.band AND ba.bucket = bb.bucket
+       |  WHERE ba.vec_id % 5 = 0 AND bb.vec_id % 5 != 0),
+       |topk AS (
+       |  SELECT vec_a, vec_b, true_label, nb_label, sim FROM (
+       |    SELECT c.vec_a, c.vec_b, a.label AS true_label, b.label AS nb_label, $qcosSql AS sim
+       |    FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= $k),
+       |votes AS (
+       |  SELECT vec_a AS vec_id, true_label, nb_label,
+       |         CAST(count(*) AS BIGINT) AS votes, max(sim) AS best_sim
+       |  FROM topk GROUP BY vec_a, true_label, nb_label)
+       |SELECT vec_id, nb_label AS pred_label, votes,
+       |       CAST(sum(votes) OVER (PARTITION BY vec_id) AS BIGINT) AS k_found,
+       |       true_label,
+       |       CAST(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+       |FROM votes
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, best_sim DESC, nb_label) = 1""".stripMargin
+
+  private[graft] def labelPropOf(emb: org.apache.spark.sql.DataFrame,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val bkt = bandedBuckets(e, bands, r)
+    val qb = bkt.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val lb = bkt.where(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+        col("bucket").as("bucket_b"))
+    val cand = qb.join(lb,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("nrm").as("nrm_a"), col("label").as("true_label"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("nrm").as("nrm_b"), col("label").as("nb_label"))
+    val topk = cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("true_label"), col("nb_label"),
+        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
+      .where(col("rn") <= k)
+    topk.groupBy(col("vec_a").as("vec_id"), col("true_label"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"), max(col("sim")).as("best_sim"))
+      .withColumn("k_found", sum(col("votes")).over(Window.partitionBy("vec_id")))
+      .withColumn("pick", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("votes").desc, col("best_sim").desc, col("nb_label"))))
+      .where(col("pick") === 1)
+      .select(col("vec_id"), col("nb_label").as("pred_label"), col("votes"),
+        col("k_found"), col("true_label"),
+        when(col("nb_label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+  }
+
+  private def labelPropDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame =
+    labelPropOf(Tables.embeddings(s, d), bands, r, k)
+
+  val labelProp: QueryDef = QueryDef.sql(
+    "x_label_prop", labelPropSql(bands = 4, r = 8, k = 5)) { (s, d) =>
+    labelPropDf(s, d, bands = 4, r = 8, k = 5)
+  }
+
+  /** Wider vote (k = 10): more neighbors per holdout vector — the
+    * config that trades vote sharpness for coverage robustness; same
+    * parameterized builder and oracle on both sides.
+    */
+  val labelPropK10: QueryDef = QueryDef.sql(
+    "x_label_prop_k10", labelPropSql(bands = 4, r = 8, k = 10)) { (s, d) =>
+    labelPropDf(s, d, bands = 4, r = 8, k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
-      labelOutliers, labelOutliersK16)
+      labelOutliers, labelOutliersK16, labelProp, labelPropK10)
 }

@@ -764,9 +764,72 @@ object TextQueries {
     skipgramTopkOf(Tables.documents(s, d), w = 2, k = 10)
   }
 
+  /** Tokenizer-vocabulary coverage audit: derive the top-`v` corpus
+    * vocabulary under the exact total order (count desc, token asc),
+    * then report per-source OOV pressure — total tokens, tokens
+    * outside the vocab, and the OOV rate. This is the coverage check
+    * a tokenizer-training pass runs per source before freezing a
+    * vocab: a source whose OOV rate is an outlier either needs vocab
+    * budget or is the wrong distribution for the tokenizer.
+    *
+    * Scale shape: the vocab is `v` rows — built by one map-side-
+    * partial token count and broadcast back; membership is a
+    * broadcast LEFT join on the exploded token stream, so the only
+    * full shuffle is the final |sources|-row aggregate. n_docs counts
+    * docs with ≥ 1 token (explode drops empty token arrays — mirrored
+    * by unnest on the oracle side).
+    */
+  private def vocabCoverageSql(v: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+       |  ORDER BY cnt DESC, tok LIMIT $v)
+       |SELECT source,
+       |       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |         nullif(count(*), 0) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY source""".stripMargin
+
+  private[graft] def vocabCoverageOf(docs: org.apache.spark.sql.DataFrame,
+      v: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(v)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / nullif(col("n_tokens"), lit(0L)))
+  }
+
+  val vocabCoverage: QueryDef = QueryDef.sql(
+    "x_vocab_coverage", vocabCoverageSql(v = 10)) { (s, d) =>
+    vocabCoverageOf(Tables.documents(s, d), v = 10)
+  }
+
+  /** The doubled vocab budget (v = 20): OOV rates must fall
+    * monotonically per source vs v = 10 — pinning that the cut is a
+    * real parameter of the vocabulary total order.
+    */
+  val vocabCoverageV20: QueryDef = QueryDef.sql(
+    "x_vocab_coverage_v20", vocabCoverageSql(v = 20)) { (s, d) =>
+    vocabCoverageOf(Tables.documents(s, d), v = 20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
-      tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2)
+      tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
+      vocabCoverage, vocabCoverageV20)
 }

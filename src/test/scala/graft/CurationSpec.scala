@@ -157,4 +157,29 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(g3 == Set(("x", 5L, 5L, 0L), ("y", 5L, 5L, 0L)))
   }
+
+  test("shard assign: exact multiplicative-hash layout, shares sum to 1, s16 refines s8") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, (0 to (i % 7).toInt).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    def hash(id: Long) = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    // independent Scala reference for the s=8 layout
+    val ref = (0L until 40L).groupBy(id => hash(id) % 8)
+      .map { case (sh, ids) => (sh, ids.size.toLong, ids.map(i => (i % 7) + 1).sum) }
+      .toSet
+    val got8 = CurationQueries.shardAssignOf(docs, 8)
+      .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect().toSet
+    assert(got8 == ref)
+    val shares = CurationQueries.shardAssignOf(docs, 8)
+      .select("token_share").as[Double].collect()
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    // doubling the modulus refines, never reshuffles: every s16 shard's
+    // docs sit inside the s8 shard (s16 shard mod 8) — summing the s16
+    // audit by shard%8 reproduces the s8 audit exactly
+    val got16 = CurationQueries.shardAssignOf(docs, 16)
+      .select("shard", "n_docs", "n_tokens").as[(Long, Long, Long)].collect()
+    val folded = got16.groupBy(_._1 % 8)
+      .map { case (sh, rows) => (sh, rows.map(_._2).sum, rows.map(_._3).sum) }.toSet
+    assert(folded == ref)
+  }
 }

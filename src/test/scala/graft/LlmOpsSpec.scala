@@ -565,4 +565,41 @@ class LlmOpsSpec extends SparkSpec {
       ("s1", 2L, 1L, 0.5, Some("en->de")),
       ("s2", 1L, 1L, 1.0, None)))
   }
+
+  test("label prop: majority vote over labeled neighbors; opposite vectors never candidate") {
+    // holdout id 0 (true label 1) sits on (1,0) with four labeled
+    // twins: three vote label 7, one votes label 1 -> majority 7,
+    // correct = 0. The antipodal labeled vector (id 6, label 9) flips
+    // every non-zero sign bit, so no LSH band matches it -> k_found
+    // stays 4 (it never reaches the vote).
+    val emb = Seq(
+      (0L, 1, Seq(1.0f, 0.0f)),
+      (1L, 7, Seq(1.0f, 0.0f)),
+      (2L, 7, Seq(1.0f, 0.0f)),
+      (3L, 7, Seq(1.0f, 0.0f)),
+      (4L, 1, Seq(1.0f, 0.0f)),
+      (6L, 9, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = llm.SimilarityQueries.labelPropOf(emb, bands = 4, r = 8, k = 5)
+      .select("vec_id", "pred_label", "votes", "k_found", "true_label", "correct")
+      .as[(Long, Int, Long, Long, Int, Long)].collect().toSet
+    assert(got == Set((0L, 7, 3L, 4L, 1, 0L)))
+  }
+
+  test("vocab coverage: OOV is exactly the tail outside the top-v cut; rate falls with v") {
+    val docs = Seq(
+      (1L, "aa aa aa bb", "s1"),
+      (2L, "cc dd", "s2")
+    ).toDF("doc_id", "text", "source")
+    // v=1: vocab = {aa} (count 3) -> s1 misses bb, s2 misses both
+    val v1 = llm.TextQueries.vocabCoverageOf(docs, v = 1)
+      .select("source", "n_docs", "n_tokens", "oov_tokens", "oov_rate")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(v1 == Set(("s1", 1L, 4L, 1L, 0.25), ("s2", 1L, 2L, 2L, 1.0)))
+    // v=2: the 1-count tie (bb/cc/dd) breaks lexicographically -> bb
+    // joins the vocab; s2 is still fully OOV
+    val v2 = llm.TextQueries.vocabCoverageOf(docs, v = 2)
+      .select("source", "oov_tokens").as[(String, Long)].collect().toSet
+    assert(v2 == Set(("s1", 0L), ("s2", 2L)))
+  }
 }
