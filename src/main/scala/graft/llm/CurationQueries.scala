@@ -329,8 +329,7 @@ object CurationQueries {
     * fixed-size eval set the bench side is tiny and AQE broadcasts
     * it; the training side never self-joins.
     */
-  val decontaminate: QueryDef = QueryDef.sql(
-    "x_decontaminate",
+  private val decontaminateOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
       |g AS (
@@ -341,7 +340,10 @@ object CurationQueries {
       |SELECT g.doc_id, count(*) AS n_contaminated_ngrams
       |FROM g JOIN bench USING (ng)
       |WHERE g.doc_id % 25 != 0
-      |GROUP BY 1""".stripMargin) { (s, d) =>
+      |GROUP BY 1""".stripMargin
+
+  val decontaminate: QueryDef = QueryDef.sql(
+    "x_decontaminate", decontaminateOracle) { (s, d) =>
     decontaminateDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
   }
 
@@ -414,6 +416,48 @@ object CurationQueries {
       |       CAST(CASE WHEN coalesce(h.n_hits, 0) * 20 >= c.n_ngrams THEN 1 ELSE 0 END AS BIGINT) AS flagged
       |FROM cnt c LEFT JOIN hit h USING (doc_id)""".stripMargin) { (s, d) =>
     decontaminateFracDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
+  }
+
+  /** Bloom-prefiltered decontamination — IDENTICAL output to
+    * x_decontaminate through a different physical path: the benchmark
+    * 8-gram set is collapsed once into a `bloom_filter_agg` sketch (a
+    * single binary value, riding as a scalar subquery), applied to the
+    * training-gram stream as a row-level `might_contain` pre-filter;
+    * only the sketch's survivors reach the exact equi-join, which
+    * kills the Bloom's false positives. False negatives cannot occur, so the exact join
+    * sees a superset of the true hits and the result is bit-identical
+    * — the same DuckDB oracle hash-checks this plan.
+    *
+    * Scale rationale: at 100 TB the dominant cost of the plain
+    * formulation is shuffling EVERY training gram to meet a bench
+    * partition (or building a giant broadcast hash of the bench set).
+    * Here the bench set crosses the wire once as kilobytes of sketch,
+    * the pre-filter runs inside the scan's codegen stage, and only
+    * the (tiny) candidate stream pays the join — approximation in the
+    * pre-filter, exactness in the answer. This is the explicit form
+    * of the runtime row-level filtering Spark injects for selective
+    * joins, applied where the optimizer cannot see the selectivity.
+    */
+  def decontaminateBloomDf(docs: DataFrame, isBench: Column): DataFrame = {
+    val grams = shinglePostings(docs, 8)
+    val bench = grams.where(isBench)
+      .select(col("shingle").as("ng")).distinct()
+    // the sketch rides as a SCALAR SUBQUERY (might_contain's analysis
+    // contract): one tiny aggregate result injected into the scan's
+    // filter — no join in the pre-filter at all
+    val bloom = bench.agg(
+      org.apache.spark.sql.graft.BloomFilterAgg(xxhash64(col("ng"))).as("bf"))
+    val pre = grams.where(!isBench)
+      .where(org.apache.spark.sql.graft.BloomMightContain(
+        bloom.scalar(), xxhash64(col("shingle"))))
+      .select("doc_id", "shingle")
+    pre.join(bench, col("shingle") === col("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
+  val decontaminateBloom: QueryDef = QueryDef.sql(
+    "x_decontaminate_bloom", decontaminateOracle) { (s, d) =>
+    decontaminateBloomDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
   }
 
   /** Domain-mixture reweighting: per-source token shares and the
@@ -902,6 +946,47 @@ object CurationQueries {
     tokenBudgetOf(Tables.documents(s, d), num = 3, den = 10)
   }
 
+  /** Cross-modal curation gate — the text tier and the embedding tier
+    * composed on the shared document identity (vec_id = doc_id): a doc
+    * survives iff it passes the Gopher rule filter AND is not pruned
+    * by embedding-space density (the x_knn_density drop). Both gates
+    * are independently oracle-checked operators; this query pins that
+    * they compose without recomputation. Docs whose vector found no
+    * LSH candidate are trivially density-kept (the left-join default),
+    * mirroring x_knn_density's contract. Evidence columns from both
+    * tiers ride along so the two-gate decision is auditable.
+    *
+    * Scale shape: the text gate is the one doc-keyed shuffle of
+    * x_gopher_filter; the density gate is the banded candidate
+    * discipline of the kNN family; composition is a single 1:1
+    * left equi-join on the identity key — no new join class.
+    */
+  val pipelineHybrid: QueryDef = QueryDef.sql(
+    "x_pipeline_hybrid",
+    s"""WITH gf AS (
+       |${gopherFilterSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)}),
+       |kd AS (
+       |${SimilarityQueries.knnDensitySql(bands = 4, r = 8, k = 5, tau = 0.25, minClose = 3)})
+       |SELECT gf.doc_id, gf.n_words,
+       |       CAST(coalesce(kd.n_close, 0) AS BIGINT) AS n_close,
+       |       gf.kept AS kept_text,
+       |       CAST(coalesce(kd.kept, 1) AS BIGINT) AS kept_embed,
+       |       CAST(gf.kept * coalesce(kd.kept, 1) AS BIGINT) AS kept
+       |FROM gf LEFT JOIN kd ON gf.doc_id = kd.vec_id""".stripMargin) { (s, d) =>
+    val text = gopherFilterDf(Tables.documents(s, d),
+        minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+      .select(col("doc_id"), col("n_words"), col("kept").as("kept_text"))
+    val dens = SimilarityQueries
+      .knnDensityDf(s, d, bands = 4, r = 8, k = 5, tau = 0.25, minClose = 3)
+      .select(col("vec_id"), col("n_close"), col("kept").as("kept_embed"))
+    text.join(dens, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        col("kept_text"),
+        coalesce(col("kept_embed"), lit(1L)).as("kept_embed"),
+        (col("kept_text") * coalesce(col("kept_embed"), lit(1L))).as("kept"))
+  }
+
   /** Deterministic shard-layout audit for training-data writes: each
     * doc's shard is a multiplicative hash of its id (Knuth's 2654435761
     * mod 2^32, id pre-reduced mod 2^31 so every product stays inside
@@ -960,8 +1045,8 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
-      redact, decontaminate, decontaminateFrac, mixWeights, pipelineE2e,
+      redact, decontaminate, decontaminateFrac, decontaminateBloom, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
-      shardAssign, shardAssignS16)
+      shardAssign, shardAssignS16, pipelineHybrid)
 }

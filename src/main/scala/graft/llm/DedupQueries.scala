@@ -334,8 +334,12 @@ object DedupQueries {
     * the reachability closure — an entirely different formulation,
     * hash-matched.
     */
-  private val clustersOracle: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  /** The pairs → edges → recursive closure → min-label CTE chain
+    * shared by the cluster query and its representative-selection
+    * consumer below.
+    */
+  private val clusterCtes: String =
+    s"""$ngramPairCtes,
        |pairs AS (
        |  SELECT v.doc_a, v.doc_b
        |  FROM ver v
@@ -349,7 +353,10 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
-       |lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc)
+       |lab AS (SELECT doc, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT doc AS doc_id, cluster_id,
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab""".stripMargin
@@ -381,6 +388,75 @@ object DedupQueries {
       .componentsAlternating(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+  }
+
+  /** Best-representative selection per near-dup cluster — the cluster
+    * labeling CONSUMED by the decision production dedup actually
+    * ships: instead of the min-id keeper, each cluster keeps its
+    * highest-scoring member (score desc, doc_id asc — a total order).
+    * `x_cluster_rep` scores by the textStats quality signal
+    * (distinct-word ratio damped by stopword ratio, zero-token docs
+    * coalesced to 0); `x_cluster_rep_len` scores by token count —
+    * the keep-longest rule, the other canonicalization convention.
+    * Every doc is emitted with its cluster, score, and kept flag, so
+    * the survivor set AND the dropped-duplicate audit come from one
+    * pass.
+    *
+    * Scale shape: the cluster labeling is the already-adjudicated CC
+    * iteration; scoring is per-row; selection is a rank-1 window
+    * keyed by cluster_id (WindowGroupLimit prunes before the final
+    * shuffle). No new join class beyond the 1:1 doc_id score attach.
+    */
+  private def clusterRepSql(scoreSel: String, scoreName: String): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |q AS (
+       |  SELECT doc_id, $scoreSel AS $scoreName FROM toks)
+       |SELECT l.doc AS doc_id, l.cluster_id, q.$scoreName,
+       |       CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+       |              ORDER BY q.$scoreName DESC, l.doc) = 1
+       |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM lab l JOIN q ON l.doc = q.doc_id""".stripMargin
+
+  private[graft] def clusterRepOf(docs: DataFrame, pairs: DataFrame,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      scoreName: String): DataFrame = {
+    val clusters = graft.operators.ConnectedComponents
+      .components(docs.select("doc_id"), pairs)
+    val scored = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), score(col("tok")).as(scoreName))
+    clusters.join(scored, "doc_id")
+      .withColumn("kept",
+        when(row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col(scoreName).desc, col("doc_id"))) === 1, 1L).otherwise(0L))
+  }
+
+  private def clusterRepDf(s: org.apache.spark.sql.SparkSession, d: String,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      scoreName: String): DataFrame =
+    clusterRepOf(Tables.documents(s, d), nearDupPairs(s, d), score, scoreName)
+
+  private[graft] def qualityScore(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      (size(array_distinct(tok)).cast("double") / nullif(size(tok), lit(0))) *
+        (lit(1) - size(filter(tok, x => x.isin("the", "a"))).cast("double") /
+          nullif(size(tok), lit(0))),
+      lit(0.0))
+
+  private val qualityScoreSql: String =
+    """coalesce((CAST(len(list_distinct(tok)) AS DOUBLE) / nullif(len(tok), 0)) *
+      |           (1 - CAST(len(list_filter(tok, x -> x IN ('the', 'a'))) AS DOUBLE) /
+      |             nullif(len(tok), 0)), 0.0)""".stripMargin
+
+  val clusterRep: QueryDef = QueryDef.sql(
+    "x_cluster_rep", clusterRepSql(qualityScoreSql, "quality")) { (s, d) =>
+    clusterRepDf(s, d, qualityScore, "quality")
+  }
+
+  val clusterRepLen: QueryDef = QueryDef.sql(
+    "x_cluster_rep_len",
+    clusterRepSql("CAST(len(tok) AS BIGINT)", "n_tokens")) { (s, d) =>
+    clusterRepDf(s, d, tok => size(tok).cast("long"), "n_tokens")
   }
 
   /** MinHash signatures: 8 modular permutations over dictionary ids,
@@ -826,5 +902,6 @@ object DedupQueries {
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
-      crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7)
+      crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
+      clusterRep, clusterRepLen)
 }

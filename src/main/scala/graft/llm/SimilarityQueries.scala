@@ -868,7 +868,7 @@ object SimilarityQueries {
     * would not be). Nodes with no LSH candidate at all are trivially
     * kept and not emitted (the caller left-joins and defaults).
     */
-  private def knnDensitySql(bands: Int, r: Int, k: Int, tau: Double, minClose: Int): String =
+  private[llm] def knnDensitySql(bands: Int, r: Int, k: Int, tau: Double, minClose: Int): String =
     s"""WITH ${knnEdgeCtes(bands, r, k)}
        |SELECT vec_a AS vec_id,
        |       CAST(count(*) AS BIGINT) AS k_found,
@@ -878,7 +878,7 @@ object SimilarityQueries {
        |            THEN 0 ELSE 1 END AS BIGINT) AS kept
        |FROM edges GROUP BY vec_a""".stripMargin
 
-  private def knnDensityDf(s: org.apache.spark.sql.SparkSession, d: String,
+  private[llm] def knnDensityDf(s: org.apache.spark.sql.SparkSession, d: String,
       bands: Int, r: Int, k: Int, tau: Double, minClose: Int): org.apache.spark.sql.DataFrame = {
     knnEdgesDf(s, d, bands, r, k)
       .groupBy(col("vec_a").as("vec_id"))

@@ -335,8 +335,9 @@ object NearDupIngest {
     */
   private[graft] def admitDocsFlow(spark: SparkSession, batch: DataFrame,
       storeDir: String, jaccardMin: Double, shingleK: Int, maxDf: Int,
-      batchId: Long, pin: DataFrame => DataFrame): DataFrame = {
-    val docs = normalizedDocs(batch)
+      batchId: Long, pin: DataFrame => DataFrame,
+      gate: DataFrame => DataFrame = identity): DataFrame = {
+    val docs = gate(normalizedDocs(batch))
     val batchIds = docs.select("doc_id")
     val shIdx = readIdx(spark, shIdxDir(storeDir, shingleK), shSchema)
       .join(batchIds, Seq("doc_id"), "left_anti")
@@ -420,7 +421,7 @@ object NearDupIngest {
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, jaccardMin: Double = 0.8, shingleK: Int = 3,
-      maxDf: Int = 8): Long = {
+      maxDf: Int = 8, gate: DataFrame => DataFrame = identity): Long = {
     // -1 is the bootstrap sentinel in the df-partials table; a batch
     // claiming it would silently exclude the ENTIRE bootstrap from
     // the df probe (admission then over-drops) and corrupt future
@@ -429,7 +430,7 @@ object NearDupIngest {
     require(batchId >= 0, s"batchId must be >= 0 (-1 is the bootstrap sentinel): $batchId")
     ensureDocIdx(spark, storeDir, shingleK)
     val survivors = admitDocsFlow(spark, batch, storeDir, jaccardMin, shingleK,
-      maxDf, batchId, pin = _.localCheckpoint(false)).localCheckpoint(false)
+      maxDf, batchId, pin = _.localCheckpoint(false), gate = gate).localCheckpoint(false)
     // store first (see scaladoc: no-replay skew must fail toward a
     // future sweepable dup, never toward dropping novel content).
     // The count tables go LAST for the same reason: a crash between
@@ -747,11 +748,22 @@ object NearDupIngest {
 
   /** Start the composed flow: watermark-bounded exact dedup at the
     * edge, then the per-batch near-dup ingest into `storeDir`.
+    *
+    * `gate` is the admission quality gate — a filter over the
+    * normalized (doc_id, text) batch that runs BEFORE any index work,
+    * so rejected docs never touch the fingerprint/shingle indexes and
+    * cost nothing at the store. The intended plug-in is the batch
+    * tier's own rule filter (e.g. [[graft.llm.CurationQueries
+    * .gopherFilterDf]] kept=1 — the x_pipeline_gopher gate applied at
+    * the stream edge); the default admits everything. Gate-rejected
+    * rows fold into the `.stats` funnel's n_in − n_admitted like any
+    * other removal, so [[ingestAlarms]] sees quality collapses too.
     */
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,
-      dupWindow: String = "1 hour", jaccardMin: Double = 0.8): StreamingQuery =
+      dupWindow: String = "1 hour", jaccardMin: Double = 0.8,
+      gate: DataFrame => DataFrame = identity): StreamingQuery =
     startWith(docs, dupWindow) { (batch, batchId) =>
-      ingestBatch(spark, batch, storeDir, batchId, jaccardMin)
+      ingestBatch(spark, batch, storeDir, batchId, jaccardMin, gate = gate)
       ()
     }
 }

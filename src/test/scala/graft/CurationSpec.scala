@@ -158,6 +158,25 @@ class CurationSpec extends SparkSpec {
     assert(g3 == Set(("x", 5L, 5L, 0L), ("y", 5L, 5L, 0L)))
   }
 
+  test("bloom-prefiltered decontamination ≡ exact formulation, with the sketch in the plan") {
+    import spark.implicits._
+    // doc 0 is "bench"; doc 1 embeds a verbatim bench 8-gram; doc 2 shares nothing
+    val bench = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, bench),
+      (1L, "x y " + (1 to 8).map(i => s"b$i").mkString(" ") + " z w q r s t"),
+      (2L, (1 to 12).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val exact = rows(CurationQueries.decontaminateDf(docs, col("doc_id") === 0))
+    val bloom = CurationQueries.decontaminateBloomDf(docs, col("doc_id") === 0)
+    assert(rows(bloom) == exact && exact == Set((1L, 1L)))
+    // the sketch pre-filter is genuinely in the physical path
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom pre-filter in plan:\n$plan")
+  }
+
   test("shard assign: exact multiplicative-hash layout, shares sum to 1, s16 refines s8") {
     import spark.implicits._
     val docs = (0L until 40L).map(i => (i, (0 to (i % 7).toInt).map(_ => "w").mkString(" ")))

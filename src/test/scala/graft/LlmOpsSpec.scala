@@ -602,4 +602,22 @@ class LlmOpsSpec extends SparkSpec {
       .select("source", "oov_tokens").as[(String, Long)].collect().toSet
     assert(v2 == Set(("s1", 0L), ("s2", 2L)))
   }
+
+  test("cluster rep: quality and keep-longest rules elect different keepers; singletons self-keep") {
+    // docs 1+2 cluster together: doc 1 is longer (6 tokens) but pure
+    // stopword repetition (quality 0); doc 2 is shorter but clean
+    // (quality 1.0). Doc 3 is a singleton.
+    val docs = Seq(
+      (1L, "the the the the the the"),
+      (2L, "p q r s t"),
+      (3L, "u v")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    def keptOf(score: org.apache.spark.sql.Column => org.apache.spark.sql.Column, n: String) =
+      llm.DedupQueries.clusterRepOf(docs, pairs, score, n)
+        .where(col("kept") === 1).select("doc_id", "cluster_id")
+        .as[(Long, Long)].collect().toSet
+    assert(keptOf(llm.DedupQueries.qualityScore, "quality") == Set((2L, 1L), (3L, 3L)))
+    assert(keptOf(t => size(t).cast("long"), "n_tokens") == Set((1L, 1L), (3L, 3L)))
+  }
 }

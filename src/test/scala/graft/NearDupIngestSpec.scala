@@ -597,4 +597,35 @@ class NearDupIngestSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(st == Set((0L, 3L, 1L)), s"chunk-granular funnel expected (0,3,1), got $st")
   }
+
+  test("quality gate rejects junk before the index; the same doc admits ungated later") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graftndgate").resolve("t").toString
+    Seq((1L, t1)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    // the batch tier's rule filter as the stream-edge admission gate
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
+      d.join(llm.CurationQueries.gopherFilterDf(d,
+          minWords = 5, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.5)
+        .where(col("kept") === 1).select("doc_id"), "doc_id")
+
+    // junk = 20x the same stopword: distinct-word ratio 0.05 fails the
+    // rule filter; tNovel passes it and is novel vs the store
+    val junk = text((1 to 20).map(_ => "the"): _*)
+    val n1 = NearDupIngest.ingestBatch(spark,
+      Seq((20L, junk), (21L, tNovel)).toDF("doc_id", "text"), dir,
+      batchId = 0, gate = gate)
+    assert(n1 == 1 && storeIds(dir) == Set(1L, 21L))
+    // gate-rejected rows fold into the funnel like any other removal
+    val st0 = NearDupIngest.ingestStats(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(st0 == Set((0L, 2L, 1L)), s"funnel expected (0,2,1), got $st0")
+
+    // the junk doc was GATE-rejected, not dedup-rejected: it never
+    // touched the indexes, so an ungated later batch admits it
+    val n2 = NearDupIngest.ingestBatch(spark,
+      Seq((22L, junk)).toDF("doc_id", "text"), dir, batchId = 1)
+    assert(n2 == 1 && storeIds(dir) == Set(1L, 21L, 22L))
+  }
 }

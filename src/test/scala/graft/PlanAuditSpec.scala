@@ -57,11 +57,30 @@ class PlanAuditSpec extends SparkSpec {
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
 
+  /** `collectWithSubqueries` but robust to subqueries still carried as
+    * LOGICAL plans at the `sparkPlan` stage (the `Dataset.scalar()`
+    * path plans them during preparation): those are planned here the
+    * same way the session would, so their joins are audited rather
+    * than skipped.
+    */
+  private def collectNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val here = plan.collect { case p => p }
+    val subPlans = here.flatMap(_.expressions.flatMap(_.collect {
+      case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+    }))
+    here ++ subPlans.flatMap {
+      case sp: SparkPlan => collectNodes(sp)
+      case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        collectNodes(spark.sessionState.executePlan(lp).sparkPlan)
+      case _ => Nil
+    }
+  }
+
   test("no query plans a CartesianProduct; BNLJ only in the scalar-broadcast whitelist") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val plan = physical(name)
-      val cartesian = plan.collectWithSubqueries { case c: CartesianProductExec => c }
-      val bnlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      val nodes = collectNodes(physical(name))
+      val cartesian = nodes.collect { case c: CartesianProductExec => c }
+      val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
       val bad = Seq(
         if (cartesian.nonEmpty) Some(s"$name: CartesianProduct") else None,
         if (bnlj.nonEmpty && !bnljAllowed(name))
