@@ -946,6 +946,77 @@ object CurationQueries {
     tokenBudgetOf(Tables.documents(s, d), num = 3, den = 10)
   }
 
+  /** Exact length-percentile trim — the outlier-length filter
+    * (drop the shortest `loPct`% and longest `100−hiPct`% of docs by
+    * token count) computed with EXACT order statistics, not
+    * approx_percentile: the length DISTRIBUTION is aggregated by
+    * value — a frame bounded by |distinct lengths|, never corpus size
+    * — cumulative counts run on that frame, and each doc joins back
+    * its own length's (cnt_lt, cnt_le). Keep iff
+    * cnt_le·100 ≥ loPct·N AND cnt_lt·100 ≤ hiPct·N — cross-multiplied
+    * integers, so the cut is bit-stable where a float percentile
+    * threshold has boundary edges. Ties share a length value and so
+    * always decide the same way.
+    *
+    * Scale shape: one map-side-partial length count; the windows run
+    * on the value-bounded frequency frame (the x_mix_weights
+    * discipline — single-partition is fine because the frame is
+    * dictionary-sized); the join back broadcasts that tiny frame.
+    * This is the exact-at-scale counterpart of x_quantiles'
+    * sketch path: order statistics by value-keyed aggregation.
+    */
+  private def lengthTrimSql(loPct: Int, hiPct: Int): String =
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |freq AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY n_tokens),
+       |cum AS (
+       |  SELECT n_tokens, cnt,
+       |         CAST(sum(cnt) OVER (ORDER BY n_tokens
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_le,
+       |         CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+       |  FROM freq)
+       |SELECT l.doc_id, l.n_tokens,
+       |       CAST(c.cnt_le AS DOUBLE) / c.n_total AS pct_le,
+       |       CAST(CASE WHEN c.cnt_le * 100 >= $loPct * c.n_total
+       |                  AND (c.cnt_le - c.cnt) * 100 <= $hiPct * c.n_total
+       |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM lens l JOIN cum c USING (n_tokens)""".stripMargin
+
+  private[graft] def lengthTrimOf(docs: DataFrame, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"percentile window must satisfy 0 <= lo < hi <= 100: [$loPct, $hiPct]")
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val freq = lens.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    // |distinct lengths|-row frame: value-bounded, see scaladoc
+    val byLen = Window.orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cum = freq
+      .withColumn("cnt_le", sum(col("cnt")).over(byLen))
+      .withColumn("n_total", sum(col("cnt")).over(all))
+    lens.join(broadcast(cum), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cnt_le").cast("double") / col("n_total")).as("pct_le"),
+        when(col("cnt_le") * 100 >= lit(loPct) * col("n_total") &&
+          (col("cnt_le") - col("cnt")) * 100 <= lit(hiPct) * col("n_total"), 1L)
+          .otherwise(0L).as("kept"))
+  }
+
+  val lengthTrim: QueryDef = QueryDef.sql(
+    "x_length_trim", lengthTrimSql(loPct = 5, hiPct = 95)) { (s, d) =>
+    lengthTrimOf(Tables.documents(s, d), loPct = 5, hiPct = 95)
+  }
+
+  /** The tighter window (10–90): a stricter trim must keep a subset —
+    * same parameterized builder and oracle on both sides.
+    */
+  val lengthTrimP10: QueryDef = QueryDef.sql(
+    "x_length_trim_p10", lengthTrimSql(loPct = 10, hiPct = 90)) { (s, d) =>
+    lengthTrimOf(Tables.documents(s, d), loPct = 10, hiPct = 90)
+  }
+
   /** Cross-modal curation gate — the text tier and the embedding tier
     * composed on the shared document identity (vec_id = doc_id): a doc
     * survives iff it passes the Gopher rule filter AND is not pruned
@@ -1048,5 +1119,5 @@ object CurationQueries {
       redact, decontaminate, decontaminateFrac, decontaminateBloom, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
-      shardAssign, shardAssignS16, pipelineHybrid)
+      shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10)
 }

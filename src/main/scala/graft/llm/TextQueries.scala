@@ -826,10 +826,92 @@ object TextQueries {
     vocabCoverageOf(Tables.documents(s, d), v = 20)
   }
 
+  /** Token-distribution drift audit between two corpus cohorts (here:
+    * sources src0–src9 vs the rest — the old-crawl/new-crawl split a
+    * recurring ingestion monitors): the top-`k` tokens whose unigram
+    * rates moved most between the slices. The ranking key is the
+    * EXACT cross-multiplied difference |cnt_a·tot_b − cnt_b·tot_a|
+    * in DECIMAL arithmetic (never a float log-ratio, and decimal so
+    * the products stay exact past the ~3·10⁹-token slice size where
+    * Long products would wrap); the per-slice rates ride along as
+    * evidence divisions. A token surging between crawls is the
+    * classic spam-burst / template-drift tripwire run before mixing
+    * a new snapshot in.
+    *
+    * Scale shape: one map-side-partial token count; totals and the
+    * rank window run over the |vocab|-row aggregate frame (dictionary-
+    * bounded, the x_mix_weights discipline), so the single-partition
+    * windows never see corpus-sized input.
+    */
+  private def tokenDriftSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT try_cast(substr(source, 4) AS INT) < 10 AS is_a,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT tok,
+       |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |  FROM toks GROUP BY tok),
+       |tot AS (
+       |  SELECT tok, cnt_a, cnt_b,
+       |         CAST(sum(cnt_a) OVER () AS BIGINT) AS tot_a,
+       |         CAST(sum(cnt_b) OVER () AS BIGINT) AS tot_b
+       |  FROM cnt),
+       |ranked AS (
+       |  SELECT tok, cnt_a, cnt_b, tot_a, tot_b,
+       |         row_number() OVER (ORDER BY
+       |           abs(CAST(cnt_a AS DECIMAL(19,0)) * tot_b -
+       |               CAST(cnt_b AS DECIMAL(19,0)) * tot_a) DESC,
+       |           tok) AS rk
+       |  FROM tot)
+       |SELECT tok, cnt_a, cnt_b,
+       |       CAST(cnt_a AS DOUBLE) / nullif(tot_a, 0) AS rate_a,
+       |       CAST(cnt_b AS DOUBLE) / nullif(tot_b, 0) AS rate_b,
+       |       CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
+  private[graft] def tokenDriftOf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(
+      (expr("try_cast(substr(source, 4) as int)") < 10).as("is_a"),
+      explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("cnt_b"))
+    val all = Window.partitionBy() // rows = |vocab|: dictionary-bounded
+    cnt
+      .withColumn("tot_a", sum(col("cnt_a")).over(all))
+      .withColumn("tot_b", sum(col("cnt_b")).over(all))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        abs(col("cnt_a").cast("decimal(19,0)") * col("tot_b") -
+          col("cnt_b").cast("decimal(19,0)") * col("tot_a")).desc,
+        col("tok"))).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("tok"), col("cnt_a"), col("cnt_b"),
+        (col("cnt_a").cast("double") / nullif(col("tot_a"), lit(0L))).as("rate_a"),
+        (col("cnt_b").cast("double") / nullif(col("tot_b"), lit(0L))).as("rate_b"),
+        col("rk"))
+  }
+
+  val tokenDrift: QueryDef = QueryDef.sql(
+    "x_token_drift", tokenDriftSql(k = 10)) { (s, d) =>
+    tokenDriftOf(Tables.documents(s, d), k = 10)
+  }
+
+  /** The deeper cut (k = 25): same parameterized builder and oracle —
+    * at the test vocab size this reaches into the stable tail, pinning
+    * the exact rank order well past the genuinely-drifted head.
+    */
+  val tokenDriftK25: QueryDef = QueryDef.sql(
+    "x_token_drift_k25", tokenDriftSql(k = 25)) { (s, d) =>
+    tokenDriftOf(Tables.documents(s, d), k = 25)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
-      vocabCoverage, vocabCoverageV20)
+      vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25)
 }

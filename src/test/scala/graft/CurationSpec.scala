@@ -158,6 +158,24 @@ class CurationSpec extends SparkSpec {
     assert(g3 == Set(("x", 5L, 5L, 0L), ("y", 5L, 5L, 0L)))
   }
 
+  test("length trim: exact integer percentile cut drops both outliers, ties decide together") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(_ => "w").mkString(" "))
+    // lengths 1, 2, 2, 3, 100 over N=5; [25, 75] drops the singleton
+    // short (cnt_le·100 = 100 < 125) and the long tail
+    // (cnt_lt·100 = 400 > 375); both len-2 ties decide identically
+    val docs = Seq(doc(1, 1), doc(2, 2), doc(3, 2), doc(4, 3), doc(5, 100))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.lengthTrimOf(docs, loPct = 25, hiPct = 75)
+      .select("doc_id", "n_tokens", "kept").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (2L, 2L, 1L), (3L, 2L, 1L),
+      (4L, 3L, 1L), (5L, 100L, 0L)))
+    // widening to [20, 80] admits both boundaries (>= / <= are exact)
+    val wide = CurationQueries.lengthTrimOf(docs, loPct = 20, hiPct = 80)
+      .where(col("kept") === 1).count()
+    assert(wide == 5)
+  }
+
   test("bloom-prefiltered decontamination ≡ exact formulation, with the sketch in the plan") {
     import spark.implicits._
     // doc 0 is "bench"; doc 1 embeds a verbatim bench 8-gram; doc 2 shares nothing

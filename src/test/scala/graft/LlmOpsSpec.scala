@@ -603,6 +603,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(v2 == Set(("s1", 0L), ("s2", 2L)))
   }
 
+  test("token drift: exact cross-multiplied ranking surfaces the surged token first") {
+    // cohort A = src0..src9 (here src1), B = the rest (src15):
+    // tot_a=4, tot_b=2; drift keys |cnt_a*tot_b - cnt_b*tot_a| are
+    // spam=6, y=4, x=2 -> top-2 is (spam, y)
+    val docs = Seq(
+      (1L, "spam spam spam x", "src1"),
+      (2L, "x y", "src15")
+    ).toDF("doc_id", "text", "source")
+    val got = llm.TextQueries.tokenDriftOf(docs, k = 2)
+      .select("tok", "cnt_a", "cnt_b", "rate_a", "rate_b", "rk")
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("spam", 3L, 0L, 0.75, 0.0, 1L),
+      ("y", 0L, 1L, 0.0, 0.5, 2L)))
+  }
+
   test("cluster rep: quality and keep-longest rules elect different keepers; singletons self-keep") {
     // docs 1+2 cluster together: doc 1 is longer (6 tokens) but pure
     // stopword repetition (quality 0); doc 2 is shorter but clean
