@@ -1146,10 +1146,72 @@ object SimilarityQueries {
     labelPropDf(s, d, bands = 4, r = 8, k = 10)
   }
 
+  /** Semantic decontamination — the embedding-space counterpart of
+    * the n-gram x_decontaminate: flag training vectors whose cosine
+    * to ANY benchmark vector (the vec_id % 25 = 0 holdout, the same
+    * eval-set convention) reaches `tau`. This is the leakage an
+    * n-gram check structurally misses — a paraphrased benchmark item
+    * shares no 8-gram but sits next to it in embedding space. Only
+    * flagged vectors are emitted (the x_decontaminate contract), with
+    * hit count and max similarity as the evidence a removal review
+    * reads.
+    *
+    * Scale shape: deliberately the BROADCAST brute-force scan
+    * (x_ann_topk's shape), not an LSH probe — a real eval set is tiny
+    * and fixed, so the exact train×bench pass is linear in the
+    * training corpus and embarrassingly parallel, and unlike a
+    * sketch it cannot MISS leakage at the weak-similarity τ this
+    * check runs at (a 4×8-band sketch recalls ~12% of 0.45-cosine
+    * pairs — useless for a contamination audit, where false negatives
+    * are the failure that matters). Count/max aggregates are
+    * order-insensitive — bit-stable under any partitioning. The same
+    * reasoning as decontaminateDf's bench-side note, one tier up.
+    */
+  private def semanticDeconSql(tau: Double): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |hit AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $qcosSql AS sim
+       |  FROM q a JOIN q b ON a.vec_id % 25 != 0 AND b.vec_id % 25 = 0)
+       |SELECT vec_a AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits, max(sim) AS max_sim
+       |FROM hit WHERE sim >= $tau GROUP BY vec_a""".stripMargin
+
+  private[graft] def semanticDeconOf(emb: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val train = e.where(col("vec_id") % 25 =!= 0)
+      .select(col("vec_id"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val bench = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    train.join(broadcast(bench))
+      .select(col("vec_id"),
+        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .where(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("sim")).as("max_sim"))
+  }
+
+  val semanticDecon: QueryDef = QueryDef.sql(
+    "x_semantic_decon", semanticDeconSql(tau = 0.4)) { (s, d) =>
+    semanticDeconOf(Tables.embeddings(s, d), tau = 0.4)
+  }
+
+  /** The stricter cut (τ = 0.45): fewer, nearer flags — the config a
+    * removal pass (vs a review pass) runs; same parameterized builder
+    * and oracle on both sides.
+    */
+  val semanticDeconT45: QueryDef = QueryDef.sql(
+    "x_semantic_decon_t45", semanticDeconSql(tau = 0.45)) { (s, d) =>
+    semanticDeconOf(Tables.embeddings(s, d), tau = 0.45)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
-      labelOutliers, labelOutliersK16, labelProp, labelPropK10)
+      labelOutliers, labelOutliersK16, labelProp, labelPropK10,
+      semanticDecon, semanticDeconT45)
 }

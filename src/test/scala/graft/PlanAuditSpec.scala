@@ -50,6 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     "x_hard_negatives", "x_hard_negatives_k10",
     // x_semdedup_incr: same centroid broadcast as x_semdedup
     "x_semdedup_incr",
+    // x_semantic_decon(_t45): the x_ann_topk broadcast-bench scan —
+    // deliberately brute-force, see semanticDeconOf's scaladoc
+    "x_semantic_decon", "x_semantic_decon_t45",
     // x_pipeline_gopher: inherits x_token_pack's triangular offsets
     // join through the shared packCumSum prefix sum, like x_pipeline_e2e
     "x_pipeline_gopher")
