@@ -460,6 +460,61 @@ object CurationQueries {
     decontaminateBloomDf(Tables.documents(s, d), col("doc_id") % 25 === 0)
   }
 
+  /** Per-benchmark-item leakage report — decontaminate's REVERSE
+    * direction: for each benchmark document, how many distinct
+    * training documents share at least one k-gram with it, and how
+    * many of its grams are the ones leaking. x_decontaminate answers
+    * "which training docs must go"; this answers the eval-integrity
+    * question "which benchmark items are already compromised, and how
+    * badly" — the report an eval owner reads before trusting a score.
+    *
+    * Scale shape: the same bench⋈train gram equi-join as
+    * x_decontaminate (bench side tiny and broadcastable in
+    * production), then count(DISTINCT) per bench doc — two-phase
+    * distinct aggregation, keyed by bench doc, output bounded by
+    * |bench|. No new join class.
+    */
+  private def deconReportSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + ${k - 1}), ' ') AS ng
+       |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+       |  WHERE i + ${k - 1} <= len(tok))
+       |SELECT b.doc_id AS bench_id,
+       |       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+       |       CAST(count(DISTINCT b.ng) AS BIGINT) AS n_leaked_ngrams
+       |FROM g b JOIN g t ON b.ng = t.ng
+       |WHERE b.doc_id % 25 = 0 AND t.doc_id % 25 != 0
+       |GROUP BY 1""".stripMargin
+
+  private[graft] def deconReportOf(docs: DataFrame, isBench: Column,
+      k: Int): DataFrame = {
+    val grams = shinglePostings(docs, k)
+    val bench = grams.where(isBench)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val train = grams.where(!isBench)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    bench.join(train, "shingle")
+      .groupBy("bench_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("shingle")).as("n_leaked_ngrams"))
+  }
+
+  val deconReport: QueryDef = QueryDef.sql(
+    "x_decon_report", deconReportSql(k = 8)) { (s, d) =>
+    deconReportOf(Tables.documents(s, d), col("doc_id") % 25 === 0, k = 8)
+  }
+
+  /** k=6: shorter grams match more loosely — the sensitivity config an
+    * eval owner escalates to when the k=8 report comes back clean but
+    * scores still look contaminated.
+    */
+  val deconReportK6: QueryDef = QueryDef.sql(
+    "x_decon_report_k6", deconReportSql(k = 6)) { (s, d) =>
+    deconReportOf(Tables.documents(s, d), col("doc_id") % 25 === 0, k = 6)
+  }
+
   /** Domain-mixture reweighting: per-source token shares and the
     * resampling weight that would equalize every source's token
     * contribution — the "compute the mixing weights" step between
@@ -1116,7 +1171,8 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
-      redact, decontaminate, decontaminateFrac, decontaminateBloom, mixWeights, pipelineE2e,
+      redact, decontaminate, decontaminateFrac, decontaminateBloom,
+      deconReport, deconReportK6, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
       shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10)

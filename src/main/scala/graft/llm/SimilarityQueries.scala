@@ -29,21 +29,18 @@ object SimilarityQueries {
   /** Brute-force cosine top-k: every 50th vector is a query; corpus is
     * scanned once per query via broadcast; top-5 by (sim desc, id).
     */
-  val annTopK: QueryDef = QueryDef.sql(
-    "x_ann_topk",
-    s"""WITH q AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-       |  FROM embeddings)
-       |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |       $qcosSql AS sim
-       |FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id != b.vec_id
-       |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5""".stripMargin) { (s, d) =>
-    // Norms are computed once per VECTOR (not per pair) — at N×M pair
-    // volume this is the difference between 1 and 3 dot products each.
+  /** Exact brute-force top-`topK` per query (every `every`-th vector):
+    * the ground-truth formulation both x_ann_topk and the recall audit
+    * share. Norms are computed once per VECTOR (not per pair) — at N×M
+    * pair volume this is the difference between 1 and 3 dot products
+    * each.
+    */
+  private def bruteTopKDf(s: org.apache.spark.sql.SparkSession, d: String,
+      every: Int, topK: Int): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val q = e.where(col("vec_id") % 50 === 0)
+    val q = e.where(col("vec_id") % every === 0)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nrm").as("q_nrm"))
     val scored = e
       .select(col("vec_id").as("neighbor_id"), col("qe").as("c_qe"), col("nrm").as("c_nrm"))
@@ -53,7 +50,19 @@ object SimilarityQueries {
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
-      .where(col("rn") <= 5).drop("rn")
+      .where(col("rn") <= topK).drop("rn")
+  }
+
+  val annTopK: QueryDef = QueryDef.sql(
+    "x_ann_topk",
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings)
+       |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |       $qcosSql AS sim
+       |FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id != b.vec_id
+       |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5""".stripMargin) { (s, d) =>
+    bruteTopKDf(s, d, every = 50, topK = 5)
   }
 
   /** Embedding near-dup pairs: label column as blocking key (the
@@ -1207,11 +1216,69 @@ object SimilarityQueries {
     semanticDeconOf(Tables.embeddings(s, d), tau = 0.45)
   }
 
+  /** LSH index recall audit — the measurement behind every "narrower
+    * buckets cost some recall" claim in this file: for each brute-force
+    * ground-truth top-5 neighbor (the x_ann_topk formulation, shared
+    * via bruteTopKDf), does the neighbor share the query's bucket at
+    * this plane count? Output is per-query (n_truth, n_found, recall),
+    * so the artifact a tuning pass reads — which configs lose which
+    * queries — is the query result itself, not a log line.
+    *
+    * Scale shape: the ground-truth side is the broadcast brute scan
+    * (audit cost — at 100 TB this runs over a SAMPLED query set, which
+    * is exactly what `every` parameterizes); everything downstream is
+    * vec_id equi-joins on a |queries|·k-row frame, then one bounded
+    * aggregation. The sketch side reuses the same lshBuckets index the
+    * production pairs queries run on, so the audit measures the real
+    * index, not a reimplementation.
+    */
+  private def annRecallSql(planes: Int): String =
+    s"""WITH ${lshBucketCtes(planes)},
+       |truth AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $qcosSql AS sim
+       |  FROM q a JOIN q b ON a.vec_id % 50 = 0 AND a.vec_id != b.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY sim DESC, b.vec_id) <= 5)
+       |SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(sum(CASE WHEN qb.bucket = nb.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |       CAST(sum(CASE WHEN qb.bucket = nb.bucket THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM truth t
+       |JOIN bkt qb ON qb.vec_id = t.query_id
+       |JOIN bkt nb ON nb.vec_id = t.neighbor_id
+       |GROUP BY t.query_id""".stripMargin
+
+  private[graft] def annRecallOf(s: org.apache.spark.sql.SparkSession, d: String,
+      planes: Int): org.apache.spark.sql.DataFrame = {
+    val truth = bruteTopKDf(s, d, every = 50, topK = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val bkt = lshBuckets(s, d, planes)
+    truth
+      .join(bkt.select(col("vec_id").as("query_id"), col("bucket").as("q_bucket")), "query_id")
+      .join(bkt.select(col("vec_id").as("neighbor_id"), col("bucket").as("n_bucket")), "neighbor_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("q_bucket") === col("n_bucket"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / col("n_truth"))
+  }
+
+  val annRecall: QueryDef = QueryDef.sql(
+    "x_ann_recall", annRecallSql(planes = 16)) { (s, d) =>
+    annRecallOf(s, d, planes = 16)
+  }
+
+  /** The 24-plane config the pl24 pairs query runs at — committed
+    * evidence of what that narrower index actually recalls, next to
+    * the 16-plane default.
+    */
+  val annRecallPl24: QueryDef = QueryDef.sql(
+    "x_ann_recall_pl24", annRecallSql(planes = 24)) { (s, d) =>
+    annRecallOf(s, d, planes = 24)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
-      semanticDecon, semanticDeconT45)
+      semanticDecon, semanticDeconT45, annRecall, annRecallPl24)
 }

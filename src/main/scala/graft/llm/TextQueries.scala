@@ -908,10 +908,64 @@ object TextQueries {
     tokenDriftOf(Tables.documents(s, d), k = 25)
   }
 
+  /** Corpus-order n-gram novelty: for each document, the fraction of
+    * its distinct k-grams whose FIRST corpus occurrence (min doc_id —
+    * doc_id is the ingest order in this corpus) is this document.
+    * The dedup-aware sampling signal: a doc that restates earlier
+    * content scores near 0, a doc contributing new text scores near 1
+    * — the per-doc form of the "how much does this shard add"
+    * question, and the ranking a marginal-value sampler consumes.
+    *
+    * Scale shape: one groupBy(shingle) min-aggregation over the same
+    * postings frame every dedup op builds (map-side combine collapses
+    * each partition to its distinct grams first), one gram equi-join
+    * back, one doc-keyed count — the x_decontaminate_frac join class,
+    * no pair term anywhere. Exact integers decide everything; the only
+    * float is the final reported ratio.
+    */
+  private def ngramNoveltySql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + ${k - 1}), ' ') AS ng
+       |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+       |  WHERE i + ${k - 1} <= len(tok)),
+       |f AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+       |FROM g JOIN f USING (ng)
+       |GROUP BY g.doc_id""".stripMargin
+
+  private[graft] def ngramNoveltyOf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val grams = shinglePostings(docs, k)
+    val firsts = grams.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    grams.join(firsts, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+  }
+
+  val ngramNovelty: QueryDef = QueryDef.sql(
+    "x_ngram_novelty", ngramNoveltySql(k = 8)) { (s, d) =>
+    ngramNoveltyOf(Tables.documents(s, d), k = 8)
+  }
+
+  /** k=5: shorter grams repeat more across docs, so this config is the
+    * stricter novelty bar (more grams count as already-seen).
+    */
+  val ngramNoveltyK5: QueryDef = QueryDef.sql(
+    "x_ngram_novelty_k5", ngramNoveltySql(k = 5)) { (s, d) =>
+    ngramNoveltyOf(Tables.documents(s, d), k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
-      vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25)
+      vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25,
+      ngramNovelty, ngramNoveltyK5)
 }

@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_semantic_decon(_t45): the x_ann_topk broadcast-bench scan —
     // deliberately brute-force, see semanticDeconOf's scaladoc
     "x_semantic_decon", "x_semantic_decon_t45",
+    // x_ann_recall(_pl24): ground-truth side is the x_ann_topk
+    // broadcast brute scan (the audit's cost, sampled in production)
+    "x_ann_recall", "x_ann_recall_pl24",
     // x_pipeline_gopher: inherits x_token_pack's triangular offsets
     // join through the shared packCumSum prefix sum, like x_pipeline_e2e
     "x_pipeline_gopher")
