@@ -37,18 +37,21 @@ object CurationQueries {
     * per-row hot path at corpus scale that is the difference that
     * matters. Values are identical to the HOF/`list_reduce` form.
     */
-  private def hashBucket(docId: Column): Column = {
+  private[llm] def hashBucket(docId: Column): Column = {
     val h = md5(docId.cast("string").cast("binary"))
     (1 to 8).foldLeft(lit(0L))(
       (acc, i) => (acc * 31 + ascii(substring(h, i, 1))) % 1000000007L) % 1000
   }
 
-  private val hashBucketSql =
-    """list_reduce(
-      |  list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
-      |      c -> CAST(ascii(c) AS BIGINT))),
-      |  (a, b) -> (a * 31 + b) % 1000000007) % 1000""".stripMargin
+  /** The same fold in DuckDB SQL, over an arbitrary id column. */
+  private[llm] def hashBucketSqlOf(idCol: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(substr(md5(CAST($idCol AS VARCHAR)), 1, 8), ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007) % 1000""".stripMargin
+
+  private val hashBucketSql = hashBucketSqlOf("doc_id")
 
   /** Deterministic stratified sampling: per-language target rates
     * (en 50%, de 30%, everything else 10%) applied via the hash
@@ -1169,11 +1172,116 @@ object CurationQueries {
     shardAssignOf(Tables.documents(s, d), nShards = 16)
   }
 
+  // ----------------------------------------------------------------
+  // Curriculum interleaving: the deterministic training-order schedule.
+  // ----------------------------------------------------------------
+
+  /** Proportional-interleaving curriculum schedule: every document gets
+    * its global training position under weighted round-robin across
+    * sources — the deterministic data-order a trainer consumes.
+    *
+    * The i-th doc of a weight-w source runs at virtual time i/w;
+    * sorting all docs by virtual time yields the schedule where a
+    * weight-3 source appears 3× as often as a weight-1 source, evenly
+    * interleaved (not block-concatenated). Virtual times are kept
+    * EXACT: with L = lcm(weights), the key is `i · (L/w)` — a BIGINT,
+    * no DECIMAL division, no float ties. Weights attach by alphabetical
+    * source rank (rank 1 → w1, rank 2 → w2, rest → 1), so the config
+    * is self-contained.
+    *
+    * Scale shape: the global position is NOT a global-window
+    * row_number (that funnels the corpus through one task). Because
+    * each source's keys form the arithmetic progression m, 2m, …, the
+    * rank of (key, src_rank) is CLOSED-FORM against the per-source
+    * stats: pos = 1 + Σ_t min(n_t, (key−1) div m_t)  [docs strictly
+    * earlier] + Σ_{rank_t < rank_s} [m_t divides key ∧ key/m_t ≤ n_t]
+    * [equal-time ties broken by source rank]. That is one broadcast of
+    * |sources| stat rows against a narrow per-doc frame — every row
+    * computes its position independently, embarrassingly parallel.
+    * The oracle deliberately uses the naive global-window formulation,
+    * so the hash match PROVES the closed form equals the sort.
+    */
+  def curriculumOf(docs: DataFrame, w1: Int, w2: Int): DataFrame = {
+    require(w1 >= w2 && w2 >= 1, s"degenerate curriculum weights ($w1, $w2)")
+    val l = (1 to w1 * w2).find(x => x % w1 == 0 && x % w2 == 0).get
+    val rs = docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy().orderBy("source")).cast("long")) // rows = |sources|: bounded
+      .withColumn("mult",
+        when(col("src_rank") === 1, lit(l.toLong / w1))
+          .when(col("src_rank") === 2, lit(l.toLong / w2))
+          .otherwise(lit(l.toLong)))
+    val keyed = rs.join(broadcast(stats.select(col("source"), col("src_rank"), col("mult"))), "source")
+      .withColumn("sched_key", col("rn") * col("mult"))
+    val contrib = keyed.crossJoin(broadcast(
+        stats.select(col("src_rank").as("rank_t"), col("mult").as("m_t"), col("n").as("n_t"))))
+      .withColumn("less_t", least(col("n_t"), expr("(sched_key - 1) div m_t")))
+      .withColumn("eq_t",
+        when(col("sched_key") % col("m_t") === 0 &&
+          expr("sched_key div m_t") <= col("n_t") &&
+          col("rank_t") < col("src_rank"), 1L).otherwise(0L))
+    contrib.groupBy("doc_id", "source", "rn", "sched_key")
+      .agg((lit(1L) + sum(col("less_t") + col("eq_t"))).as("pos"))
+      .select(col("doc_id"), col("source"), col("rn"), col("sched_key"), col("pos"))
+  }
+
+  /** The schedule CTE chain over an arbitrary (doc_id, source)
+    * relation `rel`, ending in `ck(doc_id, source, rn, sched_key,
+    * src_rank)` — composable after other CTE chains (c-prefixed names
+    * to avoid collisions), for consumers that schedule a FILTERED
+    * corpus (e.g. the leak-free train split).
+    */
+  private[llm] def curriculumCtes(w1: Int, w2: Int, rel: String): String = {
+    val l = (1 to w1 * w2).find(x => x % w1 == 0 && x % w2 == 0).get
+    s"""crs AS (
+       |  SELECT doc_id, source,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM $rel),
+       |cst AS (SELECT source, count(*) AS n FROM $rel GROUP BY source),
+       |crk AS (SELECT source, n, row_number() OVER (ORDER BY source) AS src_rank FROM cst),
+       |cm AS (SELECT source, src_rank,
+       |             CASE WHEN src_rank = 1 THEN ${l / w1}
+       |                  WHEN src_rank = 2 THEN ${l / w2}
+       |                  ELSE $l END AS mult FROM crk),
+       |ck AS (SELECT r.doc_id, r.source, r.rn, r.rn * cm.mult AS sched_key, cm.src_rank
+       |      FROM crs r JOIN cm ON r.source = cm.source)""".stripMargin
+  }
+
+  /** The final projection over `ck` — the oracle's deliberately naive
+    * global-window formulation of the schedule position.
+    */
+  private[llm] val curriculumSelect: String =
+    """SELECT doc_id, source, rn, CAST(sched_key AS BIGINT) AS sched_key,
+      |       CAST(row_number() OVER (ORDER BY sched_key, src_rank, rn) AS BIGINT) AS pos
+      |FROM ck""".stripMargin
+
+  private def curriculumSql(w1: Int, w2: Int): String =
+    s"""WITH ${curriculumCtes(w1, w2, "documents")}
+       |$curriculumSelect""".stripMargin
+
+  val curriculum: QueryDef = QueryDef.sql(
+    "x_curriculum", curriculumSql(w1 = 3, w2 = 2)) { (s, d) =>
+    curriculumOf(Tables.documents(s, d), w1 = 3, w2 = 2)
+  }
+
+  /** The 4:2:1 profile (L = 4, multipliers 1/2/4) — pins that the
+    * weight profile is a real parameter of both the key construction
+    * and the closed-form rank.
+    */
+  val curriculumW2: QueryDef = QueryDef.sql(
+    "x_curriculum_w4", curriculumSql(w1 = 4, w2 = 2)) { (s, d) =>
+    curriculumOf(Tables.documents(s, d), w1 = 4, w2 = 2)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, decontaminateBloom,
       deconReport, deconReportK6, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
-      shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10)
+      shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
+      curriculum, curriculumW2)
 }

@@ -218,37 +218,54 @@ object DedupQueries {
     }.mkString(" OR ")
   }
 
-  /** Full MinHash+LSH pairs oracle at a given config. */
-  private def minhashLshSql(perms: Int, bands: Int): String =
-    s"""WITH $sidPostingsSql,
-       |sig AS (
+  /** sig → band-candidate CTE chain (names `sig`, `cand`) over `post`
+    * — the composable core of the MinHash oracle, reused by the LSH
+    * pair query, the edit-distance verifier, and the agreement audit.
+    */
+  private def minhashCandCtes(perms: Int, bands: Int): String =
+    s"""sig AS (
        |  SELECT doc_id,
        |${minhashSigSqlCols(perms, "        ")}
        |  FROM post GROUP BY doc_id),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
-       |    ${bandCondSql(perms, bands)})),
+       |    ${bandCondSql(perms, bands)}))""".stripMargin
+
+  /** Candidates + exact-Jaccard verify, ending in CTE `mhp(doc_a,
+    * doc_b, jaccard)` — the full MinHash+LSH pair set in CTE form.
+    */
+  private def minhashPairCtes(perms: Int, bands: Int): String =
+    s"""${minhashCandCtes(perms, bands)},
        |cnt AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
        |ver AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
        |  FROM cand c
        |  JOIN post pa ON pa.doc_id = c.doc_a
        |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
-       |  GROUP BY 1, 2)
-       |SELECT v.doc_a, v.doc_b,
-       |       CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
-       |FROM ver v
-       |JOIN cnt ca ON v.doc_a = ca.doc_id
-       |JOIN cnt cb ON v.doc_b = cb.doc_id
-       |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin
+       |  GROUP BY 1, 2),
+       |mhp AS (
+       |  SELECT v.doc_a, v.doc_b,
+       |         CAST(v.overlap AS DOUBLE) / (ca.n + cb.n - v.overlap) AS jaccard
+       |  FROM ver v
+       |  JOIN cnt ca ON v.doc_a = ca.doc_id
+       |  JOIN cnt cb ON v.doc_b = cb.doc_id
+       |  WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap))""".stripMargin
 
-  /** Full SimHash pairs oracle at a given config. */
-  private def simhashSql(bits: Int, chunks: Int, hammingMax: Int): String = {
+  /** Full MinHash+LSH pairs oracle at a given config. */
+  private def minhashLshSql(perms: Int, bands: Int): String =
+    s"""WITH $sidPostingsSql,
+       |${minhashPairCtes(perms, bands)}
+       |SELECT doc_a, doc_b, jaccard FROM mhp""".stripMargin
+
+  /** SimHash sign-vote → chunk-band → hamming chain, ending in CTE
+    * `shp(doc_a, doc_b, hamming)` — the full SimHash pair set in CTE
+    * form, composable next to [[minhashPairCtes]].
+    */
+  private def simhashPairCtes(bits: Int, chunks: Int, hammingMax: Int): String = {
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1
-    s"""WITH $sidPostingsSql,
-       |hashes AS (
+    s"""hashes AS (
        |  SELECT doc_id, (sid * 2654435761) % ${1L << bits} AS h FROM post),
        |votes AS (
        |  SELECT doc_id,
@@ -264,13 +281,20 @@ object DedupQueries {
        |  AS BIGINT) AS simhash FROM votes),
        |chunks AS (
        |  SELECT doc_id, simhash, c.c AS chunk_no, (simhash >> ($chunkBits * c.c)) & $mask AS chunk
-       |  FROM sim, generate_series(0, ${chunks - 1}) c(c))
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM chunks a JOIN chunks b
-       |  ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $hammingMax""".stripMargin
+       |  FROM sim, generate_series(0, ${chunks - 1}) c(c)),
+       |shp AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $hammingMax)""".stripMargin
   }
+
+  /** Full SimHash pairs oracle at a given config. */
+  private def simhashSql(bits: Int, chunks: Int, hammingMax: Int): String =
+    s"""WITH $sidPostingsSql,
+       |${simhashPairCtes(bits, chunks, hammingMax)}
+       |SELECT doc_a, doc_b, hamming FROM shp""".stripMargin
 
   // ----------------------------------------------------------------
   // Queries
@@ -898,10 +922,245 @@ object DedupQueries {
     containmentPairs(SharedIndex.sidPostings(s, d), num = 7, den = 10)
   }
 
+  // ----------------------------------------------------------------
+  // Edit-distance fuzzy dedup: LSH candidates → exact Levenshtein
+  // verify on the normalized text, with length-band pruning.
+  // ----------------------------------------------------------------
+
+  /** The whitespace-normalized text + its length — the comparison
+    * units of the edit-distance verifier. Raw (non-interpolated)
+    * string so the `\s` regex survives.
+    */
+  private val normTextCtes =
+    """nrm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents),
+      |nl AS (SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS len FROM nrm)""".stripMargin
+
+  /** Edit-distance near-dup pairs: MinHash band candidates, length-band
+    * prune, then EXACT character-level Levenshtein ≤ max(len)/relDen
+    * (cross-multiplied integer test, no float ratio) with a hard cap
+    * `cap` on the distance itself.
+    *
+    * Shingle Jaccard misses same-length character-level edits (every
+    * 3-shingle touching an edited token changes); edit distance is the
+    * character-granular near-dup criterion. The quadratic DP never
+    * runs on the corpus: candidates come from the band index, the
+    * length prune (|len_a−len_b| ≤ threshold is a lower bound on the
+    * distance) kills mismatched pairs before any DP, and the Spark
+    * side uses the THRESHOLDED `levenshtein(l, r, cap)` kernel — cost
+    * O(len·cap) per surviving candidate, not O(len²); `cap` is the
+    * advertised per-pair cost bound at 100 TB, and pairs beyond it are
+    * by definition not near-duplicates.
+    */
+  private def editPairsDf(s: org.apache.spark.sql.SparkSession, d: String,
+      relDen: Int, cap: Int): DataFrame = {
+    require(relDen >= 2 && cap >= 1, s"degenerate edit-dedup config ($relDen, $cap)")
+    val post = SharedIndex.sidPostings(s, d)
+    val cand = bandCandidates(post, perms = 8, bands = 4)
+    val norm = Tables.documents(s, d).select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .withColumn("len", length(col("norm_text")).cast("long"))
+    cand
+      .join(norm.select(col("doc_id").as("na_id"), col("norm_text").as("norm_a"),
+        col("len").as("len_a")), col("doc_a") === col("na_id"))
+      .join(norm.select(col("doc_id").as("nb_id"), col("norm_text").as("norm_b"),
+        col("len").as("len_b")), col("doc_b") === col("nb_id"))
+      .where(lit(relDen) * abs(col("len_a") - col("len_b")) <=
+        greatest(col("len_a"), col("len_b")))
+      .withColumn("dist", levenshtein(col("norm_a"), col("norm_b"), cap).cast("long"))
+      .where(col("dist") >= 0 &&
+        lit(relDen) * col("dist") <= greatest(col("len_a"), col("len_b")))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("len_a"), col("len_b"))
+  }
+
+  private def editDedupSql(relDen: Int, cap: Int): String =
+    s"""WITH $sidPostingsSql,
+       |${minhashCandCtes(8, 4)},
+       |$normTextCtes
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(levenshtein(a.norm_text, b.norm_text) AS BIGINT) AS dist,
+       |       a.len AS len_a, b.len AS len_b
+       |FROM cand c
+       |JOIN nl a ON c.doc_a = a.doc_id
+       |JOIN nl b ON c.doc_b = b.doc_id
+       |WHERE $relDen * abs(a.len - b.len) <= greatest(a.len, b.len)
+       |  AND levenshtein(a.norm_text, b.norm_text) <= $cap
+       |  AND $relDen * levenshtein(a.norm_text, b.norm_text) <= greatest(a.len, b.len)""".stripMargin
+
+  val editDedup: QueryDef = QueryDef.sql(
+    "x_edit_dedup", editDedupSql(relDen = 10, cap = 60)) { (s, d) =>
+    editPairsDf(s, d, relDen = 10, cap = 60)
+  }
+
+  /** The tighter 5%-of-length / cap-30 config — pins that both the
+    * relative denominator and the DP cost cap are real parameters.
+    */
+  val editDedupD20: QueryDef = QueryDef.sql(
+    "x_edit_dedup_d20", editDedupSql(relDen = 20, cap = 30)) { (s, d) =>
+    editPairsDf(s, d, relDen = 20, cap = 30)
+  }
+
+  /** Method-agreement audit: the MinHash+LSH verified pair set vs the
+    * SimHash pair set (both at their default production configs) as a
+    * confusion summary — pairs found by both, by MinHash only, by
+    * SimHash only, with the distinct documents each class touches.
+    * The calibration evidence for choosing/combining the two methods:
+    * at 100 TB you run this on a sampled slice before committing the
+    * full corpus to one method's candidate bill. Output is ≤3 rows;
+    * both pair sets are the already-adjudicated candidate-bounded
+    * formulations, and the overlay is one full-outer equi-join on the
+    * pair key.
+    */
+  private val agreementSql: String =
+    s"""WITH $sidPostingsSql,
+       |${minhashPairCtes(8, 4)},
+       |${simhashPairCtes(60, 4, 10)},
+       |merged AS (
+       |  SELECT CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+       |              WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+       |              ELSE 'simhash_only' END AS method,
+       |         coalesce(m.doc_a, s.doc_a) AS doc_a,
+       |         coalesce(m.doc_b, s.doc_b) AS doc_b
+       |  FROM mhp m FULL OUTER JOIN shp s ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b),
+       |md AS (SELECT method, doc_a AS doc FROM merged
+       |       UNION ALL SELECT method, doc_b FROM merged)
+       |SELECT p.method, p.n_pairs, d.n_docs
+       |FROM (SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM merged GROUP BY method) p
+       |JOIN (SELECT method, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       |      FROM md GROUP BY method) d
+       |  ON p.method = d.method""".stripMargin
+
+  val dedupAgreement: QueryDef = QueryDef.sql(
+    "x_dedup_agreement", agreementSql) { (s, d) =>
+    val post = SharedIndex.sidPostings(s, d)
+    val mh = verifiedPairs(post, bandCandidates(post, perms = 8, bands = 4))
+      .select(col("doc_a"), col("doc_b"))
+    val sh = simhashPairs(post, bits = 60, chunks = 4, hammingMax = 10)
+      .select(col("doc_a").as("s_a"), col("doc_b").as("s_b"))
+    val merged = mh.join(sh,
+        col("doc_a") === col("s_a") && col("doc_b") === col("s_b"), "full_outer")
+      .select(
+        when(col("doc_a").isNotNull && col("s_a").isNotNull, "both")
+          .when(col("doc_a").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("method"),
+        coalesce(col("doc_a"), col("s_a")).as("da"),
+        coalesce(col("doc_b"), col("s_b")).as("db"))
+    val pairs = merged.groupBy("method").agg(count(lit(1)).as("n_pairs"))
+    val docs = merged.select(col("method"), col("da").as("doc"))
+      .unionAll(merged.select(col("method"), col("db").as("doc")))
+      .groupBy("method").agg(countDistinct("doc").as("n_docs"))
+    pairs.join(docs, "method")
+  }
+
+  /** Duplicate-cluster size distribution: how many near-dup clusters
+    * exist at each size, and how many documents they hold — the
+    * standard dedup-yield figure (docs removed = n_docs − n_clusters
+    * summed over sizes ≥ 2) that sizes the dedup payoff BEFORE
+    * committing to a removal pass. Consumer of the CC labeling;
+    * output is bounded by the number of distinct cluster sizes.
+    */
+  val clusterSizes: QueryDef = QueryDef.sql(
+    "x_cluster_sizes",
+    s"""WITH RECURSIVE $clusterCtes,
+       |sizes AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT cluster_size,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size""".stripMargin) { (s, d) =>
+    graft.operators.ConnectedComponents
+      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
+  /** Leakage-free train/val/test split: the split is assigned per
+    * near-dup CLUSTER (hash bucket of the cluster label), never per
+    * document — near-duplicate documents land in the SAME split by
+    * construction, so evaluation can't score memorized training
+    * near-dups. The standard eval-integrity split rule; a doc-keyed
+    * hash split silently violates it for every cross-split dup pair.
+    *
+    * Consumer of the CC labeling + the deterministic hash-bucket
+    * primitive ([[CurationQueries.hashBucket]] — reproducible,
+    * shuffle-free, no rand()). Cut points are percent-of-1000 bucket
+    * thresholds, parameters of the builder.
+    */
+  private def splitLeakfreeSql(trainCut: Int, valCut: Int): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |b AS (
+       |  SELECT doc AS doc_id, cluster_id,
+       |         ${CurationQueries.hashBucketSqlOf("cluster_id")} AS bucket
+       |  FROM lab)
+       |SELECT doc_id, cluster_id, bucket,
+       |       CASE WHEN bucket < $trainCut THEN 'train'
+       |            WHEN bucket < $valCut THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
+  private def splitLeakfreeDf(s: org.apache.spark.sql.SparkSession, d: String,
+      trainCut: Int, valCut: Int): DataFrame = {
+    require(0 < trainCut && trainCut < valCut && valCut < 1000,
+      s"degenerate split cuts ($trainCut, $valCut)")
+    graft.operators.ConnectedComponents
+      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+      .withColumn("bucket", CurationQueries.hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+  }
+
+  val splitLeakfree: QueryDef = QueryDef.sql(
+    "x_split_leakfree", splitLeakfreeSql(trainCut = 800, valCut = 900)) { (s, d) =>
+    splitLeakfreeDf(s, d, trainCut = 800, valCut = 900)
+  }
+
+  /** Cross-tier composition: the curriculum interleaving schedule
+    * ([[CurationQueries.curriculumOf]]) computed over the LEAK-FREE
+    * train split only — the order a trainer actually consumes: near-dup
+    * clusters → cluster-hash split → train subset → exact closed-form
+    * schedule positions (1..n_train). Three already-adjudicated
+    * operators composed end-to-end; the oracle recomputes the whole
+    * chain with the naive global-window rank over the filtered corpus.
+    */
+  val pipelineOrder: QueryDef = QueryDef.sql(
+    "x_pipeline_order",
+    s"""WITH RECURSIVE $clusterCtes,
+       |b AS (
+       |  SELECT doc AS doc_id,
+       |         ${CurationQueries.hashBucketSqlOf("cluster_id")} AS bucket
+       |  FROM lab),
+       |dd AS (
+       |  SELECT d.doc_id, d.source FROM documents d
+       |  JOIN b ON d.doc_id = b.doc_id WHERE b.bucket < 800),
+       |${CurationQueries.curriculumCtes(3, 2, "dd")}
+       |${CurationQueries.curriculumSelect}""".stripMargin) { (s, d) =>
+    val train = splitLeakfreeDf(s, d, trainCut = 800, valCut = 900)
+      .where(col("split") === "train").select("doc_id")
+    CurationQueries.curriculumOf(
+      Tables.documents(s, d).select("doc_id", "source").join(train, "doc_id"),
+      w1 = 3, w2 = 2)
+  }
+
+  /** The 90/5/5 profile — pins the cut points as real parameters. */
+  val splitLeakfree95: QueryDef = QueryDef.sql(
+    "x_split_leakfree_95", splitLeakfreeSql(trainCut = 900, valCut = 950)) { (s, d) =>
+    splitLeakfreeDf(s, d, trainCut = 900, valCut = 950)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
       crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
-      clusterRep, clusterRepLen)
+      clusterRep, clusterRepLen,
+      editDedup, editDedupD20, dedupAgreement, clusterSizes,
+      splitLeakfree, splitLeakfree95, pipelineOrder)
 }

@@ -219,4 +219,25 @@ class CurationSpec extends SparkSpec {
       .map { case (sh, rows) => (sh, rows.map(_._2).sum, rows.map(_._3).sum) }.toSet
     assert(folded == ref)
   }
+
+  test("curriculum: closed-form positions are the weighted-interleave permutation") {
+    import spark.implicits._
+    // sources alphabetical: a (rank 1, w=3), b (rank 2, w=2), c (w=1)
+    // L=6 → multipliers 2, 3, 6; keys a:2,4,6  b:3,6  c:6
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"),
+      (6L, "c")
+    ).toDF("doc_id", "source")
+    val got = CurationQueries.curriculumOf(docs, w1 = 3, w2 = 2)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // order by (key, src_rank): a1(2) a2(4) b1(3)→ sorted: a1(2), b1(3),
+    // a2(4), a3(6), b2(6), c1(6) — key ties broken by source rank
+    assert(got == Map(1L -> 1L, 4L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 5L, 6L -> 6L))
+    // permutation property at a non-uniform source layout
+    val big = (1L to 100L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    val pos = CurationQueries.curriculumOf(big, w1 = 4, w2 = 2)
+      .select("pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 100L))
+  }
 }

@@ -636,4 +636,55 @@ class LlmOpsSpec extends SparkSpec {
     assert(keptOf(llm.DedupQueries.qualityScore, "quality") == Set((2L, 1L), (3L, 3L)))
     assert(keptOf(t => size(t).cast("long"), "n_tokens") == Set((1L, 1L), (3L, 3L)))
   }
+
+  test("edit dedup: single-char edit pairs; big length gap is pruned before any DP") {
+    val dir = java.nio.file.Files.createTempDirectory("graftspec-edit").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq((1L, base, "en", "s", 10L),
+        (2L, base.dropRight(1) + "Z", "en", "s", 10L),   // 1-char substitution
+        (3L, base + " " + (1 to 10).map(i => s"pad$i").mkString(" "), "en", "s", 10L),
+        (4L, (100 to 130).map(i => s"w$i").mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = llm.DedupQueries.editDedup.run(spark, dir)
+      .select("doc_a", "doc_b", "dist", "len_a", "len_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // only (1,2) qualifies: doc 3 is >10% longer than doc 1 (length
+    // prune), doc 4 shares no shingle (no band candidate)
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, dist, lenA, lenB) = got.head
+    assert(dist == 1L && lenA == lenB)
+    // the invariant the length prune relies on: dist >= |len_a - len_b|
+    assert(dist >= math.abs(lenA - lenB))
+  }
+
+  test("dedup agreement classes reconcile with the two source pair sets") {
+    val dir = "/root/testdata/sf0.001"
+    val mh = llm.DedupQueries.minhashLshPairs.run(spark, dir).count()
+    val sh = llm.DedupQueries.dedupSimhash.run(spark, dir).count()
+    val cls = llm.DedupQueries.dedupAgreement.run(spark, dir)
+      .select("method", "n_pairs").as[(String, Long)].collect().toMap
+    assert(cls.keySet.subsetOf(Set("both", "minhash_only", "simhash_only")))
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("minhash_only", 0L) == mh)
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("simhash_only", 0L) == sh)
+  }
+
+  test("leak-free split: every near-dup cluster lands in exactly one split") {
+    val rows = llm.DedupQueries.splitLeakfree.run(spark, "/root/testdata/sf0.001")
+      .select("cluster_id", "split").distinct().as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    // a cluster appearing under two splits would double its cluster_id here
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("cluster size distribution accounts for every document exactly once") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.DedupQueries.clusterSizes.run(spark, dir)
+      .select("cluster_size", "n_clusters", "n_docs")
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (size, nc, nd) => assert(nd == size * nc) }
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._3).sum == total)
+  }
 }

@@ -58,7 +58,11 @@ class PlanAuditSpec extends SparkSpec {
     "x_ann_recall", "x_ann_recall_pl24",
     // x_pipeline_gopher: inherits x_token_pack's triangular offsets
     // join through the shared packCumSum prefix sum, like x_pipeline_e2e
-    "x_pipeline_gopher")
+    "x_pipeline_gopher",
+    // x_curriculum(_w4) / x_pipeline_order: the |sources|-row stats
+    // table broadcast against the per-doc frame for the closed-form
+    // schedule rank — bounded by the source count, see curriculumOf
+    "x_curriculum", "x_curriculum_w4", "x_pipeline_order")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
