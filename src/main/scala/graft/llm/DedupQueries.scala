@@ -1155,6 +1155,56 @@ object DedupQueries {
     splitLeakfreeDf(s, d, trainCut = 900, valCut = 950)
   }
 
+  /** Shingle-vocabulary growth curve (Heaps-law audit): how many NEW
+    * distinct 3-shingles each corpus slice contributes, in doc_id
+    * order, binned into `bins` equal doc-id ranges — the
+    * marginal-content value of additional data, read before paying
+    * for the next acquisition decade. A flattening curve says the
+    * source is exhausted; near-linear growth says keep ingesting.
+    *
+    * Scale shape: one groupBy(sid) min over the shared postings index
+    * (the dup-profile cost class), a 1-row bounds broadcast for the
+    * bin mapping, and a cumulative window over ≤`bins` rows. Exact
+    * integers throughout.
+    */
+  private def shingleGrowthSql(bins: Int): String =
+    s"""WITH $sidPostingsSql,
+       |nd AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+       |fs AS (SELECT sid, min(doc_id) AS first_doc FROM post GROUP BY sid),
+       |binned AS (
+       |  SELECT (first_doc - lo) * $bins // (hi - lo + 1) AS bin
+       |  FROM fs CROSS JOIN nd),
+       |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_new_shingles FROM binned GROUP BY bin)
+       |SELECT bin, n_new_shingles,
+       |       CAST(sum(n_new_shingles) OVER (ORDER BY bin) AS BIGINT) AS n_cum_shingles
+       |FROM g""".stripMargin
+
+  private def shingleGrowthDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"degenerate growth-curve bin count: $bins")
+    val post = SharedIndex.sidPostings(s, d)
+    val bounds = Tables.documents(s, d).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val g = post.groupBy("sid").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .select(expr(s"(first_doc - lo) * $bins div (hi - lo + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_new_shingles"))
+    g.withColumn("n_cum_shingles", // rows = bin count: bounded, see scaladoc
+      sum(col("n_new_shingles")).over(Window.partitionBy().orderBy("bin")))
+  }
+
+  val shingleGrowth: QueryDef = QueryDef.sql(
+    "x_shingle_growth", shingleGrowthSql(bins = 10)) { (s, d) =>
+    shingleGrowthDf(s, d, bins = 10)
+  }
+
+  /** 20-bin resolution — pins the bin mapping as a real parameter
+    * (finer bins must refine, never reshuffle, the 10-bin curve).
+    */
+  val shingleGrowthB20: QueryDef = QueryDef.sql(
+    "x_shingle_growth_b20", shingleGrowthSql(bins = 20)) { (s, d) =>
+    shingleGrowthDf(s, d, bins = 20)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
@@ -1162,5 +1212,5 @@ object DedupQueries {
       crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
-      splitLeakfree, splitLeakfree95, pipelineOrder)
+      splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20)
 }

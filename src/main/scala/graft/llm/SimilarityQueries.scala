@@ -347,6 +347,109 @@ object SimilarityQueries {
     (Seq(base) ++ steps ++ Seq(tail)).mkString("WITH ", ",\n", "")
   }
 
+  /** IVF cell-balance audit at `iters` Lloyd iterations: per-cell
+    * occupancy against the trained centroid list (centroids that
+    * attracted no members emit n_vecs = 0 — the dead-cell signal),
+    * with the corpus share and the load factor relative to perfect
+    * balance as exact quantized integers (`load_q` = 10⁶·n_vecs·
+    * n_cells div n_total; 10⁶ = exactly average). The index-health
+    * report an IVF deployment reads before choosing nprobe: a skewed
+    * cell list means skewed probe latency and a retrain/split.
+    *
+    * Scale shape: one groupBy(cell) over the assignment (the same
+    * broadcast-centroids scan the trained-probe query runs), then
+    * window totals over the |centroids|-row frame — bounded by the
+    * centroid count, not the corpus.
+    */
+  private def ivfBalanceSql(iters: Int): String = {
+    val sql = ivfTrainedSql(iters)
+    val upToAssigned = sql.substring(0, sql.indexOf(",\nprobes AS ("))
+    val last = if (iters == 0) "seeds" else s"tn$iters"
+    s"""$upToAssigned,
+       |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cell),
+       |j AS (
+       |  SELECT c.cent_id AS cell, coalesce(o.n_vecs, 0) AS n_vecs
+       |  FROM $last c LEFT JOIN occ o ON c.cent_id = o.cell)
+       |SELECT cell, n_vecs,
+       |       CAST(n_vecs * 1000000 // sum(n_vecs) OVER () AS BIGINT) AS share_q,
+       |       CAST(n_vecs * count(*) OVER () * 1000000 // sum(n_vecs) OVER () AS BIGINT) AS load_q
+       |FROM j""".stripMargin
+  }
+
+  def ivfBalanceDf(s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val (e, cents) = ivfTrainedCents(s, d, iters)
+    val assigned = ivfNearest(e, cents).where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val occ = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val j = cents.select(col("cent_id").as("cell"))
+      .join(occ, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+    val w = Window.partitionBy() // rows = |centroids|: bounded, see scaladoc
+    j.withColumn("tot", sum(col("n_vecs")).over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000000 div tot").as("share_q"),
+        expr("n_vecs * n_cells * 1000000 div tot").as("load_q"))
+  }
+
+  val ivfBalance: QueryDef = QueryDef.sql(
+    "x_ivf_balance", ivfBalanceSql(iters = 1)) { (s, d) =>
+    ivfBalanceDf(s, d, iters = 1)
+  }
+
+  /** The untrained (fixed-seed) layout — the before-training baseline
+    * whose wider load_q spread is exactly what the Lloyd step exists
+    * to fix; pins `iters` as a real parameter of the audit.
+    */
+  val ivfBalanceI0: QueryDef = QueryDef.sql(
+    "x_ivf_balance_i0", ivfBalanceSql(iters = 0)) { (s, d) =>
+    ivfBalanceDf(s, d, iters = 0)
+  }
+
+  /** Nearest-current-centroid ranking (broadcast of the tiny centroid
+    * table) — the assign step shared by training, probing, and the
+    * balance audit.
+    */
+  private def ivfNearest(e: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
+        (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+
+  /** The quantized-embedding frame plus the centroid table after
+    * `iters` Lloyd iterations — the shared head of the trained-probe
+    * query and the cell-balance audit.
+    */
+  private def ivfTrainedCents(s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(iters >= 0, s"negative Lloyd iteration count: $iters")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val seeds = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
+
+    // Lloyd steps: assign to the current centroids, then centroid :=
+    // re-quantized component mean of its members (exact longs in,
+    // exact longs out — each iterate is engine-reproducible)
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val assigned = ivfNearest(e, cents).where(col("rn") === 1)
+        .select(col("vec_id"), col("qe"), col("cent_id").as("cell"))
+      val cmean = assigned.select(col("cell"), posexplode(col("qe")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
+      cents = cmean.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          t => t.getField("v")).as("cent_qe"))
+        .select(col("cell").as("cent_id"), col("cent_qe"))
+        .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
+    }
+    (e, cents)
+  }
+
   /** The trained-IVF dataflow at `iters` Lloyd iterations. Each
     * iteration is the same two distributed steps — assign every vector
     * to its nearest current centroid (broadcast of the tiny centroid
@@ -358,38 +461,9 @@ object SimilarityQueries {
     */
   def ivfTrainedDf(s: org.apache.spark.sql.SparkSession, d: String,
       iters: Int): org.apache.spark.sql.DataFrame = {
-    require(iters >= 0, s"negative Lloyd iteration count: $iters")
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val seeds = e.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("qe").as("cent_qe"), col("nrm").as("cent_nrm"))
-
-    def nearest(cents: org.apache.spark.sql.DataFrame) =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id"),
-          (qdot(col("qe"), col("cent_qe")) / (col("nrm") * col("cent_nrm"))).as("csim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
-
-    // Lloyd steps: assign to the current centroids, then centroid :=
-    // re-quantized component mean of its members (exact longs in,
-    // exact longs out — each iterate is engine-reproducible)
-    var cents = seeds
-    for (_ <- 1 to iters) {
-      val assigned = nearest(cents).where(col("rn") === 1)
-        .select(col("vec_id"), col("qe"), col("cent_id").as("cell"))
-      val cmean = assigned.select(col("cell"), posexplode(col("qe")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(round(avg(col("x"))).cast("long").as("v"))
-      cents = cmean.groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          t => t.getField("v")).as("cent_qe"))
-        .select(col("cell").as("cent_id"), col("cent_qe"))
-        .withColumn("cent_nrm", sqrt(qdot(col("cent_qe"), col("cent_qe")).cast("double")))
-    }
-
+    val (e, cents) = ivfTrainedCents(s, d, iters)
     // index + probe against the TRAINED centroids — same path as x_ann_ivf
-    val ranked = nearest(cents)
+    val ranked = ivfNearest(e, cents)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vec_id"), col("qe"), col("nrm"), col("cent_id").as("cell"))
     val probes = ranked.where(col("vec_id") % 50 === 0 && col("rn") <= 2)
@@ -801,7 +875,7 @@ object SimilarityQueries {
     * one builder for the whole kNN family, mirroring knnEdgesDf.
     */
   private def knnEdgeCtes(bands: Int, r: Int, k: Int): String =
-    s"""q AS (
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
        |  FROM embeddings),
        |dots AS (
@@ -809,7 +883,7 @@ object SimilarityQueries {
        |         list_sum(list_transform(generate_series(1, len(qe)),
        |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
        |  FROM q, generate_series(0, ${bands * r - 1}) p(i)),
-       |bkt AS (
+       |bkt AS MATERIALIZED (
        |  SELECT vec_id, plane // $r AS band,
        |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $r)) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, plane // $r),
@@ -817,7 +891,7 @@ object SimilarityQueries {
        |  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
        |  FROM bkt ba JOIN bkt bb
        |    ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.vec_id != bb.vec_id),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT vec_a, vec_b, sim FROM (
        |    SELECT c.vec_a, c.vec_b, $qcosSql AS sim
        |    FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b)
@@ -1274,11 +1348,85 @@ object SimilarityQueries {
     annRecallOf(s, d, planes = 24)
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * mutual-kNN graph — the manifold-health metric for an embedding
+    * corpus: high coefficients mean tight semantic clumps (SemDeDup /
+    * diversity-pruning territory), a flat low profile means the LSH
+    * recall or the embedding space itself is too thin to cluster.
+    * Coefficient is the EXACT quantized ratio `2·tri·10⁶ div
+    * (deg·(deg−1))` — no float division, bit-stable ranking.
+    *
+    * Scale shape: the mutual edge set is ≤ N·k rows with deg ≤ k, so
+    * the wedge self-join is bounded by Σ deg² ≤ N·k² and the closing
+    * check is one (a, c) equi-join back against the edge set — never
+    * an all-pairs shape. Each triangle is enumerated exactly once
+    * (a < b < c on the canonical edge orientation).
+    */
+  private def knnTrianglesSql(bands: Int, r: Int, k: Int): String =
+    s"""WITH ${knnEdgeCtes(bands, r, k)},
+       |m AS MATERIALIZED (
+       |  SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b
+       |  FROM edges e1 JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+       |  WHERE e1.vec_a < e1.vec_b),
+       |t AS MATERIALIZED (
+       |  SELECT w.a, w.b, w.c FROM (
+       |    SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+       |    FROM m e1 JOIN m e2 ON e1.vec_b = e2.vec_a) w
+       |  JOIN m e3 ON e3.vec_a = w.a AND e3.vec_b = w.c),
+       |tn AS (SELECT a AS v FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+       |tc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY v),
+       |dn AS (SELECT vec_a AS v FROM m UNION ALL SELECT vec_b FROM m),
+       |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM dn GROUP BY v)
+       |SELECT dg.v AS vec_id, dg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+       |       CASE WHEN dg.deg >= 2
+       |            THEN 2 * coalesce(tc.n_tri, 0) * 1000000 // (dg.deg * (dg.deg - 1))
+       |            ELSE 0 END AS clust_q
+       |FROM dg LEFT JOIN tc ON dg.v = tc.v""".stripMargin
+
+  private def knnTrianglesDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val m = knnGraphDf(s, d, bands, r, k).select("vec_a", "vec_b")
+      .localCheckpoint(eager = false) // three consumers of one bounded edge set
+    val wedges = m.as("e1").join(m.as("e2"), col("e1.vec_b") === col("e2.vec_a"))
+      .select(col("e1.vec_a").as("a"), col("e1.vec_b").as("b"), col("e2.vec_b").as("c"))
+    val tri = wedges.join(
+      m.select(col("vec_a").as("a3"), col("vec_b").as("c3")),
+      col("a") === col("a3") && col("c") === col("c3"))
+      .select("a", "b", "c")
+    val triPerNode = tri.select(col("a").as("v"))
+      .unionAll(tri.select(col("b").as("v")))
+      .unionAll(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    val deg = m.select(col("vec_a").as("v")).unionAll(m.select(col("vec_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.join(triPerNode, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("2 * coalesce(n_tri, 0) * 1000000 div (deg * (deg - 1))"))
+          .otherwise(0L).as("clust_q"))
+  }
+
+  val knnTriangles: QueryDef = QueryDef.sql(
+    "x_knn_triangles", knnTrianglesSql(bands = 4, r = 8, k = 5)) { (s, d) =>
+    knnTrianglesDf(s, d, bands = 4, r = 8, k = 5)
+  }
+
+  /** The higher-recall 6-band config — more candidates, denser mutual
+    * graph, higher coefficients; pins the band knob through the whole
+    * wedge/closing chain.
+    */
+  val knnTrianglesB6: QueryDef = QueryDef.sql(
+    "x_knn_triangles_b6", knnTrianglesSql(bands = 6, r = 8, k = 5)) { (s, d) =>
+    knnTrianglesDf(s, d, bands = 6, r = 8, k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
-      semanticDecon, semanticDeconT45, annRecall, annRecallPl24)
+      semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
+      knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0)
 }

@@ -678,6 +678,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("knn triangles: coefficients bounded, per-node counts sum to 3x the triangle set") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.SimilarityQueries.knnTriangles.run(spark, dir)
+      .select("deg", "n_tri", "clust_q").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (deg, tri, cq) =>
+      assert(deg >= 1 && deg <= 5)          // mutual degree bounded by k
+      assert(cq >= 0 && cq <= 1000000)      // exact quantized coefficient in [0, 1]
+      // tri counts edge-disjoint triangles at this node: ≤ C(deg, 2)
+      assert(tri <= deg * (deg - 1) / 2)
+    }
+    // every triangle contributes exactly one count at each of its 3 nodes
+    assert(rows.map(_._2).sum % 3 == 0)
+  }
+
+  test("ivf balance: occupancy accounts for every vector; shares bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.SimilarityQueries.ivfBalanceDf(spark, dir, iters = 1)
+      .select("n_vecs", "share_q", "load_q").as[(Long, Long, Long)].collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._1).sum == total)
+    rows.foreach { case (_, share, _) => assert(share >= 0 && share <= 1000000) }
+    // load_q is occupancy relative to perfect balance: the cell-count-
+    // weighted mean is 1e6 up to integer-division truncation
+    val meanLoad = rows.map(_._3).sum / rows.length
+    assert(meanLoad > 900000 && meanLoad <= 1000000)
+  }
+
+  test("shingle growth: 20-bin curve folds exactly onto the 10-bin curve") {
+    val dir = "/root/testdata/sf0.001"
+    val g10 = llm.DedupQueries.shingleGrowth.run(spark, dir)
+      .select("bin", "n_new_shingles").as[(Long, Long)].collect().toMap
+    val g20 = llm.DedupQueries.shingleGrowthB20.run(spark, dir)
+      .select("bin", "n_new_shingles").as[(Long, Long)].collect()
+    // floor(floor(20x/N)/2) = floor(10x/N): halving the 20-bin ids
+    // reproduces the 10-bin histogram exactly — refinement, not reshuffle
+    val folded = g20.groupBy(_._1 / 2).map { case (b, rs) => b -> rs.map(_._2).sum }
+    assert(folded == g10)
+    // the curve ends at the full distinct-shingle vocabulary
+    val totalShingles = llm.SharedIndex.sidPostings(spark, dir)
+      .select("sid").distinct().count()
+    assert(g10.values.sum == totalShingles)
+  }
+
   test("cluster size distribution accounts for every document exactly once") {
     val dir = "/root/testdata/sf0.001"
     val rows = llm.DedupQueries.clusterSizes.run(spark, dir)

@@ -62,7 +62,13 @@ class PlanAuditSpec extends SparkSpec {
     // x_curriculum(_w4) / x_pipeline_order: the |sources|-row stats
     // table broadcast against the per-doc frame for the closed-form
     // schedule rank — bounded by the source count, see curriculumOf
-    "x_curriculum", "x_curriculum_w4", "x_pipeline_order")
+    "x_curriculum", "x_curriculum_w4", "x_pipeline_order",
+    // x_ivf_balance(_i0): the x_ann_ivf centroid broadcast — the
+    // balance audit reruns the same assign scan
+    "x_ivf_balance", "x_ivf_balance_i0",
+    // x_shingle_growth(_b20): 1-row doc-id-bounds scalar broadcast
+    // for the bin mapping (the x_approx_profile scalar pattern)
+    "x_shingle_growth", "x_shingle_growth_b20")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
