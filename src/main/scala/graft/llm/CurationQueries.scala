@@ -1276,6 +1276,63 @@ object CurationQueries {
     curriculumOf(Tables.documents(s, d), w1 = 4, w2 = 2)
   }
 
+  /** Shard fill-rate / fragmentation audit over the token packer:
+    * per shard, how many documents start in it, how many tokens they
+    * carry, the exact quantized fill vs the budget (`fill_q` =
+    * 10⁶·shard_tokens div budget — >10⁶ means the shard's last doc
+    * overflows into the next, <10⁶ means padding waste), and how many
+    * docs SPILL across the shard boundary (end offset past the
+    * budget line). The report a packing deployment reads to pick the
+    * budget: high spill counts mean wasted re-reads at training time,
+    * low fill means wasted padding — both are token-bill lines at
+    * 100 TB.
+    *
+    * Scale shape: reuses tokenPackDf's two-phase prefix sum (range
+    * repartition + per-partition running sums + broadcast offsets —
+    * no global single-task window), then one groupBy(shard_id);
+    * output rows = Σ tokens / budget, a groupBy like any other.
+    */
+  private def packAuditSql(budget: Long): String =
+    s"""WITH tp AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cp AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM tp),
+       |pp AS (
+       |  SELECT doc_id, n_tokens, cum_tokens,
+       |         (cum_tokens - n_tokens) // $budget AS shard_id
+       |  FROM cp)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       CAST(sum(n_tokens) * 1000000 // $budget AS BIGINT) AS fill_q,
+       |       CAST(sum(CASE WHEN cum_tokens > (shard_id + 1) * $budget THEN 1 ELSE 0 END) AS BIGINT) AS n_spill
+       |FROM pp GROUP BY shard_id""".stripMargin
+
+  private def packAuditDf(s: SparkSession, d: String, budget: Long): DataFrame =
+    tokenPackDf(s, d, budget).groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("shard_tokens"),
+      expr(s"sum(n_tokens) * 1000000 div $budget").as("fill_q"),
+      sum(when(col("cum_tokens") > (col("shard_id") + 1) * budget, 1L).otherwise(0L))
+        .as("n_spill"))
+
+  val packAudit: QueryDef = QueryDef.sql(
+    "x_pack_audit", packAuditSql(budget = 2000L)) { (s, d) =>
+    packAuditDf(s, d, budget = 2000L)
+  }
+
+  /** Double budget — half the shards at roughly double the fill; pins
+    * the budget through assignment, fill, and the spill test.
+    */
+  val packAuditB4000: QueryDef = QueryDef.sql(
+    "x_pack_audit_b4000", packAuditSql(budget = 4000L)) { (s, d) =>
+    packAuditDf(s, d, budget = 4000L)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, decontaminateBloom,
@@ -1283,5 +1340,5 @@ object CurationQueries {
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
       shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
-      curriculum, curriculumW2)
+      curriculum, curriculumW2, packAudit, packAuditB4000)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.llm.TextOps.tokens
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (hash-group), n-gram Jaccard (inverted-index join), MinHash+LSH
@@ -36,8 +37,22 @@ object DedupQueries {
   private val P = 1000000007L
   // minhash permutation pool h_i(x) = (A_i·x + B_i) mod P; the default
   // config uses the first 8, the wide config the first 16.
-  private val A = Seq(101L, 211L, 307L, 401L, 503L, 601L, 701L, 809L,
-    907L, 1009L, 1103L, 1201L, 1301L, 1409L, 1511L, 1601L)
+  //
+  // The multipliers MUST be large enough that a·sid wraps P for
+  // ordinary sid values: with small multipliers (an earlier pool used
+  // 101..1601) and a vocabulary below P/a ≈ 10⁶ shingles, a·sid + b
+  // never exceeds P, every "permutation" is order-PRESERVING in sid,
+  // and all perms components collapse to the one statistic min(sid) —
+  // the signature carries 1 bit instead of perms estimates and
+  // banding does nothing (caught by the x_minhash_estimate
+  // calibration audit: every candidate pair agreed on all 16
+  // components across exact Jaccard 0.005–0.99). Large primes ≈ 10⁸+
+  // wrap the modulus from sid = 2 up. Overflow: sid is reduced mod P
+  // before the multiply (see minhashSig), so a·(sid % P) < P² < 2⁶³
+  // for ANY sid — dictionary ids and raw 2⁵⁰-scale hashes alike.
+  private val A = Seq(101234597L, 157234579L, 213234569L, 269234569L,
+    325234577L, 381234583L, 437234573L, 493234571L, 549234583L, 605234633L,
+    661234579L, 717234571L, 773234629L, 829234573L, 885234587L, 941234573L)
   private val B = Seq(17L, 29L, 43L, 59L, 71L, 89L, 97L, 113L,
     127L, 139L, 151L, 163L, 179L, 191L, 199L, 223L)
 
@@ -89,10 +104,16 @@ object DedupQueries {
   /** `perms`-permutation MinHash signature per doc (columns h0..h_{n-1}). */
   private def minhashSig(post: DataFrame, perms: Int): DataFrame = {
     val ab = A.zip(B).take(perms)
+    // sid is reduced mod P BEFORE the multiply: a·(sid % P) < P² < 2⁶³
+    // for every possible sid, so the permutation never overflows int64
+    // (ANSI mode would throw) even when sids are themselves 2⁵⁰-scale
+    // hashes rather than dense dictionary ids. For dictionary sids
+    // (< P) the reduction is the identity — results are unchanged.
+    val sidr = col("sid") % P
     post.groupBy("doc_id").agg(
-      min((col("sid") * ab.head._1 + ab.head._2) % P).as("h0"),
+      min((sidr * ab.head._1 + ab.head._2) % P).as("h0"),
       ab.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("sid") * a + b) % P).as(s"h$i")
+        min((sidr * a + b) % P).as(s"h$i")
       }: _*)
   }
 
@@ -204,10 +225,12 @@ object DedupQueries {
       |  FROM (SELECT DISTINCT shingle FROM sh)),
       |post AS (SELECT s.doc_id, d2.sid FROM sh s JOIN dict d2 ON s.shingle = d2.shingle)""".stripMargin
 
-  /** `min((A_i*sid + B_i) % P) AS h_i` lines for a signature SELECT. */
+  /** `min((A_i*(sid % P) + B_i) % P) AS h_i` lines for a signature
+    * SELECT — sid reduced first, mirroring minhashSig's overflow guard.
+    */
   private def minhashSigSqlCols(perms: Int, indent: String): String =
     A.zip(B).take(perms).zipWithIndex.map { case ((a, b), i) =>
-      s"$indent min((${a} * sid + ${b}) % ${P}) AS h$i" }.mkString(",\n")
+      s"$indent min((${a} * (sid % ${P}) + ${b}) % ${P}) AS h$i" }.mkString(",\n")
 
   /** The OR-of-bands join condition over signature columns. */
   private def bandCondSql(perms: Int, bands: Int): String = {
@@ -1205,6 +1228,177 @@ object DedupQueries {
     shingleGrowthDf(s, d, bins = 20)
   }
 
+  /** MinHash signature-estimate calibration: for every LSH band
+    * candidate pair, the signature-agreement estimate of Jaccard
+    * (matching components / `perms` — the statistic the sketch
+    * actually measures) is compared against the EXACT postings-join
+    * Jaccard, grouped by match count `m`. The output is the
+    * calibration curve an LSH deployment reads before trusting the
+    * sketch at a new (perms, bands) config: mean/min/max exact
+    * similarity per agreement level, all as exact quantized integers
+    * (`j_q` = 10⁶·overlap div union; mean = Σ j_q div n — BIGINT
+    * arithmetic end to end, no float averaging, so the curve is
+    * bit-identical across engines and partitionings).
+    *
+    * Scale shape: the pair universe is the LSH candidate set (band
+    * equi-join, sub-quadratic), the exact verify is the same
+    * candidates×doc-size postings join the production pair query
+    * runs, and the output is ≤ perms+1 rows. Candidates sharing no
+    * shingle (pure band false positives) stay in the curve with
+    * j_q = 0 via the left join — dropping them would bias the
+    * estimate upward exactly where calibration matters most.
+    */
+  private def minhashEstimateSql(perms: Int, bands: Int): String = {
+    val mSum = (0 until perms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sidPostingsSql,
+       |${minhashCandCtes(perms, bands)},
+       |cnt2 AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id),
+       |ov AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS overlap
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.doc_a
+       |  JOIN post pb ON pb.doc_id = c.doc_b AND pa.sid = pb.sid
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, CAST($mSum AS BIGINT) AS m
+       |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b),
+       |jq AS (
+       |  SELECT e.m,
+       |         coalesce(o.overlap, 0) * 1000000 // (ca.n + cb.n - coalesce(o.overlap, 0)) AS j_q
+       |  FROM est e
+       |  LEFT JOIN ov o ON e.doc_a = o.doc_a AND e.doc_b = o.doc_b
+       |  JOIN cnt2 ca ON e.doc_a = ca.doc_id
+       |  JOIN cnt2 cb ON e.doc_b = cb.doc_id)
+       |SELECT m, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(j_q) // count(*) AS BIGINT) AS mean_j_q,
+       |       CAST(min(j_q) AS BIGINT) AS min_j_q,
+       |       CAST(max(j_q) AS BIGINT) AS max_j_q
+       |FROM jq GROUP BY m""".stripMargin
+  }
+
+  private def minhashEstimateDf(s: org.apache.spark.sql.SparkSession, d: String,
+      perms: Int, bands: Int): DataFrame = {
+    val post = SharedIndex.sidPostings(s, d)
+    val cand = bandCandidates(post, perms, bands)
+    val sig = minhashSig(post, perms)
+    val sa = sig.select(col("doc_id").as("da") +:
+      (0 until perms).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val sb = sig.select(col("doc_id").as("db") +:
+      (0 until perms).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val withM = cand
+      .join(sa, col("doc_a") === col("da"))
+      .join(sb, col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until perms).map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("m"))
+    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ov = cand
+      .join(post.select(col("doc_id").as("da2"), col("sid").as("sid_a")), col("doc_a") === col("da2"))
+      .join(post.select(col("doc_id").as("db2"), col("sid").as("sid_b")),
+        col("doc_b") === col("db2") && col("sid_a") === col("sid_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
+    withM
+      .join(ov, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
+      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
+      .select(col("m"),
+        expr("coalesce(overlap, 0) * 1000000 div (n_a + n_b - coalesce(overlap, 0))").as("j_q"))
+      .groupBy("m").agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(j_q) div count(*)").as("mean_j_q"),
+        min("j_q").as("min_j_q"),
+        max("j_q").as("max_j_q"))
+  }
+
+  val minhashEstimate: QueryDef = QueryDef.sql(
+    "x_minhash_estimate", minhashEstimateSql(perms = 8, bands = 4)) { (s, d) =>
+    minhashEstimateDf(s, d, perms = 8, bands = 4)
+  }
+
+  /** The 16-perm / 8-band config — double the signature resolution;
+    * pins (perms, bands) through the estimate, the candidate set, and
+    * the grouping domain.
+    */
+  val minhashEstimateP16: QueryDef = QueryDef.sql(
+    "x_minhash_estimate_p16", minhashEstimateSql(perms = 16, bands = 8)) { (s, d) =>
+    minhashEstimateDf(s, d, perms = 16, bands = 8)
+  }
+
+  /** Quality × duplication contingency matrix: every document lands
+    * in one (quality_band, dup_class) cell — quality from the exact
+    * distinct-token-ratio test (`10·distinct ≥ hiNum·n` → high,
+    * `≥ midNum·n` → mid, else low — cross-multiplied integers, no
+    * float thresholds), duplication from the near-dup CC labeling
+    * (cluster size 1 / 2–3 / 4+). The matrix answers the curation
+    * question the two tiers can't answer alone: is duplication
+    * concentrated in low-quality documents (cut by quality first and
+    * dedup shrinks) or spread uniformly (both passes are load-bearing)?
+    * Token sums ride along so the answer is budget-weighted, not just
+    * doc-counted.
+    *
+    * Scale shape: the CC labeling is the already-adjudicated iterative
+    * min-label pass; band assignment is per-row; the matrix is one
+    * groupBy over ≤ 9 cells.
+    */
+  private def qualityDupMatrixSql(hiNum: Int, midNum: Int): String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |szm AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY cluster_id),
+       |qm AS (
+       |  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n,
+       |         CAST(len(list_distinct(tok)) AS BIGINT) AS dn
+       |  FROM toks),
+       |cm AS (
+       |  SELECT CASE WHEN qm.n > 0 AND qm.dn * 10 >= qm.n * $hiNum THEN 'high'
+       |              WHEN qm.n > 0 AND qm.dn * 10 >= qm.n * $midNum THEN 'mid'
+       |              ELSE 'low' END AS quality_band,
+       |         CASE WHEN s2.csz = 1 THEN 'unique'
+       |              WHEN s2.csz <= 3 THEN 'small'
+       |              ELSE 'large' END AS dup_class,
+       |         qm.n
+       |  FROM qm JOIN lab ON lab.doc = qm.doc_id
+       |  JOIN szm s2 ON s2.cluster_id = lab.cluster_id)
+       |SELECT quality_band, dup_class,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n) AS BIGINT) AS n_tokens
+       |FROM cm GROUP BY 1, 2""".stripMargin
+
+  private def qualityDupMatrixDf(s: org.apache.spark.sql.SparkSession, d: String,
+      hiNum: Int, midNum: Int): DataFrame = {
+    require(hiNum > midNum && midNum > 0, s"degenerate quality bands: $hiNum/$midNum")
+    val docs = Tables.documents(s, d)
+    val lab = graft.operators.ConnectedComponents
+      .components(docs.select("doc_id"), nearDupPairs(s, d))
+    val sz = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+    val q = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("dn"))
+    q.join(lab, Seq("doc_id")).join(sz, Seq("cluster_id"))
+      .select(
+        when(col("n") > 0 && col("dn") * 10 >= col("n") * hiNum, "high")
+          .when(col("n") > 0 && col("dn") * 10 >= col("n") * midNum, "mid")
+          .otherwise("low").as("quality_band"),
+        when(col("csz") === 1, "unique").when(col("csz") <= 3, "small")
+          .otherwise("large").as("dup_class"),
+        col("n"))
+      .groupBy("quality_band", "dup_class").agg(
+        count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+  }
+
+  val qualityDupMatrix: QueryDef = QueryDef.sql(
+    "x_quality_dup_matrix", qualityDupMatrixSql(hiNum = 7, midNum = 4)) { (s, d) =>
+    qualityDupMatrixDf(s, d, hiNum = 7, midNum = 4)
+  }
+
+  /** Tighter bands (0.8 / 0.5) — pins the cut points as parameters of
+    * the matrix, shifting mass between cells without changing totals.
+    */
+  val qualityDupMatrixT8: QueryDef = QueryDef.sql(
+    "x_quality_dup_matrix_t8", qualityDupMatrixSql(hiNum = 8, midNum = 5)) { (s, d) =>
+    qualityDupMatrixDf(s, d, hiNum = 8, midNum = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
@@ -1212,5 +1406,6 @@ object DedupQueries {
       crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
-      splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20)
+      splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
+      minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8)
 }

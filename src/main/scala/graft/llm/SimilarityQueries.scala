@@ -1421,6 +1421,98 @@ object SimilarityQueries {
     knnTrianglesDf(s, d, bands = 6, r = 8, k = 5)
   }
 
+  /** Per-group embedding-centroid drift vs the corpus centroid: for
+    * each group (source via the vec_id = doc_id identity, or the
+    * embedding label), the cosine between the group's exact integer
+    * component-sum vector and the corpus's — sum vectors, not means,
+    * because cosine is scale-invariant (cos(Σv/n, Σv/N) = cos(Σv, Σv)),
+    * so NO division touches the integers and the dots stay exact
+    * BIGINTs; only the final cosine is a double over exact inputs
+    * (IEEE-identical across engines, the established qcos pattern).
+    * A group far from the corpus centroid (low drift) is
+    * distributionally distinct — the mixture-shift evidence read
+    * before re-weighting sources or retraining the IVF index.
+    *
+    * Scale shape: one groupBy((grp, dim)) over the 64×-unpivoted
+    * corpus (the Lloyd-step aggregation class), a 64-row broadcast of
+    * the corpus sums, then per-group dots over ≤ 64·|groups| rows.
+    * Integer headroom: component sums reach 10³·N, their squares
+    * 10⁶·N² — exact in int64 up to N ≈ 3×10⁵ vectors; past that the
+    * audit runs on a deterministic hash-bucket sample (the shared
+    * sampling primitive), which leaves the cosine unbiased.
+    */
+  private def centroidDriftSql(bySource: Boolean): String = {
+    val keyed =
+      if (bySource)
+        """keyed AS (
+          |  SELECT d.source AS grp, c.vec_id, c.i, c.x
+          |  FROM comp c JOIN documents d ON d.doc_id = c.vec_id)""".stripMargin
+      else
+        """keyed AS (
+          |  SELECT e.label AS grp, c.vec_id, c.i, c.x
+          |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT vec_id, i, qe[i] AS x
+       |  FROM (SELECT vec_id, qe, generate_subscripts(qe, 1) AS i FROM q)),
+       |$keyed,
+       |ks AS (SELECT grp, i, CAST(sum(x) AS BIGINT) AS sx FROM keyed GROUP BY grp, i),
+       |g AS (SELECT i, CAST(sum(x) AS BIGINT) AS gx FROM comp GROUP BY i),
+       |kn AS (SELECT grp, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs FROM keyed GROUP BY grp),
+       |dots AS (
+       |  SELECT ks.grp,
+       |         CAST(sum(ks.sx * g.gx) AS BIGINT) AS dot,
+       |         CAST(sum(ks.sx * ks.sx) AS BIGINT) AS n2s,
+       |         CAST(sum(g.gx * g.gx) AS BIGINT) AS n2g
+       |  FROM ks JOIN g ON ks.i = g.i GROUP BY ks.grp)
+       |SELECT dt.grp, kn.n_vecs,
+       |       CAST(dt.dot AS DOUBLE) /
+       |         (sqrt(CAST(dt.n2s AS DOUBLE)) * sqrt(CAST(dt.n2g AS DOUBLE))) AS drift
+       |FROM dots dt JOIN kn ON dt.grp = kn.grp""".stripMargin
+  }
+
+  private def centroidDriftDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bySource: Boolean): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+    val comp = e.select(col("vec_id"), col("label"), posexplode(col("qe")).as(Seq("i", "x")))
+    val keyed =
+      if (bySource)
+        comp.join(Tables.documents(s, d).select(col("doc_id"), col("source").as("grp")),
+          comp("vec_id") === col("doc_id"))
+          .select(col("grp"), col("vec_id"), col("i"), col("x"))
+      else
+        comp.select(col("label").as("grp"), col("vec_id"), col("i"), col("x"))
+    val ks = keyed.groupBy("grp", "i").agg(sum("x").as("sx"))
+    val g = comp.groupBy("i").agg(sum("x").as("gx"))
+    val kn = keyed.groupBy("grp").agg(countDistinct("vec_id").as("n_vecs"))
+    ks.join(broadcast(g), Seq("i"))
+      .groupBy("grp").agg(
+        sum(col("sx") * col("gx")).as("dot"),
+        sum(col("sx") * col("sx")).as("n2s"),
+        sum(col("gx") * col("gx")).as("n2g"))
+      .join(kn, Seq("grp"))
+      .select(col("grp"), col("n_vecs"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2s").cast("double")) * sqrt(col("n2g").cast("double")))).as("drift"))
+  }
+
+  val centroidDrift: QueryDef = QueryDef.sql(
+    "x_centroid_drift", centroidDriftSql(bySource = true)) { (s, d) =>
+    centroidDriftDf(s, d, bySource = true)
+  }
+
+  /** Grouped by the embedding's own label instead of the joined
+    * source — pins the grouping as a real parameter and covers the
+    * no-join path (label lives on the vector row itself).
+    */
+  val centroidDriftLbl: QueryDef = QueryDef.sql(
+    "x_centroid_drift_lbl", centroidDriftSql(bySource = false)) { (s, d) =>
+    centroidDriftDf(s, d, bySource = false)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
@@ -1428,5 +1520,6 @@ object SimilarityQueries {
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
       semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
-      knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0)
+      knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0,
+      centroidDrift, centroidDriftLbl)
 }

@@ -678,6 +678,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("minhash estimate: curve is non-degenerate and orders exact similarity") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.DedupQueries.minhashEstimate.run(spark, dir)
+      .select("m", "n_pairs", "mean_j_q").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, n, j) =>
+      assert(m >= 0 && m <= 8)
+      assert(n >= 1)
+      assert(j >= 0 && j <= 1000000)
+    }
+    // REGRESSION (order-preserving permutation pool): with multipliers
+    // too small to wrap P, every candidate pair agreed on ALL
+    // components and the curve collapsed to one row. A real estimator
+    // spreads candidates across agreement levels...
+    assert(rows.length >= 2,
+      s"calibration curve degenerate: ${rows.toSeq}")
+    // ...and orders them: full agreement must sit at higher exact
+    // similarity than the lowest agreement level.
+    val byM = rows.sortBy(_._1)
+    assert(byM.last._3 > byM.head._3)
+  }
+
+  test("pack audit: shard tokens and docs account for the whole corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.CurationQueries.packAudit.run(spark, dir)
+      .select("shard_id", "n_docs", "shard_tokens", "fill_q", "n_spill")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.map(_._2).sum == docs.count())
+    val totalTokens = llm.CurationQueries.tokenPackDf(spark, dir, 2000L)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).as[Long].head()
+    assert(rows.map(_._3).sum == totalTokens)
+    rows.foreach { case (_, nd, st, fq, sp) =>
+      assert(fq == st * 1000000L / 2000L) // fill is exactly the quantized token load
+      assert(sp >= 0 && sp <= nd)         // spilling docs are a subset of the shard's docs
+    }
+  }
+
+  test("quality-dup matrix: every document lands in exactly one cell") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.DedupQueries.qualityDupMatrix.run(spark, dir)
+      .select("quality_band", "dup_class", "n_docs").as[(String, String, Long)].collect()
+    assert(rows.map(_._3).sum == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(rows.map(_._1).toSet.subsetOf(Set("high", "mid", "low")))
+    assert(rows.map(_._2).toSet.subsetOf(Set("unique", "small", "large")))
+    // tighter cuts move docs only DOWNWARD in quality, never across dup class
+    val t8 = llm.DedupQueries.qualityDupMatrixT8.run(spark, dir)
+      .select("dup_class", "n_docs").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val base = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    assert(t8 == base)
+  }
+
+  test("centroid drift: cosine bounded, label groups cover every vector") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.SimilarityQueries.centroidDriftLbl.run(spark, dir)
+      .select("n_vecs", "drift").as[(Long, Double)].collect()
+    assert(rows.map(_._1).sum == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    rows.foreach { case (_, dr) => assert(dr >= -1.0 && dr <= 1.0) }
+  }
+
   test("knn triangles: coefficients bounded, per-node counts sum to 3x the triangle set") {
     val dir = "/root/testdata/sf0.001"
     val rows = llm.SimilarityQueries.knnTriangles.run(spark, dir)

@@ -68,7 +68,10 @@ class PlanAuditSpec extends SparkSpec {
     "x_ivf_balance", "x_ivf_balance_i0",
     // x_shingle_growth(_b20): 1-row doc-id-bounds scalar broadcast
     // for the bin mapping (the x_approx_profile scalar pattern)
-    "x_shingle_growth", "x_shingle_growth_b20")
+    "x_shingle_growth", "x_shingle_growth_b20",
+    // x_pack_audit(_b4000): inherits x_token_pack's triangular
+    // offsets join through the shared packCumSum prefix sum
+    "x_pack_audit", "x_pack_audit_b4000")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
