@@ -1399,6 +1399,90 @@ object DedupQueries {
     qualityDupMatrixDf(s, d, hiNum = 8, midNum = 5)
   }
 
+  /** Lexical-vs-semantic dedup agreement: the MinHash+LSH verified
+    * pair set (character/shingle similarity) overlaid on the
+    * embedding near-dup pair set (meaning similarity) through the
+    * vec_id = doc_id identity — the cross-TIER calibration the
+    * method-agreement audit (x_dedup_agreement) runs within the
+    * lexical tier. `both` pairs are rewrites caught either way;
+    * `lexical_only` are boilerplate collisions with divergent
+    * content; `semantic_only` are paraphrases — the class lexical
+    * dedup structurally cannot see, which is the number that decides
+    * whether an embedding pass is worth its GPU bill.
+    *
+    * The lexical side is RESTRICTED to pairs whose both endpoints
+    * have embeddings (two 1:1 semi-joins) — without this, coverage
+    * gaps masquerade as method disagreement.
+    *
+    * Scale shape: both pair sets are the already-adjudicated
+    * candidate-bounded chains; the overlay is one full-outer
+    * equi-join on the pair key.
+    */
+  private def lexsemAgreementSql(perms: Int, bands: Int): String =
+    s"""WITH $sidPostingsSql,
+       |${minhashPairCtes(perms, bands)},
+       |${SimilarityQueries.embedPairCtes},
+       |lex AS (
+       |  SELECT m.doc_a, m.doc_b FROM mhp m
+       |  JOIN eq ea ON ea.vec_id = m.doc_a
+       |  JOIN eq eb ON eb.vec_id = m.doc_b),
+       |ovl AS (
+       |  SELECT CASE WHEN l.doc_a IS NOT NULL AND e.vec_a IS NOT NULL THEN 'both'
+       |              WHEN l.doc_a IS NOT NULL THEN 'lexical_only'
+       |              ELSE 'semantic_only' END AS method,
+       |         coalesce(l.doc_a, e.vec_a) AS da,
+       |         coalesce(l.doc_b, e.vec_b) AS db
+       |  FROM lex l FULL OUTER JOIN esp e
+       |    ON l.doc_a = e.vec_a AND l.doc_b = e.vec_b),
+       |md AS (
+       |  SELECT method, da AS doc FROM ovl
+       |  UNION ALL SELECT method, db FROM ovl)
+       |SELECT p.method, p.n_pairs, d2.n_docs
+       |FROM (SELECT method, CAST(count(*) AS BIGINT) AS n_pairs
+       |      FROM ovl GROUP BY method) p
+       |JOIN (SELECT method, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       |      FROM md GROUP BY method) d2
+       |  ON p.method = d2.method""".stripMargin
+
+  private def lexsemAgreementDf(s: org.apache.spark.sql.SparkSession, d: String,
+      perms: Int, bands: Int): DataFrame = {
+    val post = SharedIndex.sidPostings(s, d)
+    val vecIds = Tables.embeddings(s, d).select("vec_id")
+    val lex = verifiedPairs(post, bandCandidates(post, perms, bands))
+      .select("doc_a", "doc_b")
+      .join(vecIds.select(col("vec_id").as("va")), col("doc_a") === col("va")).drop("va")
+      .join(vecIds.select(col("vec_id").as("vb")), col("doc_b") === col("vb")).drop("vb")
+    val sem = SimilarityQueries.embedPairsDf(s, d)
+      .select(col("vec_a").as("s_a"), col("vec_b").as("s_b"))
+    val merged = lex.join(sem,
+        col("doc_a") === col("s_a") && col("doc_b") === col("s_b"), "full_outer")
+      .select(
+        when(col("doc_a").isNotNull && col("s_a").isNotNull, "both")
+          .when(col("doc_a").isNotNull, "lexical_only")
+          .otherwise("semantic_only").as("method"),
+        coalesce(col("doc_a"), col("s_a")).as("da"),
+        coalesce(col("doc_b"), col("s_b")).as("db"))
+    val pairs = merged.groupBy("method").agg(count(lit(1)).as("n_pairs"))
+    val docs = merged.select(col("method"), col("da").as("doc"))
+      .unionAll(merged.select(col("method"), col("db").as("doc")))
+      .groupBy("method").agg(countDistinct("doc").as("n_docs"))
+    pairs.join(docs, "method")
+  }
+
+  val lexsemAgreement: QueryDef = QueryDef.sql(
+    "x_lexsem_agreement", lexsemAgreementSql(perms = 8, bands = 4)) { (s, d) =>
+    lexsemAgreementDf(s, d, perms = 8, bands = 4)
+  }
+
+  /** The 16-perm lexical side — pins that the overlay tracks the
+    * lexical config (more perms = tighter bands = fewer lexical
+    * candidates feeding the overlap).
+    */
+  val lexsemAgreementP16: QueryDef = QueryDef.sql(
+    "x_lexsem_agreement_p16", lexsemAgreementSql(perms = 16, bands = 8)) { (s, d) =>
+    lexsemAgreementDf(s, d, perms = 16, bands = 8)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
@@ -1407,5 +1491,6 @@ object DedupQueries {
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
       splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
-      minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8)
+      minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8,
+      lexsemAgreement, lexsemAgreementP16)
 }

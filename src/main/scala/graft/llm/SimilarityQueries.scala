@@ -69,16 +69,25 @@ object SimilarityQueries {
     * standard blocking technique — pairs only form inside a block),
     * cosine ≥ 0.4.
     */
-  val embedNearDup: QueryDef = QueryDef.sql(
-    "x_embed_neardup",
-    s"""WITH q AS (
+  /** The embedding near-dup pair set in CTE form, ending in
+    * `esp(vec_a, vec_b, label, sim)` — label-blocked same-label pairs
+    * at cosine ≥ 0.4, composable next to DedupQueries' lexical pair
+    * chains (the cross-tier agreement audit overlays the two).
+    */
+  private[llm] val embedPairCtes: String =
+    s"""eq AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-       |  FROM embeddings)
-       |SELECT * FROM (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       |         $qcosSql AS sim
-       |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |WHERE sim >= 0.4""".stripMargin) { (s, d) =>
+       |  FROM embeddings),
+       |esp AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       |           $qcosSql AS sim
+       |    FROM eq a JOIN eq b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  WHERE sim >= 0.4)""".stripMargin
+
+  /** DF twin of [[embedPairCtes]]. */
+  private[llm] def embedPairsDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
@@ -90,6 +99,13 @@ object SimilarityQueries {
       .select(col("vec_a"), col("vec_b"), col("label"),
         (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
       .where(col("sim") >= 0.4)
+  }
+
+  val embedNearDup: QueryDef = QueryDef.sql(
+    "x_embed_neardup",
+    s"""WITH $embedPairCtes
+       |SELECT vec_a, vec_b, label, sim FROM esp""".stripMargin) { (s, d) =>
+    embedPairsDf(s, d)
   }
 
   // ----------------------------------------------------------------

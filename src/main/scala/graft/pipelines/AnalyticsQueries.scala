@@ -1,5 +1,7 @@
 package graft.pipelines
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -328,7 +330,78 @@ object AnalyticsQueries {
       .withColumn("n_events", col("n_events").cast("long"))
   }
 
+  /** Session-scoped event-type transition matrix: corpus-wide counts
+    * of (event_type → next event_type) WITHIN a session — transitions
+    * never cross an inactivity gap, which is exactly what composing
+    * with the sessionizer buys over a naive per-user lead. The Markov
+    * structure of the event stream: for an agentic-training pipeline,
+    * the action-transition statistics read before episode filtering
+    * (e.g. sessions ending error→error are retry loops, not
+    * demonstrations). `share_q` is the exact quantized share of all
+    * transitions (10⁶·n div total).
+    *
+    * Scale shape: session indexing is the one shuffle by user the
+    * sessionizer already pays; the lead is another pass over the same
+    * per-user window partitioning; the matrix is a groupBy over
+    * ≤ |event types|² cells and the share window runs over those
+    * bounded cells only. Order within a tie is pinned by (ts,
+    * event_id) so the matrix is deterministic on any input.
+    */
+  private def transitionMatrixSql(gapMs: Long): String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR date_diff('millisecond', lag(ts) OVER w, ts) > $gapMs
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sx AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM g),
+       |tr AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id, session_idx
+       |           ORDER BY ts, event_id) AS to_type
+       |  FROM sx),
+       |m AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n_trans,
+       |       CAST(n_trans * 1000000 // sum(n_trans) OVER () AS BIGINT) AS share_q
+       |FROM m""".stripMargin
+
+  private def transitionMatrixDf(s: SparkSession, d: String, gapMs: Long): DataFrame = {
+    val seq = graft.streaming.Sessionize.sessionIndexed(Tables.events(s, d), gapMs)
+    val bySess = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    val m = seq
+      .withColumn("to_type", lead("event_type", 1).over(bySess))
+      .where(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    // rows = |event types|²: bounded, see scaladoc
+    m.withColumn("tot", sum(col("n_trans")).over(Window.partitionBy()))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("n_trans * 1000000 div tot").as("share_q"))
+  }
+
+  val transitionMatrix: QueryDef = QueryDef.sql(
+    "x_transition_matrix", transitionMatrixSql(gapMs = 1800000L)) { (s, d) =>
+    transitionMatrixDf(s, d, gapMs = 1800000L)
+  }
+
+  /** The 10-minute-gap config — tighter sessions cut more cross-gap
+    * transitions out of the matrix; pins the gap through the
+    * composition (same knob as x_sessionize_g10).
+    */
+  val transitionMatrixG10: QueryDef = QueryDef.sql(
+    "x_transition_matrix_g10", transitionMatrixSql(gapMs = 600000L)) { (s, d) =>
+    transitionMatrixDf(s, d, gapMs = 600000L)
+  }
+
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
-      rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10)
+      rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
+      transitionMatrix, transitionMatrixG10)
 }

@@ -34,7 +34,14 @@ object Sessionize {
     * The inactivity gap is a parameter (default 30 min) — shorter
     * gaps split the same event stream into more, tighter sessions.
     */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
+  /** Event-level session assignment: the input events plus a
+    * `session_idx` column (per-user running count of gap-exceeding
+    * boundaries). The shared front half of the session aggregate and
+    * any per-event consumer that must respect session boundaries
+    * (e.g. the transition matrix, which must not count a transition
+    * across an inactivity gap). One shuffle by user.
+    */
+  def sessionIndexed(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
     require(gapMs > 0, s"non-positive session gap: $gapMs")
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     events
@@ -47,13 +54,17 @@ object Sessionize {
           .otherwise(0))
       .withColumn("session_idx", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_session")
+  }
+
+  def sessionizeBatch(events: DataFrame, gapMs: Long = GapMs): DataFrame =
+    sessionIndexed(events, gapMs)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).cast("int").as("n_events"))
       .drop("session_idx")
-  }
 
   /** Streaming sessionization over a typed event stream. Emits a
     * session when the inactivity gap elapses (event-time timeout via

@@ -739,6 +739,39 @@ class LlmOpsSpec extends SparkSpec {
     rows.foreach { case (_, dr) => assert(dr >= -1.0 && dr <= 1.0) }
   }
 
+  test("transition matrix: transitions = events minus sessions; tighter gap only cuts") {
+    val dir = "/root/testdata/sf0.001"
+    def total(q: QueryDef): Long = q.run(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_trans")).as[Long].head()
+    val t30 = total(pipelines.AnalyticsQueries.transitionMatrix)
+    // every session of n events contributes exactly n-1 transitions
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val nSessions = pipelines.AnalyticsQueries.sessionize.run(spark, dir).count()
+    assert(t30 == nEvents - nSessions)
+    // a tighter gap splits sessions, which can only REMOVE transitions
+    val t10 = total(pipelines.AnalyticsQueries.transitionMatrixG10)
+    assert(t10 <= t30)
+    val n10 = pipelines.AnalyticsQueries.sessionizeG10.run(spark, dir).count()
+    assert(t10 == nEvents - n10)
+  }
+
+  test("lexsem agreement: classes reconcile with the restricted lexical pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val cls = llm.DedupQueries.lexsemAgreement.run(spark, dir)
+      .select("method", "n_pairs").as[(String, Long)].collect().toMap
+    assert(cls.keySet.subsetOf(Set("both", "lexical_only", "semantic_only")))
+    // lexical classes sum to the embedded-endpoint-restricted LSH pair set
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    val lexRestricted = llm.DedupQueries.minhashLshPairs.run(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .count { case (a, b) => vecs(a) && vecs(b) }
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("lexical_only", 0L) == lexRestricted)
+    // semantic classes sum to the embedding near-dup pair set
+    val semTotal = llm.SimilarityQueries.embedNearDup.run(spark, dir).count()
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("semantic_only", 0L) == semTotal)
+  }
+
   test("knn triangles: coefficients bounded, per-node counts sum to 3x the triangle set") {
     val dir = "/root/testdata/sf0.001"
     val rows = llm.SimilarityQueries.knnTriangles.run(spark, dir)
