@@ -1333,6 +1333,83 @@ object CurationQueries {
     packAuditDf(s, d, budget = 4000L)
   }
 
+  /** Per-source yield funnel: for each pipeline stage — raw →
+    * quality (Gopher rule filter) → dedup (exact keeper among the
+    * quality survivors, the x_pipeline_gopher composition order) —
+    * the doc and token counts per source. The accounting table a
+    * production pipeline publishes with every corpus build: which
+    * source loses how much at which stage, token-weighted so the
+    * numbers are budget lines, not just doc tallies. A source whose
+    * tokens collapse at the dedup stage is recycling content; one
+    * that collapses at quality is noise — the two cases demand
+    * different acquisition responses.
+    *
+    * Scale shape: three per-row-scored scans aggregated per source
+    * (the filter's per-doc stats, one md5 window among survivors),
+    * output |stages|×|sources| rows. No new join class.
+    */
+  private def sourceFunnelSql(minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): String =
+    s"""WITH gf AS (
+       |${gopherFilterSql(minWords, maxWords, minDistinct, maxTop2)}),
+       |tokf AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |qd AS (
+       |  SELECT t.doc_id, t.source, t.n, t.norm
+       |  FROM tokf t JOIN gf ON gf.doc_id = t.doc_id AND gf.kept = 1),
+       |keepf AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+       |  FROM qd),
+       |dd AS (
+       |  SELECT q.doc_id, q.source, q.n
+       |  FROM qd q JOIN keepf k ON k.doc_id = q.doc_id AND k.rn = 1)
+       |SELECT stage, source, n_docs, n_tokens FROM (
+       |  SELECT 'raw' AS stage, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n) AS BIGINT) AS n_tokens FROM tokf GROUP BY source
+       |  UNION ALL
+       |  SELECT 'quality', source, CAST(count(*) AS BIGINT),
+       |         CAST(sum(n) AS BIGINT) FROM qd GROUP BY source
+       |  UNION ALL
+       |  SELECT 'dedup', source, CAST(count(*) AS BIGINT),
+       |         CAST(sum(n) AS BIGINT) FROM dd GROUP BY source)""".stripMargin
+
+  private def sourceFunnelDf(s: SparkSession, d: String, minWords: Int,
+      maxWords: Int, minDistinct: Double, maxTop2: Double): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    val kept = gopherFilterDf(docs, minWords, maxWords, minDistinct, maxTop2)
+      .where(col("kept") === 1).select("doc_id")
+    val qd = tok.join(kept, "doc_id")
+    val dd = qd.withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("norm"))).orderBy("doc_id")))
+      .where(col("rn") === 1)
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .select(lit(name).as("stage"), col("source"), col("n_docs"), col("n_tokens"))
+    stage(tok, "raw").unionAll(stage(qd, "quality")).unionAll(stage(dd, "dedup"))
+  }
+
+  val sourceFunnel: QueryDef = QueryDef.sql(
+    "x_source_funnel",
+    sourceFunnelSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)) { (s, d) =>
+    sourceFunnelDf(s, d, minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+  }
+
+  /** The strict-filter funnel — same cuts as x_gopher_filter_strict;
+    * pins that the funnel tracks the filter config (quality-stage
+    * losses grow, dedup-stage structure shifts with the survivors).
+    */
+  val sourceFunnelStrict: QueryDef = QueryDef.sql(
+    "x_source_funnel_strict",
+    sourceFunnelSql(minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)) { (s, d) =>
+    sourceFunnelDf(s, d, minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, decontaminateBloom,
@@ -1340,5 +1417,6 @@ object CurationQueries {
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
       shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
-      curriculum, curriculumW2, packAudit, packAuditB4000)
+      curriculum, curriculumW2, packAudit, packAuditB4000,
+      sourceFunnel, sourceFunnelStrict)
 }

@@ -772,6 +772,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(cls.getOrElse("both", 0L) + cls.getOrElse("semantic_only", 0L) == semTotal)
   }
 
+  test("source funnel: stages only shrink per source; strict filter cuts deeper") {
+    val dir = "/root/testdata/sf0.001"
+    def byStage(q: QueryDef) = q.run(spark, dir)
+      .select("stage", "source", "n_docs", "n_tokens")
+      .as[(String, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (st, rs) =>
+        st -> rs.map(r => r._2 -> ((r._3, r._4))).toMap }
+    val f = byStage(llm.CurationQueries.sourceFunnel)
+    val docsTotal = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(f("raw").values.map(_._1).sum == docsTotal)
+    for ((src, (rd, rt)) <- f("raw")) {
+      val (qd2, qt) = f("quality").getOrElse(src, (0L, 0L))
+      val (dd2, dt) = f("dedup").getOrElse(src, (0L, 0L))
+      assert(qd2 <= rd && qt <= rt, s"quality grew for $src")
+      assert(dd2 <= qd2 && dt <= qt, s"dedup grew for $src")
+    }
+    val strict = byStage(llm.CurationQueries.sourceFunnelStrict)
+    assert(strict("quality").values.map(_._1).sum <= f("quality").values.map(_._1).sum)
+    // raw is filter-independent
+    assert(strict("raw") == f("raw"))
+  }
+
   test("knn triangles: coefficients bounded, per-node counts sum to 3x the triangle set") {
     val dir = "/root/testdata/sf0.001"
     val rows = llm.SimilarityQueries.knnTriangles.run(spark, dir)
