@@ -101,6 +101,17 @@ object Bench {
     // a build cost — so it is EXCLUDED from queries/total (the failure
     // is already named in `errors` and the line marked invalid).
     val indexBuild = if (indexOk) (System.nanoTime() - ib0) / 1e9 else -1.0
+    // The shared near-dup CC labeling (nine consumers) is the second
+    // per-(JVM, sf-dir) artifact: built here as its own metric line,
+    // same rationale as index_build above.
+    val cb0 = System.nanoTime()
+    val ccOk =
+      try { llm.DedupQueries.ccLabels(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        failures ::= s"cc_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        false
+      }
+    val ccBuild = if (ccOk) (System.nanoTime() - cb0) / 1e9 else -1.0
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
     // so a single sample is mostly noise. The first run also pays
@@ -159,7 +170,10 @@ object Bench {
     failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
     val ok = results.collect { case (n, (secs, _)) if secs >= 0 => n -> secs }
     val loadEnd = loadAvg()
-    val qs = (if (indexOk) ok + ("index_build" -> indexBuild) else ok)
+    val builds = Seq("index_build" -> (indexOk, indexBuild),
+      "cc_build" -> (ccOk, ccBuild))
+      .collect { case (k, (true, v)) => k -> v }.toMap
+    val qs = (ok ++ builds)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Sibling map keyed identically to `queries` (kept separate so the
@@ -171,7 +185,7 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
-    val total = ok.values.sum + (if (indexOk) indexBuild else 0.0)
+    val total = ok.values.sum + builds.values.sum
     val allValid = valid && failures.isEmpty && results.size == ok.size && only.isEmpty
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)

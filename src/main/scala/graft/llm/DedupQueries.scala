@@ -413,10 +413,31 @@ object DedupQueries {
     verifiedPairs(post, rareShingleCandidates(post)).select("doc_a", "doc_b")
   }
 
+  /** The near-dup CC labeling `(doc_id, cluster_id)` as a shared
+    * materialized artifact (built once per JVM × sf-dir via
+    * [[SharedIndex.materialized]]). NINE queries consume this one
+    * clustering — the cluster dump, both representative selections,
+    * the size distribution, both leak-free splits, the ordered-split
+    * pipeline, and both quality×dup matrices — and production
+    * pipelines publish the labeling exactly once per corpus build, so
+    * re-deriving the pair mining + iterative CC inside every consumer
+    * was paying the most expensive plan in the registry nine times.
+    * The min-label algorithm itself stays independently exercised: by
+    * this build, by ConnectedComponentsSpec, and by
+    * x_dedup_clusters_lss, which deliberately recomputes the same
+    * labeling through the alternating star-contraction algorithm and
+    * hash-matches the same oracle.
+    */
+  private[graft] def ccLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    SharedIndex.materialized(s, d, "cc_labels") {
+      graft.operators.ConnectedComponents
+        .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+    }
+
   val dedupClusters: QueryDef = QueryDef.sql(
     "x_dedup_clusters", clustersOracle) { (s, d) =>
-    graft.operators.ConnectedComponents
-      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+    ccLabels(s, d)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
   }
@@ -466,9 +487,14 @@ object DedupQueries {
 
   private[graft] def clusterRepOf(docs: DataFrame, pairs: DataFrame,
       score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      scoreName: String): DataFrame =
+    clusterRepFromLabels(docs,
+      graft.operators.ConnectedComponents.components(docs.select("doc_id"), pairs),
+      score, scoreName)
+
+  private def clusterRepFromLabels(docs: DataFrame, clusters: DataFrame,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       scoreName: String): DataFrame = {
-    val clusters = graft.operators.ConnectedComponents
-      .components(docs.select("doc_id"), pairs)
     val scored = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tok"))
       .select(col("doc_id"), score(col("tok")).as(scoreName))
@@ -481,7 +507,7 @@ object DedupQueries {
   private def clusterRepDf(s: org.apache.spark.sql.SparkSession, d: String,
       score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       scoreName: String): DataFrame =
-    clusterRepOf(Tables.documents(s, d), nearDupPairs(s, d), score, scoreName)
+    clusterRepFromLabels(Tables.documents(s, d), ccLabels(s, d), score, scoreName)
 
   private[graft] def qualityScore(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     coalesce(
@@ -1094,8 +1120,7 @@ object DedupQueries {
        |       CAST(count(*) AS BIGINT) AS n_clusters,
        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
        |FROM sizes GROUP BY cluster_size""".stripMargin) { (s, d) =>
-    graft.operators.ConnectedComponents
-      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+    ccLabels(s, d)
       .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
@@ -1130,8 +1155,7 @@ object DedupQueries {
       trainCut: Int, valCut: Int): DataFrame = {
     require(0 < trainCut && trainCut < valCut && valCut < 1000,
       s"degenerate split cuts ($trainCut, $valCut)")
-    graft.operators.ConnectedComponents
-      .components(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d))
+    ccLabels(s, d)
       .withColumn("bucket", CurationQueries.hashBucket(col("cluster_id")))
       .withColumn("split",
         when(col("bucket") < trainCut, "train")
@@ -1368,8 +1392,7 @@ object DedupQueries {
       hiNum: Int, midNum: Int): DataFrame = {
     require(hiNum > midNum && midNum > 0, s"degenerate quality bands: $hiNum/$midNum")
     val docs = Tables.documents(s, d)
-    val lab = graft.operators.ConnectedComponents
-      .components(docs.select("doc_id"), nearDupPairs(s, d))
+    val lab = ccLabels(s, d)
     val sz = lab.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
     val q = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"),

@@ -81,4 +81,28 @@ object SharedIndex {
     }
     spark.read.parquet(path)
   }
+
+  /** Generic once-per-(JVM, sf-dir) materialized artifact: `build` is
+    * evaluated and persisted as parquet on the first call for a given
+    * (dir, tag), and every later call — across queries — is a plain
+    * columnar scan. The same production shape as the postings index
+    * above: a labeling or index that an entire job family consumes is
+    * an artifact you compute once, not a plan fragment each query
+    * re-derives. Used for the near-dup CC labeling (nine queries
+    * consume one clustering); Bench builds it explicitly as its own
+    * `cc_build` metric line so per-query numbers are warm-artifact.
+    */
+  def materialized(spark: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString + "#" + tag
+    val path = builtPaths.synchronized {
+      builtPaths.getOrElseUpdate(key, {
+        val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = root.resolve(safe).toString
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    spark.read.parquet(path)
+  }
 }
