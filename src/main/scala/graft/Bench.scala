@@ -84,34 +84,29 @@ object Bench {
     } catch { case e: Throwable =>
       failures ::= s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}"
     }
-    // The shared shingle index is built once per (JVM, sf-dir) and
-    // amortized across the whole dedup family (SharedIndex). Pay it
-    // HERE, as its own metric line, so (a) every per-query number below
-    // is a warm-index measurement, and (b) the one-time build cost is
-    // reported instead of landing in — and being min()'d out of — the
-    // first dedup query's first sample.
-    val ib0 = System.nanoTime()
-    val indexOk =
-      try { llm.SharedIndex.sidPostings(spark, sfDir).count(); true }
+    // Every shared once-per-(JVM, sf-dir) artifact is built HERE, each
+    // as its own metric line: the shingle postings (dedup family), the
+    // near-dup CC labeling (nine consumers), and the two kNN edge-set
+    // configs (seven consumers). Per-query numbers below are therefore
+    // warm-artifact, and each one-time cost is reported instead of
+    // landing in — and being min()'d out of — the first consumer's
+    // first sample. On failure the elapsed time is time-to-exception —
+    // meaningless as a build cost — so the line is EXCLUDED from
+    // queries/total (the failure is named in `errors` and the run
+    // marked invalid).
+    val artifactBuilders: Seq[(String, () => Unit)] = Seq(
+      "index_build" -> (() => { llm.SharedIndex.sidPostings(spark, sfDir).count(); () }),
+      "cc_build" -> (() => { llm.DedupQueries.ccLabels(spark, sfDir).count(); () }),
+      "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
+      "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }))
+    val builds: Map[String, Double] = artifactBuilders.flatMap { case (name, build) =>
+      val t0 = System.nanoTime()
+      try { build(); Some(name -> (System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
-        failures ::= s"index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
-        false
+        failures ::= s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        None
       }
-    // On failure the elapsed time is time-to-exception — meaningless as
-    // a build cost — so it is EXCLUDED from queries/total (the failure
-    // is already named in `errors` and the line marked invalid).
-    val indexBuild = if (indexOk) (System.nanoTime() - ib0) / 1e9 else -1.0
-    // The shared near-dup CC labeling (nine consumers) is the second
-    // per-(JVM, sf-dir) artifact: built here as its own metric line,
-    // same rationale as index_build above.
-    val cb0 = System.nanoTime()
-    val ccOk =
-      try { llm.DedupQueries.ccLabels(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        failures ::= s"cc_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
-        false
-      }
-    val ccBuild = if (ccOk) (System.nanoTime() - cb0) / 1e9 else -1.0
+    }.toMap
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
     // so a single sample is mostly noise. The first run also pays
@@ -170,9 +165,6 @@ object Bench {
     failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
     val ok = results.collect { case (n, (secs, _)) if secs >= 0 => n -> secs }
     val loadEnd = loadAvg()
-    val builds = Seq("index_build" -> (indexOk, indexBuild),
-      "cc_build" -> (ccOk, ccBuild))
-      .collect { case (k, (true, v)) => k -> v }.toMap
     val qs = (ok ++ builds)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -862,30 +862,40 @@ object SimilarityQueries {
     * bounds the materialized intermediate at ≤ N·k narrow rows even
     * for single-consumer callers (density).
     */
-  private def knnEdgesDf(s: org.apache.spark.sql.SparkSession, d: String,
-      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val bkt = bandedBuckets(e, bands, r)
-    // distinct BEFORE scoring: a pair sharing several bands must be
-    // scored once, and the dedup key (vec_a, vec_b) is narrow
-    val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-      .join(bkt.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
-          col("bucket").as("bucket_b")),
-        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("vec_a") =!= col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
-    cand.join(a, "vec_a").join(b, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
-      .where(col("rn") <= k).drop("rn")
-      .localCheckpoint(eager = false)
-  }
+  /** The directed kNN edge set `(vec_a, vec_b, sim)` as a shared
+    * materialized artifact ([[SharedIndex.materialized]], keyed by
+    * (sf-dir, bands, r, k)). SEVEN queries per config family consume
+    * the same edges (graph ×2, density, diverse ×2, triangles ×2) —
+    * an ANN index is an artifact a production pipeline builds once
+    * and probes everywhere, not a plan fragment re-derived per query.
+    * The edge set is ≤ N·k rows (narrow), so the parquet is small;
+    * Bench builds both configs explicitly as `knn_build_*` metric
+    * lines so per-query numbers are warm-artifact.
+    */
+  private[graft] def knnEdgesDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame =
+    SharedIndex.materialized(s, d, s"knn_edges_b${bands}_r${r}_k$k") {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+      val bkt = bandedBuckets(e, bands, r)
+      // distinct BEFORE scoring: a pair sharing several bands must be
+      // scored once, and the dedup key (vec_a, vec_b) is narrow
+      val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+        .join(bkt.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+            col("bucket").as("bucket_b")),
+          col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+            col("vec_a") =!= col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+      cand.join(a, "vec_a").join(b, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
+        .where(col("rn") <= k).drop("rn")
+    }
 
   /** The q/dots/bkt/cand/edges oracle CTE chain at a given config —
     * one builder for the whole kNN family, mirroring knnEdgesDf.
