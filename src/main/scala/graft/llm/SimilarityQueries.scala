@@ -1039,24 +1039,33 @@ object SimilarityQueries {
        |       CAST(CASE WHEN v = component_id THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM lab""".stripMargin
 
+  /** The mutual-kNN component labeling `(vec_id, component_id)` as a
+    * shared materialized artifact per (sf-dir, bands, r, k) —
+    * consumed by the diversity sample and the label-purity audit.
+    * Alternating large-star/small-star, not min-label: the mutual-kNN
+    * graph's giant component has diameter ~15 at 10× scale (16
+    * min-label rounds measured), while star contraction converges in
+    * O(log d) rounds — fewer Spark jobs, same min-id labeling (the
+    * two algorithms hash-match the same oracle on x_dedup_clusters
+    * vs _lss).
+    */
+  private[graft] def knnCompLabels(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame =
+    SharedIndex.materialized(s, d, s"knn_comp_b${bands}_r${r}_k$k") {
+      val mutual = knnGraphDf(s, d, bands, r, k)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val verts = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+      graft.operators.ConnectedComponents.componentsAlternating(verts, mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("component_id"))
+    }
+
   private def knnDiverseDf(s: org.apache.spark.sql.SparkSession, d: String,
-      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val mutual = knnGraphDf(s, d, bands, r, k)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val verts = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
-    // alternating large-star/small-star, not min-label: the mutual-kNN
-    // graph's giant component has diameter ~15 at 10× scale (16
-    // min-label rounds measured), while star contraction converges in
-    // O(log d) rounds — fewer Spark jobs, same min-id labeling (the
-    // two algorithms hash-match the same oracle on x_dedup_clusters
-    // vs _lss)
-    graft.operators.ConnectedComponents.componentsAlternating(verts, mutual)
-      .select(col("doc_id").as("vec_id"), col("cluster_id").as("component_id"))
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame =
+    knnCompLabels(s, d, bands, r, k)
       .withColumn("comp_size",
         count(lit(1)).over(Window.partitionBy("component_id")).cast("long"))
       .withColumn("kept",
         when(col("vec_id") === col("component_id"), 1L).otherwise(0L))
-  }
 
   val knnDiverse: QueryDef = QueryDef.sql(
     "x_knn_diverse", knnDiverseSql(bands = 4, r = 8, k = 5)) { (s, d) =>
@@ -1539,6 +1548,78 @@ object SimilarityQueries {
     centroidDriftDf(s, d, bySource = false)
   }
 
+  /** Label purity of the mutual-kNN components: per component, its
+    * size, the majority embedding label (ties broken to the smallest
+    * label — a total order), the majority count, and the EXACT
+    * quantized purity (10⁶·n_majority div comp_size). High purity
+    * validates both the labels and the embedding space (semantic
+    * neighbors share labels); a large low-purity component is either
+    * label noise or an embedding-collapse region — the audit a
+    * labeled fine-tuning set runs before trusting either signal.
+    *
+    * Scale shape: the component labeling is the shared materialized
+    * artifact; purity is one groupBy((component, label)) + a rank-1
+    * window per component (WindowGroupLimit) + one size join —
+    * everything bounded by the vector count.
+    */
+  private def knnPuritySql(bands: Int, r: Int, k: Int): String =
+    s"""WITH RECURSIVE ${knnEdgeCtes(bands, r, k)},
+       |mut AS (
+       |  SELECT e1.vec_a AS a, e1.vec_b AS b
+       |  FROM edges e1 JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+       |  WHERE e1.vec_a < e1.vec_b),
+       |und AS (SELECT a, b FROM mut UNION ALL SELECT b, a FROM mut),
+       |reach(v, rr) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT reach.v, u.b FROM reach JOIN und u ON reach.rr = u.a),
+       |lab AS (SELECT v, CAST(min(rr) AS BIGINT) AS component_id FROM reach GROUP BY v),
+       |jl AS (
+       |  SELECT l.component_id, e.label
+       |  FROM lab l JOIN embeddings e ON e.vec_id = l.v),
+       |lc AS (
+       |  SELECT component_id, label, CAST(count(*) AS BIGINT) AS n
+       |  FROM jl GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT component_id, label AS majority_label, n AS n_majority
+       |  FROM lc
+       |  QUALIFY row_number() OVER (PARTITION BY component_id
+       |    ORDER BY n DESC, label) = 1),
+       |sz AS (SELECT component_id, CAST(sum(n) AS BIGINT) AS comp_size FROM lc GROUP BY 1)
+       |SELECT s2.component_id, s2.comp_size, mj.majority_label, mj.n_majority,
+       |       CAST(mj.n_majority * 1000000 // s2.comp_size AS BIGINT) AS purity_q
+       |FROM sz s2 JOIN mj ON s2.component_id = mj.component_id""".stripMargin
+
+  private def knnPurityDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val lab = knnCompLabels(s, d, bands, r, k)
+      .join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+    val lc = lab.groupBy("component_id", "label").agg(count(lit(1)).as("n"))
+    val mj = lc.withColumn("rn", row_number().over(
+        Window.partitionBy("component_id").orderBy(col("n").desc, col("label"))))
+      .where(col("rn") === 1)
+      .select(col("component_id"), col("label").as("majority_label"),
+        col("n").as("n_majority"))
+    val sz = lc.groupBy("component_id").agg(sum("n").as("comp_size"))
+    sz.join(mj, "component_id")
+      .select(col("component_id"), col("comp_size"), col("majority_label"),
+        col("n_majority"),
+        expr("n_majority * 1000000 div comp_size").as("purity_q"))
+  }
+
+  val knnPurity: QueryDef = QueryDef.sql(
+    "x_knn_purity", knnPuritySql(bands = 4, r = 8, k = 5)) { (s, d) =>
+    knnPurityDf(s, d, bands = 4, r = 8, k = 5)
+  }
+
+  /** The 6-band graph — coarser components, lower purity; pins the
+    * band knob through labeling and the purity math.
+    */
+  val knnPurityB6: QueryDef = QueryDef.sql(
+    "x_knn_purity_b6", knnPuritySql(bands = 6, r = 8, k = 5)) { (s, d) =>
+    knnPurityDf(s, d, bands = 6, r = 8, k = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
@@ -1547,5 +1628,5 @@ object SimilarityQueries {
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
       semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
       knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0,
-      centroidDrift, centroidDriftLbl)
+      centroidDrift, centroidDriftLbl, knnPurity, knnPurityB6)
 }

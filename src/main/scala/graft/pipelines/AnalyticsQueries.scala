@@ -400,8 +400,112 @@ object AnalyticsQueries {
     transitionMatrixDf(s, d, gapMs = 600000L)
   }
 
+  /** Session conversion funnel: how many sessions contain the step
+    * sequence AS AN ORDERED SUBSEQUENCE (step i+1 strictly after the
+    * first completion of step i, within one session) — the funnel an
+    * engagement or agentic-episode analysis reads. Distinct from the
+    * transition matrix: the funnel requires ORDER across arbitrary
+    * gaps inside the session, not adjacency. `share_q` is the exact
+    * quantized conversion vs all sessions.
+    *
+    * Scale shape: one session-keyed min-aggregate per step, each
+    * chained by a (user, session) equi-join to the previous step's
+    * first-completion time — |steps| passes over the session-indexed
+    * events, every join on the session key, output |steps| rows.
+    */
+  private def sessionFunnelSql(gapMs: Long, steps: Seq[String]): String = {
+    val gCtes =
+      s"""g AS (
+         |  SELECT user_id, ts, event_type,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR date_diff('millisecond', lag(ts) OVER w, ts) > $gapMs
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sx AS (
+         |  SELECT user_id, ts, event_type,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM g)""".stripMargin
+    val stepCtes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, session_idx, min(ts) AS t1 FROM sx
+           |  WHERE event_type = '$st' GROUP BY 1, 2)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT sx.user_id, sx.session_idx, min(sx.ts) AS t${i + 1}
+           |  FROM sx JOIN s$i ON sx.user_id = s$i.user_id AND sx.session_idx = s$i.session_idx
+           |  WHERE sx.event_type = '$st' AND sx.ts > s$i.t$i
+           |  GROUP BY 1, 2)""".stripMargin
+    }
+    val unions = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS step, '$st' AS step_type, CAST((SELECT count(*) FROM s${i + 1}) AS BIGINT) AS n_sessions"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $gCtes,
+       |${stepCtes.mkString(",\n")},
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM
+       |    (SELECT DISTINCT user_id, session_idx FROM sx)),
+       |f AS (
+       |  $unions)
+       |SELECT f.step, f.step_type, f.n_sessions,
+       |       CAST(f.n_sessions * 1000000 // tot.n AS BIGINT) AS share_q
+       |FROM f CROSS JOIN tot""".stripMargin
+  }
+
+  private def sessionFunnelDf(s: SparkSession, d: String, gapMs: Long,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "empty funnel")
+    val sx = graft.streaming.Sessionize.sessionIndexed(Tables.events(s, d), gapMs)
+      .select("user_id", "session_idx", "ts", "event_type")
+    val keys = Seq("user_id", "session_idx")
+    // chain of first-completion frames: step i+1's candidates are the
+    // step-(i+1)-typed events of sessions that completed step i,
+    // strictly after that completion
+    val firsts = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (st, i)) =>
+        val cand = sx.where(col("event_type") === st)
+        val scoped = acc.headOption match {
+          case None => cand
+          case Some(prev) =>
+            cand.join(prev.select(col("user_id"), col("session_idx"),
+                col("t").as("t_prev")), keys)
+              .where(col("ts") > col("t_prev"))
+        }
+        scoped.groupBy(keys.map(col): _*).agg(min("ts").as("t")) :: acc
+    }.reverse
+    // fully distributed: per-step 1-row counts unioned, then the
+    // 1-row total-session scalar broadcast for the share (the
+    // x_approx_profile scalar-cross-join pattern)
+    val stepCounts = steps.zip(firsts).zipWithIndex.map { case ((st, f), i) =>
+      f.agg(count(lit(1)).as("n_sessions"))
+        .select(lit(i + 1).as("step"), lit(st).as("step_type"), col("n_sessions"))
+    }.reduce(_ unionAll _)
+    val tot = sx.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    stepCounts.crossJoin(broadcast(tot))
+      .select(col("step"), col("step_type"), col("n_sessions"),
+        expr("n_sessions * 1000000 div n_total").as("share_q"))
+  }
+
+  val sessionFunnel: QueryDef = QueryDef.sql(
+    "x_session_funnel",
+    sessionFunnelSql(gapMs = 1800000L, Seq("view", "click", "purchase"))) { (s, d) =>
+    sessionFunnelDf(s, d, gapMs = 1800000L, Seq("view", "click", "purchase"))
+  }
+
+  /** A different step sequence at the tighter gap — pins both the
+    * sequence and the gap as real parameters of the funnel.
+    */
+  val sessionFunnelS2: QueryDef = QueryDef.sql(
+    "x_session_funnel_s2",
+    sessionFunnelSql(gapMs = 600000L, Seq("signup", "purchase"))) { (s, d) =>
+    sessionFunnelDf(s, d, gapMs = 600000L, Seq("signup", "purchase"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
-      transitionMatrix, transitionMatrixG10)
+      transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2)
 }

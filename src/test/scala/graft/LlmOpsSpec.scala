@@ -794,6 +794,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(strict("raw") == f("raw"))
   }
 
+  test("session funnel: strictly ordered steps can only lose sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = pipelines.AnalyticsQueries.sessionFunnel.run(spark, dir)
+      .select("step", "n_sessions", "share_q").as[(Int, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // each later step requires the earlier one completed first
+    rows.sliding(2).foreach { case Array((_, n1, _), (_, n2, _)) =>
+      assert(n2 <= n1, s"funnel grew: $n1 -> $n2")
+    }
+    // share is the exact quantized fraction of ALL sessions
+    val tot = pipelines.AnalyticsQueries.sessionize.run(spark, dir).count()
+    rows.foreach { case (_, n, sq) => assert(sq == n * 1000000L / tot) }
+  }
+
+  test("knn purity: components partition the vectors; purity exact and bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.SimilarityQueries.knnPurity.run(spark, dir)
+      .select("comp_size", "n_majority", "purity_q").as[(Long, Long, Long)].collect()
+    assert(rows.map(_._1).sum == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    rows.foreach { case (sz, maj, pq) =>
+      assert(maj >= 1 && maj <= sz)
+      assert(pq == maj * 1000000L / sz)
+      assert(pq > 0 && pq <= 1000000L)
+    }
+  }
+
   test("knn triangles: coefficients bounded, per-node counts sum to 3x the triangle set") {
     val dir = "/root/testdata/sf0.001"
     val rows = llm.SimilarityQueries.knnTriangles.run(spark, dir)

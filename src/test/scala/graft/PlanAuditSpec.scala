@@ -71,7 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "x_shingle_growth", "x_shingle_growth_b20",
     // x_pack_audit(_b4000): inherits x_token_pack's triangular
     // offsets join through the shared packCumSum prefix sum
-    "x_pack_audit", "x_pack_audit_b4000")
+    "x_pack_audit", "x_pack_audit_b4000",
+    // x_session_funnel(_s2): 1-row total-sessions scalar broadcast
+    // for the share column (the x_approx_profile scalar pattern)
+    "x_session_funnel", "x_session_funnel_s2")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
