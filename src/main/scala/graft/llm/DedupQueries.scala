@@ -1506,6 +1506,108 @@ object DedupQueries {
     lexsemAgreementDf(s, d, perms = 16, bands = 8)
   }
 
+  /** Source-level MinHash sketch similarity: each SOURCE gets one
+    * `perms`-component MinHash signature over the union of its
+    * documents' distinct shingles — MinHash as a mergeable SET SKETCH
+    * aggregate, not a per-doc LSH key — and every source pair reports
+    * its component agreement `m_agree`, the sketch's Jaccard estimate
+    * `est_j_q = 10⁶·m div perms`, and the EXACT shingle Jaccard
+    * `j_q` computed from the postings, so the output is its own
+    * calibration table. This is the corpus-acquisition dashboard
+    * number: two crawls with high source-level Jaccard are buying the
+    * same content twice, and at 100 TB the sketch column is what you
+    * keep per source so NEW source candidates compare against the
+    * fleet in O(perms) without touching the postings at all.
+    *
+    * Scale shape: the signature is a source-keyed min-aggregate over
+    * the source-distinct postings (vocabulary-bounded after the
+    * DISTINCT); the exact intersection is a sid equi-join over those
+    * same source-distinct postings (fan-out ≤ |sources| per sid, never
+    * doc×doc); the pair matrix itself is |sources|² — bounded by the
+    * catalog of sources, not the corpus — so its inequality join is a
+    * broadcast over sketch rows, whitelisted like the other bounded
+    * matrices.
+    */
+  private def sourceSketchDf(s: org.apache.spark.sql.SparkSession, d: String,
+      perms: Int): DataFrame = {
+    require(perms <= A.size, s"perm pool exhausted: $perms")
+    val sp = SharedIndex.sidPostings(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .select("source", "sid").distinct()
+    val ab = A.zip(B).take(perms)
+    val sidr = col("sid") % P
+    val sig = sp.groupBy("source").agg(
+      min((sidr * ab.head._1 + ab.head._2) % P).as("h0"),
+      ab.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((sidr * a + b) % P).as(s"h$i")
+      }: _*)
+    val n = sp.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val inter = sp.join(sp.select(col("source").as("source_b"), col("sid")), Seq("sid"))
+      .where(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val agree = (0 until perms).map(i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val pairs = sig.as("a")
+      .join(broadcast(sig.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        agree.as("m_agree"))
+    pairs
+      .join(n.select(col("source").as("source_a"), col("n_sh").as("n_a")), "source_a")
+      .join(n.select(col("source").as("source_b"), col("n_sh").as("n_b")), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("m_agree"),
+        expr(s"m_agree * 1000000 div $perms").as("est_j_q"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        expr("coalesce(n_inter, 0) * 1000000 div (n_a + n_b - coalesce(n_inter, 0))")
+          .as("j_q"))
+  }
+
+  private def sourceSketchSql(perms: Int): String =
+    s"""WITH $sidPostingsSql,
+       |sp AS (
+       |  SELECT DISTINCT d.source, p.sid
+       |  FROM post p JOIN documents d ON d.doc_id = p.doc_id),
+       |sig AS (
+       |  SELECT source,
+       |${minhashSigSqlCols(perms, "        ")}
+       |  FROM sp GROUP BY source),
+       |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sp GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM sp a JOIN sp b ON a.sid = b.sid AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(${(0 until perms).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS m_agree
+       |  FROM sig a JOIN sig b ON a.source < b.source)
+       |SELECT p.source_a, p.source_b, p.m_agree,
+       |       CAST(p.m_agree * 1000000 // $perms AS BIGINT) AS est_j_q,
+       |       na.n_sh AS n_a, nb.n_sh AS n_b,
+       |       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |       CAST(coalesce(i.n_inter, 0) * 1000000 //
+       |            (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)) AS BIGINT) AS j_q
+       |FROM pairs p
+       |JOIN n na ON na.source = p.source_a
+       |JOIN n nb ON nb.source = p.source_b
+       |LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b""".stripMargin
+
+  val sourceSketch: QueryDef = QueryDef.sql(
+    "x_source_sketch_sim", sourceSketchSql(perms = 8)) { (s, d) =>
+    sourceSketchDf(s, d, perms = 8)
+  }
+
+  /** The 16-component sketch — half the estimator variance at twice
+    * the sketch width; the exact j_q column is identical across
+    * configs, which the spec pins (only the estimate moves).
+    */
+  val sourceSketchP16: QueryDef = QueryDef.sql(
+    "x_source_sketch_sim_p16", sourceSketchSql(perms = 16)) { (s, d) =>
+    sourceSketchDf(s, d, perms = 16)
+  }
+
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
@@ -1515,5 +1617,5 @@ object DedupQueries {
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
       splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
       minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8,
-      lexsemAgreement, lexsemAgreementP16)
+      lexsemAgreement, lexsemAgreementP16, sourceSketch, sourceSketchP16)
 }

@@ -1607,6 +1607,101 @@ object SimilarityQueries {
         expr("n_majority * 1000000 div comp_size").as("purity_q"))
   }
 
+  /** Pairwise group-centroid cosine matrix — the semantic sibling of
+    * the lexical cross-source passage matrix: for every pair of
+    * groups (sources via the vec_id = doc_id identity, or embedding
+    * labels), the cosine between their exact integer component-SUM
+    * vectors (sums, not means — cosine is scale-invariant, so no
+    * division touches the integers; the final cosine is one double
+    * over exact BIGINTs, the established qcos pattern shared with
+    * x_centroid_drift). Two sources with near-1 centroid cosine are
+    * semantically redundant even when they share no literal passage —
+    * the matrix a mixture-weight tuner reads NEXT TO the lexical
+    * overlap matrix to tell recycled text from same-topic text.
+    *
+    * Scale shape: one groupBy((grp, dim)) Lloyd-class aggregate
+    * (|groups|·64 rows), then the pair dots are an equi-join on the
+    * dimension index — fan-out |groups| per dim, output
+    * |groups|²·64 → |groups|² — bounded by the source catalog, never
+    * by vectors. Norms and sizes ride on ≤|groups|-row broadcasts.
+    */
+  private def semanticSimSql(bySource: Boolean): String = {
+    val keyed =
+      if (bySource)
+        """keyed AS (
+          |  SELECT d.source AS grp, c.vec_id, c.i, c.x
+          |  FROM comp c JOIN documents d ON d.doc_id = c.vec_id)""".stripMargin
+      else
+        """keyed AS (
+          |  SELECT e.label AS grp, c.vec_id, c.i, c.x
+          |  FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |comp AS (
+       |  SELECT vec_id, i, qe[i] AS x
+       |  FROM (SELECT vec_id, qe, generate_subscripts(qe, 1) AS i FROM q)),
+       |$keyed,
+       |ks AS (SELECT grp, i, CAST(sum(x) AS BIGINT) AS sx FROM keyed GROUP BY grp, i),
+       |kn AS (SELECT grp, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs FROM keyed GROUP BY grp),
+       |n2 AS (SELECT grp, CAST(sum(sx * sx) AS BIGINT) AS n2 FROM ks GROUP BY grp),
+       |dots AS (
+       |  SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(sum(a.sx * b.sx) AS BIGINT) AS dot
+       |  FROM ks a JOIN ks b ON a.i = b.i AND a.grp < b.grp GROUP BY 1, 2)
+       |SELECT d.grp_a, d.grp_b, ka.n_vecs AS n_a, kb.n_vecs AS n_b,
+       |       CAST(d.dot AS DOUBLE) /
+       |         (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+       |FROM dots d
+       |JOIN n2 na ON na.grp = d.grp_a JOIN n2 nb ON nb.grp = d.grp_b
+       |JOIN kn ka ON ka.grp = d.grp_a JOIN kn kb ON kb.grp = d.grp_b""".stripMargin
+  }
+
+  private def semanticSimDf(s: org.apache.spark.sql.SparkSession, d: String,
+      bySource: Boolean): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+    val comp = e.select(col("vec_id"), col("label"),
+      posexplode(col("qe")).as(Seq("i", "x")))
+    val keyed =
+      if (bySource)
+        comp.join(Tables.documents(s, d).select(col("doc_id"), col("source").as("grp")),
+          comp("vec_id") === col("doc_id"))
+          .select(col("grp"), col("vec_id"), col("i"), col("x"))
+      else
+        comp.select(col("label").as("grp"), col("vec_id"), col("i"), col("x"))
+    val ks = keyed.groupBy("grp", "i").agg(sum("x").as("sx"))
+    val kn = keyed.groupBy("grp").agg(countDistinct("vec_id").as("n_vecs"))
+    val n2 = ks.groupBy("grp").agg(sum(col("sx") * col("sx")).as("n2"))
+    val dots = ks.select(col("grp").as("grp_a"), col("i"), col("sx").as("sxa"))
+      .join(ks.select(col("grp").as("grp_b"), col("i"), col("sx").as("sxb")), Seq("i"))
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(sum(col("sxa") * col("sxb")).as("dot"))
+    dots
+      .join(broadcast(n2.select(col("grp").as("grp_a"), col("n2").as("n2a"))), "grp_a")
+      .join(broadcast(n2.select(col("grp").as("grp_b"), col("n2").as("n2b"))), "grp_b")
+      .join(broadcast(kn.select(col("grp").as("grp_a"), col("n_vecs").as("n_a"))), "grp_a")
+      .join(broadcast(kn.select(col("grp").as("grp_b"), col("n_vecs").as("n_b"))), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("cos_sim"))
+  }
+
+  val semanticSim: QueryDef = QueryDef.sql(
+    "x_source_semantic_sim", semanticSimSql(bySource = true)) { (s, d) =>
+    semanticSimDf(s, d, bySource = true)
+  }
+
+  /** Label-pair centroid cosine — the label-space confusion structure
+    * (two labels with near-1 centroid cosine are candidates for
+    * merging or for targeted hard-negative mining); covers the
+    * no-join grouping path.
+    */
+  val semanticSimLbl: QueryDef = QueryDef.sql(
+    "x_source_semantic_sim_lbl", semanticSimSql(bySource = false)) { (s, d) =>
+    semanticSimDf(s, d, bySource = false)
+  }
+
   val knnPurity: QueryDef = QueryDef.sql(
     "x_knn_purity", knnPuritySql(bands = 4, r = 8, k = 5)) { (s, d) =>
     knnPurityDf(s, d, bands = 4, r = 8, k = 5)
@@ -1628,5 +1723,6 @@ object SimilarityQueries {
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
       semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
       knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0,
-      centroidDrift, centroidDriftLbl, knnPurity, knnPurityB6)
+      centroidDrift, centroidDriftLbl, knnPurity, knnPurityB6,
+      semanticSim, semanticSimLbl)
 }

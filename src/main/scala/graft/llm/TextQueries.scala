@@ -961,11 +961,75 @@ object TextQueries {
     ngramNoveltyOf(Tables.documents(s, d), k = 5)
   }
 
+  /** Per-document token-rarity profile: each token occurrence is
+    * banded by its CORPUS collection frequency (hapax cf = 1, rare
+    * cf ≤ rareMax, mid cf ≤ midMax, common above), and the document
+    * reports its occupancy of each band plus the exact quantized
+    * rare-mass fraction (hapax + rare over all occurrences). This is
+    * the frequency-profile quality signal of the CCNet family: a doc
+    * dominated by hapax/rare tokens is gibberish, OCR noise, or a
+    * vocabulary outlier; one with almost no rare mass is boilerplate —
+    * both tails are what a rarity-aware filter trims, and unlike an
+    * LM-perplexity score the evidence here is exact integers, so the
+    * same doc scores identically on any engine at any parallelism.
+    *
+    * Scale shape: one token-keyed groupBy for the corpus cf table
+    * (vocabulary-bounded — Heaps-law sublinear in corpus size), one
+    * token-keyed equi-join of occurrences against it, one doc-keyed
+    * conditional-count aggregate. No window, no pairs; every shuffle
+    * key is the token or the doc id.
+    */
+  private def rarityProfileOf(docs: org.apache.spark.sql.DataFrame, rareMax: Long,
+      midMax: Long): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    toks.join(cf, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("cf") > 1L && col("cf") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("cf") > rareMax && col("cf") <= midMax, 1L).otherwise(0L)).as("n_mid"),
+        sum(when(col("cf") > midMax, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_tok"), col("n_hapax"), col("n_rare"),
+        col("n_mid"), col("n_common"),
+        expr("(n_hapax + n_rare) * 1000000 div n_tok").as("rare_frac_q"))
+  }
+
+  private def rarityProfileSql(rareMax: Long, midMax: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY tok),
+       |p AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |         CAST(sum(CASE WHEN c.cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |         CAST(sum(CASE WHEN c.cf > 1 AND c.cf <= $rareMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |         CAST(sum(CASE WHEN c.cf > $rareMax AND c.cf <= $midMax THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       |         CAST(sum(CASE WHEN c.cf > $midMax THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM toks t JOIN cf c ON c.tok = t.tok GROUP BY 1)
+       |SELECT doc_id, n_tok, n_hapax, n_rare, n_mid, n_common,
+       |       CAST((n_hapax + n_rare) * 1000000 // n_tok AS BIGINT) AS rare_frac_q
+       |FROM p""".stripMargin
+
+  val rarityProfile: QueryDef = QueryDef.sql(
+    "x_rarity_profile", rarityProfileSql(rareMax = 8L, midMax = 64L)) { (s, d) =>
+    rarityProfileOf(Tables.documents(s, d), rareMax = 8L, midMax = 64L)
+  }
+
+  /** Tighter band edges (rare ≤ 4, mid ≤ 32): more mass lands in the
+    * common band, so this is the config that treats only the extreme
+    * tail as rare — pins both thresholds as real parameters.
+    */
+  val rarityProfileT4: QueryDef = QueryDef.sql(
+    "x_rarity_profile_t4", rarityProfileSql(rareMax = 4L, midMax = 32L)) { (s, d) =>
+    rarityProfileOf(Tables.documents(s, d), rareMax = 4L, midMax = 32L)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
       vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25,
-      ngramNovelty, ngramNoveltyK5)
+      ngramNovelty, ngramNoveltyK5, rarityProfile, rarityProfileT4)
 }

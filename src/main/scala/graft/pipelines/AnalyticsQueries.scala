@@ -504,8 +504,77 @@ object AnalyticsQueries {
     sessionFunnelDf(s, d, gapMs = 600000L, Seq("signup", "purchase"))
   }
 
+  /** Cohort retention matrix over the event stream: users are
+    * cohorted by the period (day or week) of their FIRST event, and
+    * each (cohort, period-offset) cell counts the cohort's users
+    * active in that period, with the exact quantized retention vs the
+    * cohort's size. The standard engagement-decay read — and for an
+    * agentic/assistant event stream, the "do users come back"
+    * number — whose cells also feed churn-adjusted data-volume
+    * forecasts for the training pipeline.
+    *
+    * Scale shape: first-seen is one user-keyed min-aggregate; the
+    * active set is a (user, period) DISTINCT; the two meet on a
+    * user-keyed equi-join (both sides already user-partitioned).
+    * Cell count is |periods|² and cohort sizes are ≤ |periods| rows —
+    * broadcast. Nothing scales beyond |users| + |events|.
+    */
+  private def retentionSql(grain: String, divDays: Int): String =
+    s"""WITH fs AS (
+       |  SELECT user_id, CAST(date_trunc('$grain', min(ts)) AS DATE) AS cohort_start
+       |  FROM events GROUP BY 1),
+       |aw AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('$grain', ts) AS DATE) AS p
+       |  FROM events),
+       |j AS (
+       |  SELECT fs.cohort_start,
+       |         CAST(date_diff('day', fs.cohort_start, aw.p) // $divDays AS BIGINT) AS period_offset
+       |  FROM aw JOIN fs ON aw.user_id = fs.user_id),
+       |act AS (
+       |  SELECT cohort_start, period_offset, CAST(count(*) AS BIGINT) AS n_active
+       |  FROM j GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT cohort_start, CAST(count(*) AS BIGINT) AS cohort_size
+       |  FROM fs GROUP BY 1)
+       |SELECT act.cohort_start, act.period_offset, act.n_active, cs.cohort_size,
+       |       CAST(act.n_active * 1000000 // cs.cohort_size AS BIGINT) AS retention_q
+       |FROM act JOIN cs ON act.cohort_start = cs.cohort_start""".stripMargin
+
+  private def retentionDf(s: SparkSession, d: String, grain: String,
+      divDays: Int): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val fs = ev.groupBy("user_id")
+      .agg(to_date(date_trunc(grain, min("ts"))).as("cohort_start"))
+    val aw = ev.select(col("user_id"), to_date(date_trunc(grain, col("ts"))).as("p"))
+      .distinct()
+    val act = aw.join(fs, "user_id")
+      .select(col("cohort_start"),
+        expr(s"CAST(datediff(p, cohort_start) DIV $divDays AS BIGINT)").as("period_offset"))
+      .groupBy("cohort_start", "period_offset").agg(count(lit(1)).as("n_active"))
+    val cs = fs.groupBy("cohort_start").agg(count(lit(1)).as("cohort_size"))
+    act.join(broadcast(cs), "cohort_start")
+      .select(col("cohort_start"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_q"))
+  }
+
+  val retention: QueryDef = QueryDef.sql(
+    "x_retention_cohorts", retentionSql(grain = "day", divDays = 1)) { (s, d) =>
+    retentionDf(s, d, grain = "day", divDays = 1)
+  }
+
+  /** Weekly grain — coarser cohorts and offsets (date_trunc('week')
+    * is ISO-Monday in both engines; offsets divide exactly since both
+    * endpoints are week starts). Pins the grain as a real parameter.
+    */
+  val retentionW: QueryDef = QueryDef.sql(
+    "x_retention_cohorts_w", retentionSql(grain = "week", divDays = 7)) { (s, d) =>
+    retentionDf(s, d, grain = "week", divDays = 7)
+  }
+
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
-      transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2)
+      transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2,
+      retention, retentionW)
 }

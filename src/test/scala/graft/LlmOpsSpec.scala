@@ -794,6 +794,88 @@ class LlmOpsSpec extends SparkSpec {
     assert(strict("raw") == f("raw"))
   }
 
+  test("retention cohorts: offset 0 is full, cells never exceed cohort, sizes sum to users") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = pipelines.AnalyticsQueries.retention.run(spark, dir)
+      .select(col("cohort_start").cast("string"), col("period_offset"),
+        col("n_active"), col("cohort_size"), col("retention_q"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    // every user is active in their own first period
+    rows.filter(_._2 == 0L).foreach { case (_, _, n, cs, rq) =>
+      assert(n == cs); assert(rq == 1000000L)
+    }
+    rows.foreach { case (_, off, n, cs, rq) =>
+      assert(off >= 0L && n >= 1L && n <= cs)
+      assert(rq == n * 1000000L / cs)
+    }
+    // cohort sizes partition the user base
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum == users)
+    // weekly cells aggregate daily ones: distinct users can only merge
+    val wk = pipelines.AnalyticsQueries.retentionW.run(spark, dir)
+    assert(wk.count() <= rows.length)
+  }
+
+  test("source sketch: full pair matrix, exact jaccard invariant across sketch widths") {
+    val dir = "/root/testdata/sf0.001"
+    def grab(q: QueryDef) = q.run(spark, dir)
+      .select("source_a", "source_b", "m_agree", "n_a", "n_b", "n_inter", "j_q")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    val p8 = grab(llm.DedupQueries.sourceSketch)
+    val p16 = grab(llm.DedupQueries.sourceSketchP16)
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(p8.length == sources * (sources - 1) / 2)
+    p8.foreach { case (a, b, m, na, nb, ni, jq) =>
+      assert(a < b && m >= 0L && m <= 8L)
+      assert(ni <= math.min(na, nb))
+      assert(jq == ni * 1000000L / (na + nb - ni))
+    }
+    p16.foreach { case (_, _, m, _, _, _, _) => assert(m >= 0L && m <= 16L) }
+    // the exact columns are sketch-width independent
+    val ex8 = p8.map(r => (r._1, r._2) -> ((r._4, r._5, r._6, r._7))).toMap
+    val ex16 = p16.map(r => (r._1, r._2) -> ((r._4, r._5, r._6, r._7))).toMap
+    assert(ex8 == ex16)
+  }
+
+  test("rarity profile: bands partition occurrences, hapax mass reconciles with cf table") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.TextQueries.rarityProfile.run(spark, dir)
+      .select("n_tok", "n_hapax", "n_rare", "n_mid", "n_common", "rare_frac_q")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (n, h, r, m, c, fq) =>
+      assert(h + r + m + c == n)
+      assert(fq == (h + r) * 1000000L / n)
+    }
+    // Σ n_hapax over docs = number of corpus-unique token occurrences
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hapax = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().where(col("count") === 1).count()
+    assert(rows.map(_._2).sum == hapax)
+    // total occurrences reconcile too
+    val occ = docs.select(size(tokens(col("text"))).cast("long")).as[Long].collect().sum
+    assert(rows.map(_._1).sum == occ)
+  }
+
+  test("semantic sim matrix: full group-pair matrix with cosines in [-1, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = llm.SimilarityQueries.semanticSim.run(spark, dir)
+      .select("grp_a", "grp_b", "n_a", "n_b", "cos_sim")
+      .as[(String, String, Long, Long, Double)].collect()
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { case (a, b, na, nb, cs) =>
+      assert(a < b && na >= 1L && nb >= 1L)
+      assert(cs >= -1.0 - 1e-12 && cs <= 1.0 + 1e-12)
+    }
+    val lbl = llm.SimilarityQueries.semanticSimLbl.run(spark, dir)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(lbl.count() == labels * (labels - 1) / 2)
+  }
+
   test("session funnel: strictly ordered steps can only lose sessions") {
     val dir = "/root/testdata/sf0.001"
     val rows = pipelines.AnalyticsQueries.sessionFunnel.run(spark, dir)

@@ -74,7 +74,11 @@ class PlanAuditSpec extends SparkSpec {
     "x_pack_audit", "x_pack_audit_b4000",
     // x_session_funnel(_s2): 1-row total-sessions scalar broadcast
     // for the share column (the x_approx_profile scalar pattern)
-    "x_session_funnel", "x_session_funnel_s2")
+    "x_session_funnel", "x_session_funnel_s2",
+    // x_source_sketch_sim(_p16): |sources|² sketch-pair matrix — the
+    // inequality join runs over one sketch row per SOURCE (catalog-
+    // bounded, broadcast), never over docs or postings
+    "x_source_sketch_sim", "x_source_sketch_sim_p16")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
