@@ -1410,6 +1410,106 @@ object CurationQueries {
     sourceFunnelDf(s, d, minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
   }
 
+  /** Per-source corpus data card — the one-row-per-source datasheet a
+    * corpus release ships: raw volume (docs, tokens), language
+    * composition (dominant lang + its exact share), quality pass rate
+    * under the Gopher rule filter, near-duplication exposure (share of
+    * docs in a near-dup cluster of ≥ 2), and the duplication-
+    * discounted EFFECTIVE token mass (Σ n_toks·10⁶ div cluster_size —
+    * the x_dup_weights aggregate). Five adjudicated operators composed
+    * into one decision table: which sources to buy more of (high
+    * quality, high effective mass), which to re-crawl less (high dup
+    * share), which need language routing (low dominance).
+    *
+    * Scale shape: every input is per-row or already-adjudicated (the
+    * CC labeling is the shared materialized artifact; the Gopher
+    * filter is one doc-keyed shuffle); the composition itself is 1:1
+    * doc_id equi-joins followed by a groupBy over |sources| rows and
+    * a |sources|-bounded dominance window. All shares are exact
+    * quantized integer divisions.
+    */
+  private def dataCardSql(minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): String =
+    s"""WITH RECURSIVE ${graft.llm.DedupQueries.clusterCtes},
+       |gf AS (
+       |${gopherFilterSql(minWords, maxWords, minDistinct, maxTop2)}),
+       |sz AS (
+       |  SELECT doc, CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |  FROM lab),
+       |dt AS (
+       |  SELECT doc_id, source, lang,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |base AS (
+       |  SELECT dt.source, dt.n_toks, gf.kept, sz.cluster_size
+       |  FROM dt JOIN gf ON dt.doc_id = gf.doc_id JOIN sz ON dt.doc_id = sz.doc),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(sum(kept) AS BIGINT) AS n_kept,
+       |         CAST(sum(CASE WHEN cluster_size >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |         CAST(sum(n_toks * 1000000 // cluster_size) AS BIGINT) AS eff_tokens_q
+       |  FROM base GROUP BY source),
+       |dom AS (
+       |  SELECT source, lang AS dom_lang, CAST(count(*) AS BIGINT) AS n_dom
+       |  FROM dt GROUP BY source, lang
+       |  QUALIFY row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) = 1)
+       |SELECT p.source, p.n_docs, p.n_tokens, dom.dom_lang,
+       |       CAST(dom.n_dom * 1000000 // p.n_docs AS BIGINT) AS dom_lang_share_q,
+       |       CAST(p.n_kept * 1000000 // p.n_docs AS BIGINT) AS gopher_pass_q,
+       |       CAST(p.n_dup * 1000000 // p.n_docs AS BIGINT) AS dup_doc_q,
+       |       p.eff_tokens_q
+       |FROM per p JOIN dom ON p.source = dom.source""".stripMargin
+
+  private def dataCardDf(s: SparkSession, d: String, minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dt = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val kept = gopherFilterDf(docs, minWords, maxWords, minDistinct, maxTop2)
+      .select(col("doc_id"), col("kept"))
+    val sz = graft.llm.DedupQueries.ccLabels(s, d)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .select("doc_id", "cluster_size")
+    val per = dt.join(kept, "doc_id").join(sz, "doc_id")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("kept").as("n_kept"),
+        sum(when(col("cluster_size") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        sum(expr("n_toks * 1000000 div cluster_size")).as("eff_tokens_q"))
+    // rows = |sources| × |langs|: bounded dominance frame
+    val dom = dt.groupBy("source", "lang").agg(count(lit(1)).as("n_dom"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_dom").desc, col("lang"))))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang").as("dom_lang"), col("n_dom"))
+    per.join(dom, "source").select(
+      col("source"), col("n_docs"), col("n_tokens"), col("dom_lang"),
+      expr("n_dom * 1000000 div n_docs").as("dom_lang_share_q"),
+      expr("n_kept * 1000000 div n_docs").as("gopher_pass_q"),
+      expr("n_dup * 1000000 div n_docs").as("dup_doc_q"),
+      col("eff_tokens_q"))
+  }
+
+  val dataCard: QueryDef = QueryDef.sql(
+    "x_data_card",
+    dataCardSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)) { (s, d) =>
+    dataCardDf(s, d, minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
+  }
+
+  /** The strict Gopher config rides through the card — pins the
+    * quality gate as a real parameter of the datasheet (pass rates
+    * can only drop; all other columns are invariant, which the spec
+    * pins).
+    */
+  val dataCardStrict: QueryDef = QueryDef.sql(
+    "x_data_card_strict",
+    dataCardSql(minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)) { (s, d) =>
+    dataCardDf(s, d, minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, decontaminateBloom,
@@ -1418,5 +1518,5 @@ object CurationQueries {
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
       shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
       curriculum, curriculumW2, packAudit, packAuditB4000,
-      sourceFunnel, sourceFunnelStrict)
+      sourceFunnel, sourceFunnelStrict, dataCard, dataCardStrict)
 }

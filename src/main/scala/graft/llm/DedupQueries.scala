@@ -385,7 +385,7 @@ object DedupQueries {
     * shared by the cluster query and its representative-selection
     * consumer below.
     */
-  private val clusterCtes: String =
+  private[llm] val clusterCtes: String =
     s"""$ngramPairCtes,
        |pairs AS (
        |  SELECT v.doc_a, v.doc_b
@@ -1127,6 +1127,69 @@ object DedupQueries {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
   }
 
+  /** Duplicate-aware sampling weights — SOFT dedup: instead of
+    * dropping near-duplicates, every document gets the exact quantized
+    * weight 10⁶ div cluster_size, so each near-dup FAMILY contributes
+    * one document's worth of sampling mass no matter how many copies
+    * were crawled (the duplicate-downweighting convention several
+    * corpus-construction pipelines prefer over hard removal, since a
+    * popular page's many copies are weak evidence of quality, not
+    * zero). `eff_tokens_q` re-weights the doc's token count the same
+    * way, so Σ eff_tokens_q / 10⁶ is the corpus's EFFECTIVE token mass
+    * after duplication discounting — the number a data-mixing budget
+    * should use instead of raw token counts.
+    *
+    * The capped config divides by min(cluster_size, cap): a weight
+    * FLOOR of 10⁶/cap, the "count each family at most cap× down"
+    * compromise that keeps mega-cluster content from vanishing
+    * entirely (cap → ∞ recovers the pure 1/n rule; cap = 1 recovers
+    * no-dedup). All arithmetic is exact BIGINT division.
+    *
+    * Scale shape: the labeling is the shared materialized CC
+    * artifact; size attach is one cluster-keyed window; the token
+    * counts are a per-row scan joined 1:1 on doc_id. No new join
+    * class.
+    */
+  private def dupWeightsSql(cap: Option[Long]): String = {
+    val den = cap.map(c => s"least(s.cluster_size, $c)").getOrElse("s.cluster_size")
+    s"""WITH RECURSIVE $clusterCtes,
+       |sz AS (
+       |  SELECT doc, cluster_id,
+       |         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |  FROM lab),
+       |nt AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_toks FROM toks)
+       |SELECT s.doc AS doc_id, s.cluster_id, s.cluster_size, nt.n_toks,
+       |       CAST(1000000 // $den AS BIGINT) AS weight_q,
+       |       CAST(nt.n_toks * 1000000 // $den AS BIGINT) AS eff_tokens_q
+       |FROM sz s JOIN nt ON nt.doc_id = s.doc""".stripMargin
+  }
+
+  private def dupWeightsDf(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Option[Long]): DataFrame = {
+    val den = cap.map(c => s"least(cluster_size, $c)").getOrElse("cluster_size")
+    val sz = ccLabels(s, d).withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    val nt = Tables.documents(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    sz.join(nt, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("n_toks"),
+        expr(s"1000000 div $den").as("weight_q"),
+        expr(s"n_toks * 1000000 div $den").as("eff_tokens_q"))
+  }
+
+  val dupWeights: QueryDef = QueryDef.sql(
+    "x_dup_weights", dupWeightsSql(cap = None)) { (s, d) =>
+    dupWeightsDf(s, d, cap = None)
+  }
+
+  /** cap = 4: weight floor 250,000 (each family discounted at most
+    * 4×) — pins the cap as a real parameter on both sides.
+    */
+  val dupWeightsCap4: QueryDef = QueryDef.sql(
+    "x_dup_weights_cap4", dupWeightsSql(cap = Some(4L))) { (s, d) =>
+    dupWeightsDf(s, d, cap = Some(4L))
+  }
+
   /** Leakage-free train/val/test split: the split is assigned per
     * near-dup CLUSTER (hash bucket of the cluster label), never per
     * document — near-duplicate documents land in the SAME split by
@@ -1615,6 +1678,7 @@ object DedupQueries {
       crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
+      dupWeights, dupWeightsCap4,
       splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
       minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8,
       lexsemAgreement, lexsemAgreementP16, sourceSketch, sourceSketchP16)

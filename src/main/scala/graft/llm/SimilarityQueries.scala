@@ -1383,6 +1383,105 @@ object SimilarityQueries {
     annRecallOf(s, d, planes = 24)
   }
 
+  /** Quantization-level recall audit: per query, the overlap between
+    * the top-5 neighbor set under the engine's production quantization
+    * (×1000 — the x_ann_topk ground truth) and under a COARSE
+    * quantization (×8 ≈ 4-5 bits per component; the _c4 config ×4) —
+    * the "what does int4/int8 compression cost" question answered
+    * before deploying a compressed vector index, per query rather
+    * than as one corpus average, so the tail (queries whose whole
+    * neighborhood collapses under coarse rounding) is visible in the
+    * result. recall_q is the exact quantized overlap fraction.
+    *
+    * Vectors whose COARSE quantization rounds every component to zero
+    * cannot be ranked (zero norm) and are excluded from that chain on
+    * both engines — honest for the audit, since a compressed index
+    * cannot retrieve a vector it cannot represent: a truth neighbor
+    * that zeroes out is a recall miss, never a NaN.
+    *
+    * Scale shape: two broadcast brute scans over the sampled query
+    * set (the x_ann_topk audit cost class — at 100 TB `every`
+    * parameterizes the sample); the overlay is a (query, neighbor)
+    * equi-join on two |queries|·5 frames.
+    */
+  private def scaleTopkCtes(tag: String, scale: Int, every: Int, topK: Int): String =
+    s"""e$tag AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |v$tag AS (
+       |  SELECT vec_id, qe,
+       |         sqrt(CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)) AS nrm
+       |  FROM e$tag
+       |  WHERE list_sum(list_transform(qe, x -> x * x)) > 0),
+       |t$tag AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM v$tag a JOIN v$tag b ON a.vec_id % $every = 0 AND a.vec_id != b.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(a.qe)), i -> a.qe[i] * b.qe[i])) AS DOUBLE)
+       |             / (a.nrm * b.nrm) DESC, b.vec_id) <= $topK)""".stripMargin
+
+  private def quantRecallSql(coarse: Int): String =
+    s"""WITH ${scaleTopkCtes("f", 1000, 50, 5)},
+       |${scaleTopkCtes("c", coarse, 50, 5)},
+       |h AS (
+       |  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM tf f JOIN tc c ON f.query_id = c.query_id AND f.neighbor_id = c.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+       |       CAST(coalesce(h.n_common, 0) * 1000000 // 5 AS BIGINT) AS recall_q
+       |FROM (SELECT DISTINCT query_id FROM tf) q
+       |LEFT JOIN h ON q.query_id = h.query_id""".stripMargin
+
+  /** Brute top-k at an arbitrary quantization scale, zero-norm
+    * vectors excluded — [[bruteTopKDf]]'s formulation with the scale
+    * as a parameter (×1000 reproduces its ranking on any vector the
+    * coarse filter keeps).
+    */
+  private def bruteTopKAtScale(s: org.apache.spark.sql.SparkSession, d: String,
+      every: Int, topK: Int, scale: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * scale).cast("long")).as("qe"))
+      .where(qdot(col("qe"), col("qe")) > 0)
+      .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    val q = e.where(col("vec_id") % every === 0)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("nrm").as("q_nrm"))
+    e.select(col("vec_id").as("neighbor_id"), col("qe").as("c_qe"), col("nrm").as("c_nrm"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (qdot(col("q_qe"), col("c_qe")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rn") <= topK)
+      .select("query_id", "neighbor_id")
+  }
+
+  private[graft] def quantRecallOf(s: org.apache.spark.sql.SparkSession, d: String,
+      coarse: Int): org.apache.spark.sql.DataFrame = {
+    val fine = bruteTopKAtScale(s, d, every = 50, topK = 5, scale = 1000)
+    val co = bruteTopKAtScale(s, d, every = 50, topK = 5, scale = coarse)
+    val hits = fine.join(co, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    fine.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(n_common, 0L) * 1000000 div 5").as("recall_q"))
+  }
+
+  val quantRecall: QueryDef = QueryDef.sql(
+    "x_quant_recall", quantRecallSql(coarse = 8)) { (s, d) =>
+    quantRecallOf(s, d, coarse = 8)
+  }
+
+  /** ×4 — one bit less per component; pins the coarse scale as a real
+    * parameter (recall can only degrade or hold vs ×8 in aggregate).
+    */
+  val quantRecallC4: QueryDef = QueryDef.sql(
+    "x_quant_recall_c4", quantRecallSql(coarse = 4)) { (s, d) =>
+    quantRecallOf(s, d, coarse = 4)
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * mutual-kNN graph — the manifold-health metric for an embedding
     * corpus: high coefficients mean tight semantic clumps (SemDeDup /
@@ -1722,6 +1821,7 @@ object SimilarityQueries {
       knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
       semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
+      quantRecall, quantRecallC4,
       knnTriangles, knnTrianglesB6, ivfBalance, ivfBalanceI0,
       centroidDrift, centroidDriftLbl, knnPurity, knnPurityB6,
       semanticSim, semanticSimLbl)

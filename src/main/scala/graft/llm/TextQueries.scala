@@ -1025,11 +1025,114 @@ object TextQueries {
     rarityProfileOf(Tables.documents(s, d), rareMax = 4L, midMax = 32L)
   }
 
+  /** Per-language PMI collocation mining: the top-k adjacent bigrams
+    * by pointwise mutual information — the phrase-mining primitive
+    * behind tokenizer-vocabulary merges ("new york" deserves one
+    * token), stop-phrase lists, and multi-word-entity harvesting.
+    * PMI = log p(ab) / (p(a)·p(b)); since log is monotone we rank by
+    * the RATIO with all probabilities measured over the per-language
+    * bigram-position universe B: ratio = n_pair·B / (n_w1·n_w2). The
+    * numerator and denominator are exact BIGINTs (≤ 1e14 at sf1, well
+    * inside the 2^53 double-exact range), so the single IEEE division
+    * is bit-identical on any engine and the quantized score column is
+    * deterministic — no float-summation anywhere. A count floor
+    * (n_pair ≥ minCount) applies BEFORE scoring, the standard PMI
+    * guard against the rare-pair explosion (a hapax bigram of two
+    * hapax words scores B, the maximum, and is pure noise).
+    *
+    * Scale shape: one (lang, gram)-keyed count and one (lang,
+    * tok)-keyed count — both combine map-side and key on content, so
+    * no hot key regardless of language skew; B is a |languages|-row
+    * aggregate of the gram counts (broadcast); the floored gram table
+    * (vocabulary-bounded, further cut by the floor) re-joins the
+    * unigram table on (lang, token) equi-keys; the per-language top-k
+    * compiles to WindowGroupLimit. At 100 TB the floor is the knob:
+    * raising it shrinks every downstream join input.
+    */
+  def pmiTopkOf(docs: org.apache.spark.sql.DataFrame, minCount: Long,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 2 && k >= 1, s"degenerate pmi config ($minCount, $k)")
+    val toks = docs.select(col("lang"), tokens(col("text")).as("toks"))
+    val uni = toks.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cf"))
+    val grams = toks.select(col("lang"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val c = grams.groupBy("lang", "gram").agg(count(lit(1)).as("n_pair"))
+    // B counts ALL bigram positions, so it aggregates c before the floor
+    val btot = c.groupBy("lang").agg(sum("n_pair").as("n_bigrams"))
+    // tokens are [a-z0-9]+ runs, so the space split is a lossless
+    // round-trip of the gram back into its two words
+    val fl = c.where(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    val scored = fl
+      .join(broadcast(btot), "lang")
+      .join(uni.select(col("lang"), col("tok").as("w1"), col("cf").as("n_w1")), Seq("lang", "w1"))
+      .join(uni.select(col("lang"), col("tok").as("w2"), col("cf").as("n_w2")), Seq("lang", "w2"))
+      .withColumn("pmi_q6",
+        round((col("n_pair") * col("n_bigrams")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double") * 1e6).cast("long"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("pmi_q6").desc, col("gram"))))
+      .where(col("rn") <= k)
+      .select(col("lang"), col("gram"), col("n_pair"), col("n_w1"), col("n_w2"),
+        col("n_bigrams"), col("pmi_q6"), col("rn").cast("long").as("rnk"))
+  }
+
+  private def pmiTopkSql(minCount: Long, k: Int): String =
+    s"""WITH t AS (
+       |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |uni AS (
+       |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cf
+       |  FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+       |g AS (
+       |  SELECT lang, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM t),
+       |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n_pair FROM g GROUP BY 1, 2),
+       |btot AS (SELECT lang, CAST(sum(n_pair) AS BIGINT) AS n_bigrams FROM c GROUP BY 1),
+       |fl AS (
+       |  SELECT lang, gram, n_pair,
+       |         string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+       |  FROM c WHERE n_pair >= $minCount),
+       |s AS (
+       |  SELECT f.lang, f.gram, f.n_pair, u1.cf AS n_w1, u2.cf AS n_w2, b.n_bigrams,
+       |         CAST(round(CAST(f.n_pair * b.n_bigrams AS DOUBLE)
+       |                    / CAST(u1.cf * u2.cf AS DOUBLE) * 1000000.0) AS BIGINT) AS pmi_q6
+       |  FROM fl f
+       |  JOIN btot b ON b.lang = f.lang
+       |  JOIN uni u1 ON u1.lang = f.lang AND u1.tok = f.w1
+       |  JOIN uni u2 ON u2.lang = f.lang AND u2.tok = f.w2),
+       |r AS (
+       |  SELECT lang, gram, n_pair, n_w1, n_w2, n_bigrams, pmi_q6,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY pmi_q6 DESC, gram) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT lang, gram, n_pair, n_w1, n_w2, n_bigrams, pmi_q6, rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  val pmiCollocations: QueryDef = QueryDef.sql(
+    "x_pmi_collocations", pmiTopkSql(minCount = 5L, k = 15)) { (s, d) =>
+    pmiTopkOf(Tables.documents(s, d), minCount = 5L, k = 15)
+  }
+
+  /** Looser floor, tighter head (m=3, k=8): admits rarer pairs into
+    * scoring — the config that shifts the head toward low-frequency
+    * high-PMI phrases, pinning both parameters as real in both
+    * engines.
+    */
+  val pmiCollocationsM3: QueryDef = QueryDef.sql(
+    "x_pmi_collocations_m3", pmiTopkSql(minCount = 3L, k = 8)) { (s, d) =>
+    pmiTopkOf(Tables.documents(s, d), minCount = 3L, k = 8)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
       repeatedSpans, repeatedSpansG8, exactSubstrCut, exactSubstrCutG8,
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
       vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25,
-      ngramNovelty, ngramNoveltyK5, rarityProfile, rarityProfileT4)
+      ngramNovelty, ngramNoveltyK5, rarityProfile, rarityProfileT4,
+      pmiCollocations, pmiCollocationsM3)
 }

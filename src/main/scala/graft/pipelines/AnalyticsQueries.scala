@@ -572,9 +572,105 @@ object AnalyticsQueries {
     retentionDf(s, d, grain = "week", divDays = 7)
   }
 
+  /** Inter-arrival gap histogram: the distribution of time gaps
+    * between consecutive events of one actor, in fixed decade buckets
+    * (≤1 s, ≤10 s, … >10,000 s), per event type of the LATER event —
+    * with the exact quantized share and CUMULATIVE share per type.
+    * This is the audit that CALIBRATES the sessionizer: the
+    * inactivity-gap parameter should sit in the valley between the
+    * within-session decades and the between-session tail, and the
+    * cumulative column reads that directly ("99% of real gaps are
+    * ≤ 1,000 s ⇒ a 1,800 s cut is conservative"). The per-type split
+    * shows whether any event class (e.g. error retries) has its own
+    * arrival rhythm that a single global gap would mis-segment.
+    *
+    * Determinism: gaps are exact BIGINT microsecond differences
+    * (`unix_micros` ↔ `epoch_us`); bucket edges are integer
+    * comparisons; shares are 10⁶-quantized integer divisions. Ties on
+    * ts are pinned by event_id, so "previous event" is a total order.
+    *
+    * Scale shape: one shuffle by the stream key (the sessionizer's
+    * own partitioning), a lag over each key's ordered stream, then a
+    * groupBy over ≤ |event types| × 6 bounded cells; both share
+    * windows run on those cells only. At 100 TB the stream-key
+    * shuffle is the whole cost — identical to sessionization itself.
+    *
+    * `byType` keys the stream per (user, event_type) instead of per
+    * user: per-type inter-arrival rhythm (how often does a user
+    * click?) vs stream-global gaps (how long since the user did
+    * ANYTHING — the sessionizer's definition).
+    */
+  private def gapHistogramSql(byType: Boolean): String = {
+    val key = if (byType) "user_id, event_type" else "user_id"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |           PARTITION BY $key ORDER BY ts, event_id) AS gap_us
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type,
+       |         CASE WHEN gap_us <= 1000000 THEN 0 WHEN gap_us <= 10000000 THEN 1
+       |              WHEN gap_us <= 100000000 THEN 2 WHEN gap_us <= 1000000000 THEN 3
+       |              WHEN gap_us <= 10000000000 THEN 4 ELSE 5 END AS bucket_id,
+       |         CASE WHEN gap_us <= 1000000 THEN 'le_1s' WHEN gap_us <= 10000000 THEN 'le_10s'
+       |              WHEN gap_us <= 100000000 THEN 'le_100s' WHEN gap_us <= 1000000000 THEN 'le_1000s'
+       |              WHEN gap_us <= 10000000000 THEN 'le_10000s' ELSE 'gt_10000s' END AS bucket
+       |  FROM g WHERE gap_us IS NOT NULL),
+       |m AS (
+       |  SELECT event_type, CAST(bucket_id AS BIGINT) AS bucket_id, bucket,
+       |         CAST(count(*) AS BIGINT) AS n_gaps
+       |  FROM b GROUP BY 1, 2, 3)
+       |SELECT event_type, bucket_id, bucket, n_gaps,
+       |       CAST(n_gaps * 1000000 // sum(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS share_q,
+       |       CAST(sum(n_gaps) OVER (PARTITION BY event_type ORDER BY bucket_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+       |            // sum(n_gaps) OVER (PARTITION BY event_type) AS BIGINT) AS cum_share_q
+       |FROM m""".stripMargin
+  }
+
+  private[graft] def gapHistogramOf(events: DataFrame, byType: Boolean): DataFrame = {
+    val key: Seq[String] = if (byType) Seq("user_id", "event_type") else Seq("user_id")
+    val w = Window.partitionBy(key.map(col): _*).orderBy("ts", "event_id")
+    val g = events
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("gap_us").isNotNull)
+    val edges = Seq(
+      1000000L -> "le_1s", 10000000L -> "le_10s", 100000000L -> "le_100s",
+      1000000000L -> "le_1000s", 10000000000L -> "le_10000s")
+    val bucketId = edges.zipWithIndex.foldRight(lit(5L)) { case (((e, _), i), rest) =>
+      when(col("gap_us") <= e, i.toLong).otherwise(rest)
+    }
+    val bucketLbl = edges.foldRight(lit("gt_10000s"): org.apache.spark.sql.Column) {
+      case ((e, l), rest) => when(col("gap_us") <= e, l).otherwise(rest)
+    }
+    // rows = |event types| × 6: bounded cells, see scaladoc
+    val m = g.select(col("event_type"), bucketId.as("bucket_id"), bucketLbl.as("bucket"))
+      .groupBy("event_type", "bucket_id", "bucket").agg(count(lit(1)).as("n_gaps"))
+    val byTypeW = Window.partitionBy("event_type")
+    val cumW = byTypeW.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("tot", sum(col("n_gaps")).over(byTypeW))
+      .withColumn("cum", sum(col("n_gaps")).over(cumW))
+      .select(col("event_type"), col("bucket_id"), col("bucket"), col("n_gaps"),
+        expr("n_gaps * 1000000 div tot").as("share_q"),
+        expr("cum * 1000000 div tot").as("cum_share_q"))
+  }
+
+  val gapHistogram: QueryDef = QueryDef.sql(
+    "x_gap_histogram", gapHistogramSql(byType = false)) { (s, d) =>
+    gapHistogramOf(Tables.events(s, d), byType = false)
+  }
+
+  /** Per-(user, event_type) streams — each type's own arrival rhythm;
+    * pins the stream key as a real parameter of the audit.
+    */
+  val gapHistogramByType: QueryDef = QueryDef.sql(
+    "x_gap_histogram_bytype", gapHistogramSql(byType = true)) { (s, d) =>
+    gapHistogramOf(Tables.events(s, d), byType = true)
+  }
+
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
       transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2,
-      retention, retentionW)
+      retention, retentionW, gapHistogram, gapHistogramByType)
 }

@@ -956,4 +956,141 @@ class LlmOpsSpec extends SparkSpec {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(rows.map(_._3).sum == total)
   }
+
+  test("pmi collocations: exact quantized ratios, count floor, per-lang top-k") {
+    val docs = Seq(
+      (1L, "en", "new york new york new york new york new york"),
+      (2L, "en", "the cat the dog the cat the dog"),
+      (3L, "de", "foo bar foo bar foo bar")
+    ).toDF("doc_id", "lang", "text")
+    // en: B=16; uni new=5 york=5 the=4 cat=2 dog=2
+    //   n_pair>=2: "new york"=5 (5*16/25=3.2), "york new"=4 (2.56),
+    //   "the cat"=2, "cat the"=2, "the dog"=2 (all 2*16/8=4.0, gram-asc ties)
+    // de: B=5; "foo bar"=3 (3*5/9=1.666..), "bar foo"=2 (10/9=1.111..)
+    val got = llm.TextQueries.pmiTopkOf(docs, minCount = 2L, k = 10)
+      .select("lang", "gram", "pmi_q6", "rnk")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("en", "cat the", 4000000L, 1L), ("en", "the cat", 4000000L, 2L),
+      ("en", "the dog", 4000000L, 3L), ("en", "new york", 3200000L, 4L),
+      ("en", "york new", 2560000L, 5L),
+      ("de", "foo bar", 1666667L, 1L), ("de", "bar foo", 1111111L, 2L)))
+    // the floor prunes BEFORE scoring: at minCount=5 only "new york" survives
+    val floored = llm.TextQueries.pmiTopkOf(docs, minCount = 5L, k = 10)
+      .select("lang", "gram", "rnk").as[(String, String, Long)].collect().toSet
+    assert(floored == Set(("en", "new york", 1L)))
+    // per-language top-k must compile to WindowGroupLimit (partial
+    // top-k below the exchange), same contract as ngram topk
+    val q = llm.TextQueries.pmiCollocations.run(spark, "/root/testdata/sf0.001")
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-language PMI top-k did not compile to WindowGroupLimit")
+  }
+
+  test("gap histogram: exact bucket edges, per-type shares, cumulative closes at 1e6") {
+    val ev = Seq(
+      (0L, 1L, "click", 0L),
+      (1L, 1L, "click", 1000000L),           // gap exactly 1s  -> le_1s (inclusive edge)
+      (2L, 1L, "click", 11000000L),          // gap exactly 10s -> le_10s
+      (3L, 1L, "click", 10011000001L),       // gap 1e10+1 us   -> gt_10000s
+      (4L, 2L, "view", 0L),
+      (5L, 2L, "click", 5000000L),           // user-stream gap 5s -> le_10s
+      (6L, 2L, "view", 6000000L)             // user-stream gap 1s; view-stream gap 6s
+    ).toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val base = pipelines.AnalyticsQueries.gapHistogramOf(ev, byType = false)
+      .select("event_type", "bucket", "n_gaps", "share_q", "cum_share_q")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(base == Set(
+      ("click", "le_1s", 1L, 250000L, 250000L),
+      ("click", "le_10s", 2L, 500000L, 750000L),
+      ("click", "gt_10000s", 1L, 250000L, 1000000L),
+      ("view", "le_1s", 1L, 1000000L, 1000000L)))
+    // the per-type stream key re-buckets u2's view gap from 1s to 6s
+    // and drops u2's single-click stream entirely
+    val byType = pipelines.AnalyticsQueries.gapHistogramOf(ev, byType = true)
+      .select("event_type", "bucket", "n_gaps").as[(String, String, Long)].collect().toSet
+    assert(byType == Set(
+      ("click", "le_1s", 1L), ("click", "le_10s", 1L), ("click", "gt_10000s", 1L),
+      ("view", "le_10s", 1L)))
+    // registry-level conservation on real data: gaps = events − streams
+    val dir = "/root/testdata/sf0.001"
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+    val totBase = pipelines.AnalyticsQueries.gapHistogram.run(spark, dir)
+      .agg(sum("n_gaps")).as[Long].head()
+    assert(totBase == evs.count() - evs.select("user_id").distinct.count())
+    val totType = pipelines.AnalyticsQueries.gapHistogramByType.run(spark, dir)
+      .agg(sum("n_gaps")).as[Long].head()
+    assert(totType == evs.count() - evs.select("user_id", "event_type").distinct.count())
+  }
+
+  test("quant recall: coarse=fine scale is perfect recall; coarse overlap is bounded") {
+    val dir = "/root/testdata/sf0.001"
+    // the audit against ITSELF: coarse scale 1000 replays the fine
+    // chain exactly, so every query must report 5/5
+    val self = llm.SimilarityQueries.quantRecallOf(spark, dir, coarse = 1000)
+      .select("n_common", "recall_q").as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall(r => r._1 == 5L && r._2 == 1000000L))
+    val c8 = llm.SimilarityQueries.quantRecall.run(spark, dir)
+      .select("query_id", "n_common", "recall_q").as[(Long, Long, Long)].collect()
+    assert(c8.length == self.length) // one row per query, misses included
+    c8.foreach { case (_, n, rq) =>
+      assert(n >= 0L && n <= 5L && rq == n * 1000000L / 5L)
+    }
+  }
+
+  test("data card: covers the corpus; strict config only moves the pass rate") {
+    val dir = "/root/testdata/sf0.001"
+    def card(q: QueryDef) = q.run(spark, dir)
+      .select("source", "n_docs", "n_tokens", "dom_lang", "dom_lang_share_q",
+        "gopher_pass_q", "dup_doc_q", "eff_tokens_q")
+      .as[(String, Long, Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val base = card(llm.CurationQueries.dataCard)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(base.values.map(_._2).sum == docs.count())
+    base.values.foreach { case (src, n, nt, _, domQ, passQ, dupQ, effQ) =>
+      assert(domQ > 0L && domQ <= 1000000L, s"$src dominance")
+      assert(passQ >= 0L && passQ <= 1000000L && dupQ >= 0L && dupQ <= 1000000L)
+      // effective mass can only be discounted, and only dup docs discount it
+      assert(effQ <= nt * 1000000L, s"$src effective mass")
+      if (dupQ == 0L) assert(effQ == nt * 1000000L, s"$src no-dup source undiscounted")
+      assert(n > 0L)
+    }
+    // the strict gate may only LOWER pass rates; every other column is
+    // gate-invariant (pins that the parameter reaches only the filter)
+    val strict = card(llm.CurationQueries.dataCardStrict)
+    assert(strict.keySet == base.keySet)
+    for ((src, b) <- base) {
+      val s2 = strict(src)
+      assert(s2._6 <= b._6, s"$src strict pass rate grew")
+      assert((s2._2, s2._3, s2._4, s2._5, s2._7, s2._8) ==
+        ((b._2, b._3, b._4, b._5, b._7, b._8)), s"$src non-gate column moved")
+    }
+  }
+
+  test("dup weights: every doc weighted, family mass conserved, cap only raises") {
+    val dir = "/root/testdata/sf0.001"
+    val w = llm.DedupQueries.dupWeights.run(spark, dir)
+      .select("doc_id", "cluster_size", "n_toks", "weight_q", "eff_tokens_q")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(w.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    w.foreach { case (id, cs, nt, wq, eq) =>
+      assert(wq == 1000000L / cs, s"doc $id weight")
+      assert(eq == nt * 1000000L / cs, s"doc $id eff tokens")
+    }
+    // each family's total weight is ~one doc's worth (exact division floor)
+    val singles = w.filter(_._2 == 1L)
+    assert(singles.nonEmpty && singles.forall(_._4 == 1000000L))
+    // the cap can only RAISE a weight, and binds exactly above cap size
+    val capped = llm.DedupQueries.dupWeightsCap4.run(spark, dir)
+      .select("doc_id", "cluster_size", "weight_q").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    w.foreach { case (id, cs, _, wq, _) =>
+      val (cs2, wq2) = capped(id)
+      assert(cs2 == cs)
+      assert(wq2 == 1000000L / math.min(cs, 4L))
+      assert(wq2 >= wq)
+    }
+  }
 }

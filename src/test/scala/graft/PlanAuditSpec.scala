@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_ann_recall(_pl24): ground-truth side is the x_ann_topk
     // broadcast brute scan (the audit's cost, sampled in production)
     "x_ann_recall", "x_ann_recall_pl24",
+    // x_quant_recall(_c4): BOTH sides are the x_ann_topk broadcast
+    // brute scan (fine + coarse quantization), see quantRecallOf
+    "x_quant_recall", "x_quant_recall_c4",
     // x_pipeline_gopher: inherits x_token_pack's triangular offsets
     // join through the shared packCumSum prefix sum, like x_pipeline_e2e
     "x_pipeline_gopher",
