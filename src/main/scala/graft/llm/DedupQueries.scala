@@ -1177,6 +1177,64 @@ object DedupQueries {
         expr(s"n_toks * 1000000 div $den").as("eff_tokens_q"))
   }
 
+  /** Cross-source mirror detection: identical content appearing under
+    * MORE THAN ONE source — the mirror-site/syndication signature a
+    * crawl audit reads before negotiating source dedup order (exact
+    * duplication WITHIN a source is recycling; across sources it means
+    * the acquisition list itself overlaps). Per content group spanning
+    * ≥ 2 sources: doc count, source count, the sorted source list, and
+    * the min doc_id as the stable group representative.
+    *
+    * The default config matches on whitespace-normalized text (the
+    * exact-dedup normalization — mirrors often differ only in
+    * formatting); the `_raw` config on the raw bytes, pinning the
+    * normalization as a real parameter (raw groups ⊆ normalized
+    * groups).
+    *
+    * Scale shape: one content-hash-keyed shuffle (map-side combinable
+    * count + min; the distinct-source set is bounded by the source
+    * catalog), then a group-local filter. The same cost class as
+    * exact dedup itself.
+    */
+  private def mirrorDocsSql(normalize: Boolean): String = {
+    val key = if (normalize) "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))" else "text"
+    s"""WITH h AS (
+       |  SELECT md5($key) AS content_id, doc_id, source FROM documents),
+       |g AS (
+       |  SELECT content_id,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+       |         CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+       |  FROM h GROUP BY content_id)
+       |SELECT content_id, n_docs, n_sources, sources, rep_doc_id
+       |FROM g WHERE n_sources >= 2""".stripMargin
+  }
+
+  private[graft] def mirrorDocsOf(docs: DataFrame, normalize: Boolean): DataFrame = {
+    val key =
+      if (normalize) trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      else col("text")
+    docs
+      .select(md5(key).as("content_id"), col("doc_id"), col("source"))
+      .groupBy("content_id")
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .where(col("n_sources") >= 2)
+  }
+
+  val mirrorDocs: QueryDef = QueryDef.sql(
+    "x_mirror_docs", mirrorDocsSql(normalize = true)) { (s, d) =>
+    mirrorDocsOf(Tables.documents(s, d), normalize = true)
+  }
+
+  val mirrorDocsRaw: QueryDef = QueryDef.sql(
+    "x_mirror_docs_raw", mirrorDocsSql(normalize = false)) { (s, d) =>
+    mirrorDocsOf(Tables.documents(s, d), normalize = false)
+  }
+
   val dupWeights: QueryDef = QueryDef.sql(
     "x_dup_weights", dupWeightsSql(cap = None)) { (s, d) =>
     dupWeightsDf(s, d, cap = None)
@@ -1678,7 +1736,7 @@ object DedupQueries {
       crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
-      dupWeights, dupWeightsCap4,
+      dupWeights, dupWeightsCap4, mirrorDocs, mirrorDocsRaw,
       splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
       minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8,
       lexsemAgreement, lexsemAgreementP16, sourceSketch, sourceSketchP16)

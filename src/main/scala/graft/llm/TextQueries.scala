@@ -1127,6 +1127,120 @@ object TextQueries {
     pmiTopkOf(Tables.documents(s, d), minCount = 3L, k = 8)
   }
 
+  /** BPE merge-pair mining — the inner step of byte-pair-encoding
+    * tokenizer training: the corpus-weighted count of every adjacent
+    * symbol pair, ranked; rank 1 is the merge BPE would perform next.
+    * The defining scale trick rides in the plan: pair counting runs on
+    * the DISTINCT-WORD frame weighted by word frequency (one
+    * content-keyed, map-side-combinable shuffle builds the vocabulary
+    * table; everything after is vocabulary-bounded, independent of
+    * corpus row count — exactly how production BPE trainers scale).
+    * Counts are exact BIGINTs; occurrences within a word count
+    * per-position (overlapping), the BPE convention.
+    *
+    * The `_r2` config pins ITERATION semantics: it applies the rank-1
+    * merge greedily left-to-right (string replace — non-overlapping,
+    * leftmost-first, BPE's exact merge rule: 'aaa' under merge 'aa'
+    * becomes [aa, a], never two overlapping 'aa's) with a placeholder
+    * symbol, then recounts — the second round's candidate table, with
+    * pair names decoded back through the merge. Tokens are [a-z0-9]+
+    * so the placeholder ('Z') cannot collide.
+    *
+    * The rank window runs on the ≤|alphabet|²-bounded pair frame
+    * (≤ ~1.4k cells at round 1), never on corpus rows.
+    */
+  private def wordFreqSql: String =
+    """wf AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+
+  private def pairCountSql(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ
+       |  FROM (
+       |    SELECT substr(word, i, 2) AS pair, freq
+       |    FROM (SELECT word, freq, unnest(generate_series(1, length(word) - 1)) AS i
+       |          FROM $src WHERE length(word) >= 2))
+       |  GROUP BY pair)""".stripMargin
+
+  private def bpeMergesSql(k: Int): String =
+    s"""WITH $wordFreqSql,
+       |${pairCountSql("wf", "c")}
+       |SELECT pair, n_occ,
+       |       CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT) AS rnk
+       |FROM c QUALIFY rnk <= $k""".stripMargin
+
+  private def bpeMergesR2Sql(k: Int): String =
+    s"""WITH $wordFreqSql,
+       |${pairCountSql("wf", "c")},
+       |top1 AS (
+       |  SELECT pair AS m FROM c ORDER BY n_occ DESC, pair LIMIT 1),
+       |wf2 AS (
+       |  SELECT replace(word, top1.m, 'Z') AS word, freq FROM wf, top1),
+       |${pairCountSql("wf2", "c2")},
+       |r AS (
+       |  SELECT c2.pair, c2.n_occ,
+       |         CAST(row_number() OVER (ORDER BY c2.n_occ DESC, c2.pair) AS BIGINT) AS rnk
+       |  FROM c2 QUALIFY rnk <= $k)
+       |SELECT concat(
+       |         CASE WHEN substr(r.pair, 1, 1) = 'Z' THEN top1.m ELSE substr(r.pair, 1, 1) END,
+       |         '+',
+       |         CASE WHEN substr(r.pair, 2, 1) = 'Z' THEN top1.m ELSE substr(r.pair, 2, 1) END
+       |       ) AS pair, r.n_occ, r.rnk
+       |FROM r, top1""".stripMargin
+
+  private def wordFreqDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  private def pairCountDf(wf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    wf.where(length(col("word")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("n_occ"))
+
+  private def rankTopK(c: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    // rows = |alphabet|²: bounded pair frame, see scaladoc
+    c.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("pair"))).cast("long"))
+      .where(col("rnk") <= k)
+
+  private[graft] def bpeMergesOf(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    rankTopK(pairCountDf(wordFreqDf(docs)), k).select("pair", "n_occ", "rnk")
+
+  private[graft] def bpeMergesR2Of(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val wf = wordFreqDf(docs)
+    val top1 = rankTopK(pairCountDf(wf), 1).select(col("pair").as("m"))
+    // 1-row merge broadcast — the x_approx_profile scalar pattern.
+    // replace() is literal (not regex) and leftmost-non-overlapping,
+    // BPE's exact greedy merge rule; it is injective on Z-free words
+    // (expanding Z back to the merged pair reconstructs the original),
+    // so merged words never collide and no re-aggregation is needed.
+    val wf2 = wf.crossJoin(broadcast(top1))
+      .select(replace(col("word"), col("m"), lit("Z")).as("word"), col("freq"))
+    val r = rankTopK(pairCountDf(wf2), k)
+    def dec(sym: Column, m: Column): Column = when(sym === "Z", m).otherwise(sym)
+    r.crossJoin(broadcast(top1))
+      .select(
+        concat(dec(col("pair").substr(1, 1), col("m")), lit("+"),
+          dec(col("pair").substr(2, 1), col("m"))).as("pair"),
+        col("n_occ"), col("rnk"))
+  }
+
+  val bpeMerges: QueryDef = QueryDef.sql(
+    "x_bpe_merges", bpeMergesSql(k = 10)) { (s, d) =>
+    bpeMergesOf(Tables.documents(s, d), k = 10)
+  }
+
+  val bpeMergesR2: QueryDef = QueryDef.sql(
+    "x_bpe_merges_r2", bpeMergesR2Sql(k = 10)) { (s, d) =>
+    bpeMergesR2Of(Tables.documents(s, d), k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
@@ -1134,5 +1248,5 @@ object TextQueries {
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
       vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25,
       ngramNovelty, ngramNoveltyK5, rarityProfile, rarityProfileT4,
-      pmiCollocations, pmiCollocationsM3)
+      pmiCollocations, pmiCollocationsM3, bpeMerges, bpeMergesR2)
 }

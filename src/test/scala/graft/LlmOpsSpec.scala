@@ -1069,6 +1069,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe merges: weighted overlapping pair counts; greedy left-to-right merge round") {
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "aaa b")).toDF("doc_id", "text")
+    // vocab: aaa×3, ab×1, b×1. Round 1 pairs: 'aa' appears at two
+    // positions per 'aaa' (overlapping convention) = 6; 'ab' = 1.
+    val r1 = llm.TextQueries.bpeMergesOf(docs, k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(r1 == Set(("aa", 6L, 1L), ("ab", 1L, 2L)))
+    // merge 'aa' greedily: 'aaa' -> [aa, a] (ONE merged symbol, not two
+    // overlapping) so round 2 counts 'aa+a'=3 and 'a+b'=1
+    val r2 = llm.TextQueries.bpeMergesR2Of(docs, k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(r2 == Set(("aa+a", 3L, 1L), ("a+b", 1L, 2L)))
+  }
+
+  test("mirror docs: only cross-source groups; raw config splits whitespace variants") {
+    val docs = Seq(
+      (1L, "a  b", "s1"), (2L, "a b", "s2"), (3L, "a b", "s1"),
+      (4L, "unique text", "s1"), (5L, "solo dup", "s1"), (6L, "solo dup", "s1")
+    ).toDF("doc_id", "text", "source")
+    // normalized: docs 1,2,3 collapse to one group spanning s1+s2;
+    // docs 5,6 duplicate WITHIN s1 only -> excluded (not a mirror)
+    val norm = llm.DedupQueries.mirrorDocsOf(docs, normalize = true)
+      .select("n_docs", "n_sources", "sources", "rep_doc_id")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(norm == Set((3L, 2L, "s1,s2", 1L)))
+    // raw: doc 1's double space splits it out; docs 2,3 still mirror
+    val raw = llm.DedupQueries.mirrorDocsOf(docs, normalize = false)
+      .select("n_docs", "n_sources", "sources", "rep_doc_id")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(raw == Set((2L, 2L, "s1,s2", 2L)))
+  }
+
   test("dup weights: every doc weighted, family mass conserved, cap only raises") {
     val dir = "/root/testdata/sf0.001"
     val w = llm.DedupQueries.dupWeights.run(spark, dir)

@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // x_quant_recall(_c4): BOTH sides are the x_ann_topk broadcast
     // brute scan (fine + coarse quantization), see quantRecallOf
     "x_quant_recall", "x_quant_recall_c4",
+    // x_bpe_merges_r2: 1-row rank-1-merge scalar broadcast against the
+    // vocabulary frame (the x_approx_profile scalar pattern)
+    "x_bpe_merges_r2",
     // x_pipeline_gopher: inherits x_token_pack's triangular offsets
     // join through the shared packCumSum prefix sum, like x_pipeline_e2e
     "x_pipeline_gopher",
