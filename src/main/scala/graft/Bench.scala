@@ -94,19 +94,30 @@ object Bench {
     // meaningless as a build cost — so the line is EXCLUDED from
     // queries/total (the failure is named in `errors` and the run
     // marked invalid).
+    // Order matters: each line is warm in everything the earlier lines
+    // built (pairs_build reads the postings; cc_build reads the pairs;
+    // the per-config knn builds slice the pooled sketch), so every
+    // build line prices exactly its OWN marginal work.
     val artifactBuilders: Seq[(String, () => Unit)] = Seq(
       "index_build" -> (() => { llm.SharedIndex.sidPostings(spark, sfDir).count(); () }),
+      "pairs_build" -> (() => { llm.DedupQueries.rareOverlaps(spark, sfDir).count(); () }),
       "cc_build" -> (() => { llm.DedupQueries.ccLabels(spark, sfDir).count(); () }),
+      "knn_sketch_build" -> (() => { llm.SimilarityQueries.knnSketchDf(spark, sfDir).count(); () }),
       "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
       "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }))
-    val builds: Map[String, Double] = artifactBuilders.flatMap { case (name, build) =>
+    // Build lines carry per-entry loadavg exactly like registry
+    // queries, so `query_loadavg` is keyed identically to `queries`
+    // (r11's artifacts omitted the build lines from the load map).
+    val buildResults: Seq[(String, (Double, Double))] = artifactBuilders.flatMap { case (name, build) =>
+      val loadBefore = loadAvg()
       val t0 = System.nanoTime()
-      try { build(); Some(name -> (System.nanoTime() - t0) / 1e9) }
+      try { build(); Some(name -> (((System.nanoTime() - t0) / 1e9), loadBefore)) }
       catch { case e: Throwable =>
         failures ::= s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
         None
       }
-    }.toMap
+    }
+    val builds: Map[String, Double] = buildResults.map { case (n, (secs, _)) => n -> secs }.toMap
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
     // so a single sample is mostly noise. The first run also pays
@@ -168,9 +179,11 @@ object Bench {
     val qs = (ok ++ builds)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Sibling map keyed identically to `queries` (kept separate so the
-    // driver's name→seconds contract for `queries` is untouched).
-    val loads = results.collect { case (n, (secs, load)) if secs >= 0 => n -> load }
+    // Sibling map keyed identically to `queries` — build lines
+    // included (kept separate so the driver's name→seconds contract
+    // for `queries` is untouched).
+    val loads = (results.collect { case (n, (secs, load)) if secs >= 0 => n -> load } ++
+        buildResults.map { case (n, (_, load)) => n -> load })
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String): String =

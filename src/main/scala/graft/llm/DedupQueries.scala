@@ -92,7 +92,7 @@ object DedupQueries {
     * rare shingles only; near-dup pairs (sharing ~all shingles)
     * virtually always share a rare one, so recall is preserved.
     */
-  private def rareShingleCandidates(post: DataFrame): DataFrame = {
+  private[graft] def rareShingleCandidates(post: DataFrame): DataFrame = {
     val rare = post.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") <= 8).select("sid")
     val a = post.join(rare, "sid").select(col("doc_id").as("doc_a"), col("sid"))
@@ -142,26 +142,66 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the full
-    * postings: overlap via a two-sided postings join, j ≥ 0.8 as the
-    * exact-integer test 5·overlap ≥ 4·union. Verification cost is
-    * candidates × doc-size, never corpus².
+  /** UNTHRESHOLDED exact overlap evidence for candidate pairs against
+    * the full postings: `(doc_a, doc_b, overlap, n_a, n_b)` via a
+    * two-sided postings join. Cost is candidates × doc-size, never
+    * corpus². Kept threshold-free so ONE materialization serves every
+    * downstream cut — symmetric Jaccard (≥ 0.8) and both directed
+    * containment tiers read the same table.
     */
-  private def verifiedPairs(post: DataFrame, cand: DataFrame): DataFrame = {
+  private[graft] def pairOverlaps(post: DataFrame, cand: DataFrame): DataFrame = {
     val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pa = post.select(col("doc_id").as("da2"), col("sid").as("sid_a"))
     val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
-    val ver = cand
+    cand
       .join(pa, col("doc_a") === col("da2"))
       .join(pb, col("doc_b") === col("db2") && col("sid_a") === col("sid_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-    ver
       .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
       .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
-      .where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
+      .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"))
+  }
+
+  /** The symmetric near-dup cut over an overlap-evidence table: j ≥ 0.8
+    * as the exact-integer test 5·overlap ≥ 4·union, plus the evidence
+    * division.
+    */
+  private[graft] def jaccardVerified(ov: DataFrame): DataFrame =
+    ov.where(lit(5) * col("overlap") >= lit(4) * (col("n_a") + col("n_b") - col("overlap")))
       .select(col("doc_a"), col("doc_b"), col("overlap"), col("n_a"), col("n_b"),
         (col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap"))).as("jaccard"))
-  }
+
+  /** Exact-Jaccard verification of candidate pairs (overlap + j ≥ 0.8
+    * threshold in one step) — the common path for one-shot candidate
+    * policies (MinHash bands, incremental delta probes).
+    */
+  private def verifiedPairs(post: DataFrame, cand: DataFrame): DataFrame =
+    jaccardVerified(pairOverlaps(post, cand))
+
+  /** The rare-shingle overlap-evidence table as a shared materialized
+    * artifact ([[SharedIndex.materialized]], tag `rare_overlaps`):
+    * `(doc_a, doc_b, overlap, n_a, n_b)` for every rare-shingle
+    * candidate pair, UNTHRESHOLDED. SIX registry carriers consume this
+    * one table — the n-gram pair query, both CC labelings (min-label
+    * and star-contraction), the corpus sweep's rare arm, and both
+    * containment tiers — and each previously re-ran the most expensive
+    * join in the dedup family (candidates × postings verify) from the
+    * postings up. A production pipeline computes pairwise overlap
+    * evidence once per corpus build and lets every policy (Jaccard
+    * cut, containment cut, cluster assembly) read it; the per-query
+    * thresholds stay in the queries, where they belong. Bench builds
+    * this explicitly as its own `pairs_build` metric line, so consumer
+    * numbers are warm-artifact and the one-time cost is reported, not
+    * hidden. Row count is bounded by the rare-candidate volume
+    * (Σ df² over df ≤ 8 shingles) — narrow and small relative to the
+    * postings themselves.
+    */
+  private[graft] def rareOverlaps(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    SharedIndex.materialized(s, d, "rare_overlaps") {
+      val post = SharedIndex.sidPostings(s, d)
+      pairOverlaps(post, rareShingleCandidates(post))
+    }
 
   /** SimHash near-dup pairs at a given signature width: `bits`-bit
     * signature from per-shingle multiplicative hashes, bit-majority
@@ -361,8 +401,7 @@ object DedupQueries {
        |JOIN cnt ca ON v.doc_a = ca.doc_id
        |JOIN cnt cb ON v.doc_b = cb.doc_id
        |WHERE 5 * v.overlap >= 4 * (ca.n + cb.n - v.overlap)""".stripMargin) { (s, d) =>
-    val post = SharedIndex.sidPostings(s, d)
-    verifiedPairs(post, rareShingleCandidates(post))
+    jaccardVerified(rareOverlaps(s, d))
   }
 
   /** Near-dup CLUSTER assembly: the near-dup pairs become undirected
@@ -408,10 +447,8 @@ object DedupQueries {
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab""".stripMargin
 
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val post = SharedIndex.sidPostings(s, d)
-    verifiedPairs(post, rareShingleCandidates(post)).select("doc_a", "doc_b")
-  }
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    jaccardVerified(rareOverlaps(s, d)).select("doc_a", "doc_b")
 
   /** The near-dup CC labeling `(doc_id, cluster_id)` as a shared
     * materialized artifact (built once per JVM × sf-dir via
@@ -646,12 +683,15 @@ object DedupQueries {
       .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
       .where(col("doc_id") =!= col("keeper"))
       .select(col("doc_id").as("drop_id"))
-    // (b) higher-id members of verified near-dup pairs; candidates from
-    // both generators over the ONE shared index (no pipeline re-run)
+    // (b) higher-id members of verified near-dup pairs — the rare arm
+    // reads the shared overlap artifact; the band arm verifies its own
+    // candidates over the shared index. Verification is per-pair
+    // deterministic, so verify(rare ∪ band) ≡ verify(rare) ∪
+    // verify(band) as sets, and only distinct drop ids survive anyway.
     val post = SharedIndex.sidPostings(s, d)
-    val cand = rareShingleCandidates(post)
-      .unionAll(bandCandidates(post, perms = 8, bands = 4)).distinct()
-    val nearDrop = verifiedPairs(post, cand)
+    val nearDrop = jaccardVerified(rareOverlaps(s, d)).select(col("doc_b"))
+      .unionAll(verifiedPairs(post, bandCandidates(post, perms = 8, bands = 4))
+        .select(col("doc_b")))
       .select(col("doc_b").as("drop_id")).distinct()
     val drops = exactDrop.unionAll(nearDrop).distinct()
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
@@ -916,22 +956,20 @@ object DedupQueries {
     * contract is the family's: a pair sharing ONLY ubiquitous
     * shingles is out of candidate scope on both engines.
     */
-  private[graft] def containmentPairs(post: DataFrame, num: Int, den: Int): DataFrame = {
+  private[graft] def containmentPairs(post: DataFrame, num: Int, den: Int): DataFrame =
+    containmentFromOverlaps(pairOverlaps(post, rareShingleCandidates(post)), num, den)
+
+  /** The directed containment cut over an overlap-evidence table:
+    * both directions of each unordered candidate pair, kept when
+    * den·overlap ≥ num·n_inner (cross-multiplied exact integers).
+    * Registry carriers read the shared [[rareOverlaps]] artifact —
+    * the threshold is the only per-query work.
+    */
+  private def containmentFromOverlaps(ov: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"containment threshold must be in (0, 1]: $num/$den")
-    val cand = rareShingleCandidates(post)
-    val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pa = post.select(col("doc_id").as("da2"), col("sid").as("sid_a"))
-    val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
-    val ver = cand
-      .join(pa, col("doc_a") === col("da2"))
-      .join(pb, col("doc_b") === col("db2") && col("sid_a") === col("sid_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap"))
-      .join(cnt.select(col("doc_id").as("ca"), col("n").as("n_a")), col("doc_a") === col("ca"))
-      .join(cnt.select(col("doc_id").as("cb"), col("n").as("n_b")), col("doc_b") === col("cb"))
-    // both directions of each unordered candidate pair
-    val ab = ver.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+    val ab = ov.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
       col("overlap"), col("n_a").as("n_inner"), col("n_b").as("n_outer"))
-    val ba = ver.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+    val ba = ov.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
       col("overlap"), col("n_b").as("n_inner"), col("n_a").as("n_outer"))
     ab.unionByName(ba)
       .where(lit(den.toLong) * col("overlap") >= lit(num.toLong) * col("n_inner"))
@@ -958,7 +996,7 @@ object DedupQueries {
 
   val containment: QueryDef = QueryDef.sql(
     "x_containment", containmentSql(num = 9, den = 10)) { (s, d) =>
-    containmentPairs(SharedIndex.sidPostings(s, d), num = 9, den = 10)
+    containmentFromOverlaps(rareOverlaps(s, d), num = 9, den = 10)
   }
 
   /** The looser 0.7 threshold — a second solve point pinning that the
@@ -968,7 +1006,7 @@ object DedupQueries {
     */
   val containmentT7: QueryDef = QueryDef.sql(
     "x_containment_t7", containmentSql(num = 7, den = 10)) { (s, d) =>
-    containmentPairs(SharedIndex.sidPostings(s, d), num = 7, den = 10)
+    containmentFromOverlaps(rareOverlaps(s, d), num = 7, den = 10)
   }
 
   // ----------------------------------------------------------------

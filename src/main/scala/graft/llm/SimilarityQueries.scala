@@ -872,13 +872,55 @@ object SimilarityQueries {
     * Bench builds both configs explicitly as `knn_build_*` metric
     * lines so per-query numbers are warm-artifact.
     */
+  /** The quantized-vector table `(vec_id, qe, nrm)` as a shared
+    * materialized artifact — the common scoring input of BOTH kNN
+    * edge configs (and the widest column the family carries), built
+    * once instead of re-quantizing the embeddings per config.
+    */
+  private def quantVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    SharedIndex.materialized(s, d, "knn_quant") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+        .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
+    }
+
+  /** Every registry config derives its sketch from one pooled build at
+    * this band count: plane weights depend only on the absolute plane
+    * index (band·r + bit), so a pool at 6 bands contains the 4-band
+    * sketch EXACTLY as its bands 0–3 — slicing, not recomputing. The
+    * per-plane dot products are the dominant cost of an edge build
+    * (N × bands·r planes × dim), and both configs previously paid it
+    * in full.
+    */
+  private val SketchPoolBands = 6
+
+  /** The pooled `(vec_id, band, bucket)` sketch at [[SketchPoolBands]]
+    * bands × `r` planes, shared-materialized per (sf-dir, r).
+    */
+  private def sketchPool(s: org.apache.spark.sql.SparkSession, d: String,
+      r: Int): org.apache.spark.sql.DataFrame =
+    SharedIndex.materialized(s, d, s"knn_sketch_r${r}_p$SketchPoolBands") {
+      bandedBuckets(quantVecs(s, d), SketchPoolBands, r)
+    }
+
+  /** Builds the shared kNN prefix (quantized vectors + pooled sketch)
+    * — Bench calls this explicitly as its own `knn_sketch_build`
+    * metric line so both per-config edge builds are warm-prefix.
+    */
+  private[graft] def knnSketchDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sketchPool(s, d, r = 8)
+
   private[graft] def knnEdgesDf(s: org.apache.spark.sql.SparkSession, d: String,
       bands: Int, r: Int, k: Int): org.apache.spark.sql.DataFrame =
     SharedIndex.materialized(s, d, s"knn_edges_b${bands}_r${r}_k$k") {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), quantize(col("embedding")).as("qe"))
-        .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-      val bkt = bandedBuckets(e, bands, r)
+      val e = quantVecs(s, d)
+      // slice the pooled sketch when it covers this config; wider
+      // configs (none registered) fall back to a standalone sketch
+      val bkt =
+        if (bands <= SketchPoolBands) sketchPool(s, d, r).where(col("band") < bands)
+        else bandedBuckets(e, bands, r)
       // distinct BEFORE scoring: a pair sharing several bands must be
       // scored once, and the dedup key (vec_a, vec_b) is narrow
       val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))

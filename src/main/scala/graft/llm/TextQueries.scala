@@ -1241,6 +1241,116 @@ object TextQueries {
     bpeMergesR2Of(Tables.documents(s, d), k = 10)
   }
 
+  // ----------------------------------------------------------------
+  // Iterative BPE merge TABLE — the real trainer inner loop: n rounds
+  // of (count pairs → take rank-1 → replace with a fresh placeholder
+  // symbol → recount on the merged vocabulary). `_r2` pinned the
+  // single-step semantics; this is the loop that actually builds a
+  // tokenizer's merge list.
+  // ----------------------------------------------------------------
+
+  /** Placeholder alphabet for merged symbols: tokens are [a-z0-9]+,
+    * so uppercase letters can never collide with corpus text or each
+    * other. One letter per round (round i's merge target may itself
+    * contain earlier placeholders — replace() is literal, so nesting
+    * is exact).
+    */
+  private val BpePlaceholders = "ZYXWVUTSRQ".map(_.toString)
+
+  /** The n-round merge table `(round, pair, n_occ)`: for each round,
+    * the merge BPE performs (both symbols fully DECODED back through
+    * every earlier merge — `th+e`, never `Z+e`) and its corpus-weighted
+    * count at selection time. The whole loop stays on the
+    * vocabulary-bounded word-frequency frame: each round is one
+    * pair-explode + content-keyed aggregation over |vocab| rows, one
+    * |alphabet|²-bounded rank, and a 1-row broadcast merge — corpus
+    * row count never re-enters after the initial wf build, which is
+    * exactly how production BPE trainers scale (and why the loop is
+    * affordable at any corpus size: rounds × O(|vocab|), not
+    * rounds × O(corpus)).
+    *
+    * The decode is a pure column expression built by recursion over
+    * the accumulated 1-row merge frame: placeholder `P_i` expands to
+    * merge i's two symbols, themselves expanded — so the emitted table
+    * is directly the human-readable merge list a tokenizer ships.
+    */
+  private[graft] def bpeMergeTableOf(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= BpePlaceholders.size,
+      s"rounds must be in 1..${BpePlaceholders.size}: $rounds")
+    var wf = wordFreqDf(docs)
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (i <- 0 until rounds) {
+      val t = rankTopK(pairCountDf(wf), 1)
+        .select(col("pair").as(s"m$i"), col("n_occ").as(s"n$i"))
+      merges = if (merges == null) t else merges.crossJoin(broadcast(t))
+      wf = wf.crossJoin(broadcast(t.select(col(s"m$i"))))
+        .select(replace(col("word"), col(s"m$i"), lit(BpePlaceholders(i))).as("word"),
+          col("freq"))
+    }
+    // full expansion of merge i's output symbol (placeholder i):
+    // expand each of m_i's two chars through every EARLIER round
+    def expandChar(c: Column, upTo: Int): Column =
+      (0 until upTo).foldRight(c) { (j, els) =>
+        when(c === BpePlaceholders(j), expansion(j)).otherwise(els)
+      }
+    def expansion(i: Int): Column =
+      concat(expandChar(col(s"m$i").substr(1, 1), i),
+        expandChar(col(s"m$i").substr(2, 1), i))
+    (0 until rounds).map { i =>
+      merges.select(
+        lit((i + 1).toLong).as("round"),
+        concat(expandChar(col(s"m$i").substr(1, 1), i), lit("+"),
+          expandChar(col(s"m$i").substr(2, 1), i)).as("pair"),
+        col(s"n$i").as("n_occ"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The oracle twin: the same loop unrolled into generated CTEs —
+    * wf_i / c_i / t_i per round plus e_i expansion CTEs carrying the
+    * decoded text of each placeholder.
+    */
+  private def bpeMergeTableSql(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { i =>
+      val src = if (i == 0) "wf" else s"wf$i"
+      val next =
+        s"""${pairCountSql(src, s"c$i")},
+           |t$i AS (
+           |  SELECT pair AS m, n_occ FROM c$i ORDER BY n_occ DESC, pair LIMIT 1),
+           |wf${i + 1} AS (
+           |  SELECT replace(word, t$i.m, '${BpePlaceholders(i)}') AS word, freq
+           |  FROM $src, t$i)""".stripMargin
+      next
+    }.mkString(",\n")
+    def decChar(expr: String, upTo: Int): String =
+      if (upTo == 0) expr
+      else (0 until upTo).foldRight(expr) { (j, els) =>
+        s"CASE WHEN $expr = '${BpePlaceholders(j)}' THEN e$j.exp ELSE $els END"
+      }
+    val expCtes = (0 until rounds).map { i =>
+      val from = (s"t$i" +: (0 until i).map(j => s"e$j")).mkString(", ")
+      s"""e$i AS (
+         |  SELECT concat(${decChar(s"substr(t$i.m, 1, 1)", i)},
+         |                ${decChar(s"substr(t$i.m, 2, 1)", i)}) AS exp,
+         |         concat(${decChar(s"substr(t$i.m, 1, 1)", i)}, '+',
+         |                ${decChar(s"substr(t$i.m, 2, 1)", i)}) AS pair,
+         |         t$i.n_occ AS n_occ
+         |  FROM $from)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until rounds).map(i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS round, pair, n_occ FROM e$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wordFreqSql,
+       |$roundCtes,
+       |$expCtes
+       |$rows""".stripMargin
+  }
+
+  val bpeMergeTable: QueryDef = QueryDef.sql(
+    "x_bpe_merge_table", bpeMergeTableSql(rounds = 5)) { (s, d) =>
+    bpeMergeTableOf(Tables.documents(s, d), rounds = 5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(textStats, langId, langAudit, fingerprint, qualitySignals, winnowFingerprints,
       winnowFingerprintsW5, winnowPairs, ngramTopk, ngramTopkT3,
@@ -1248,5 +1358,5 @@ object TextQueries {
       tfidfTopk, tfidfTopkK5, skipgramTopk, skipgramTopkW2,
       vocabCoverage, vocabCoverageV20, tokenDrift, tokenDriftK25,
       ngramNovelty, ngramNoveltyK5, rarityProfile, rarityProfileT4,
-      pmiCollocations, pmiCollocationsM3, bpeMerges, bpeMergesR2)
+      pmiCollocations, pmiCollocationsM3, bpeMerges, bpeMergesR2, bpeMergeTable)
 }

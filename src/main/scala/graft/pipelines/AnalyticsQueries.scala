@@ -129,6 +129,62 @@ object AnalyticsQueries {
           .cast("long").as("p99_ok"))
   }
 
+  /** The SAMPLED evidence mode of [[approxProfile]] — the shape a
+    * 100 TB profiling job actually runs: sketches scan the FULL table
+    * (that's their whole point), but the exact calibration twins run
+    * on a deterministic 1-in-`m` sample keyed by the profiled key
+    * (`l_orderkey % m = 0`), so the evidence cost is 1/m of the data
+    * instead of two extra full-table distinct aggregations.
+    *
+    * What the sample can and cannot certify, deliberately encoded in
+    * the output: sampling BY the key gives an unbiased ×m estimator
+    * for THAT key's own cardinality (the keys ≡ 0 mod m are a 1/m
+    * slice of the key space) and for any value distribution
+    * (percentiles — rows land in the sample independently of price),
+    * so those three checks survive; the foreign-key distinct
+    * (l_partkey) does NOT scale by ×m under a sample keyed on
+    * l_orderkey (coupon-collector, not linear), so this mode drops
+    * that check rather than fake it. Tolerance stays 0.15: measured
+    * sample error here is ≤3% at the smallest SF and the HLL adds a
+    * few percent — the flag still fails on a broken sketch (or a
+    * broken sampler).
+    *
+    * The exact-evidence config ([[approxProfile]]) is unchanged — it
+    * remains the calibration query; this is the production profile.
+    */
+  val approxProfileSampled: QueryDef = QueryDef.sql(
+    "x_approx_profile_s20",
+    """WITH s AS (SELECT * FROM lineitem WHERE l_orderkey % 20 = 0)
+      |SELECT CAST(20 * count(DISTINCT l_orderkey) AS BIGINT) AS est_orders,
+      |       CAST(1 AS BIGINT) AS orders_ok,
+      |       CAST(1 AS BIGINT) AS p50_ok,
+      |       CAST(1 AS BIGINT) AS p99_ok
+      |FROM s""".stripMargin) { (s, d) =>
+    val tol = 0.15
+    val m = 20
+    val li = Tables.lineitem(s, d)
+    // full-scan sketch pass (the production cost) + sampled exact pass
+    // (1/m of the rows, ONE aggregation — the distinct is affordable
+    // in-sample), combined by a 1-row scalar cross-join
+    val sketches = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a_orders"),
+      expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
+      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"))
+    val sampled = li.where(col("l_orderkey") % m === 0).agg(
+      (countDistinct(col("l_orderkey")) * m).as("est_orders"),
+      expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
+      expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))
+    sketches.crossJoin(sampled)
+      .select(
+        col("est_orders"),
+        (abs(col("a_orders") - col("est_orders")) <= col("est_orders") * tol)
+          .cast("long").as("orders_ok"),
+        (abs(col("a_p50") - col("e_p50")) <= abs(col("e_p50")) * tol)
+          .cast("long").as("p50_ok"),
+        (abs(col("a_p99") - col("e_p99")) <= abs(col("e_p99")) * tol)
+          .cast("long").as("p99_ok"))
+  }
+
   /** As-of join: each click event enriched with the user's most
     * recent prior-or-simultaneous purchase (id/value), left-outer —
     * clicks with no prior purchase keep nulls. The Spark side is the
@@ -669,7 +725,8 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(rollup, pivotCounts, quantiles, approxProfile, asofJoin, asofNative,
+    Seq(rollup, pivotCounts, quantiles, approxProfile, approxProfileSampled,
+      asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
       transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2,
       retention, retentionW, gapHistogram, gapHistogramByType)

@@ -167,9 +167,16 @@ object NearDupIngest {
     */
   private[graft] val FpPfxChars = 1
 
-  private def pfxOf(c: org.apache.spark.sql.Column) = substring(c, 1, FpPfxChars)
+  private def pfxOf(c: org.apache.spark.sql.Column, p: Int) = substring(c, 1, p)
 
-  private[graft] def fpIdxDir(storeDir: String): String = s"$storeDir.fpidx-p$FpPfxChars"
+  /** The width is a STORE parameter (threaded from [[ingestBatch]] /
+    * [[start]], default [[FpPfxChars]]) and is baked into the index
+    * directory name, so stores laid out at different widths can never
+    * alias: a width change simply names a new index dir, and the next
+    * batch bootstraps it from the store (the documented repair path).
+    */
+  private[graft] def fpIdxDir(storeDir: String, p: Int = FpPfxChars): String =
+    s"$storeDir.fpidx-p$p"
   private[graft] def shIdxDir(storeDir: String, k: Int): String = s"$storeDir.shidx-k$k"
   private[graft] def pgIdxDir(storeDir: String, c: Int): String = s"$storeDir.pgidx-c$c"
   private[graft] def dfIdxDir(storeDir: String, k: Int): String = s"$storeDir.dfidx-k$k"
@@ -252,10 +259,11 @@ object NearDupIngest {
       .select(col("doc_id").cast("long").as("doc_id"),
         col("text").cast("string").as("text"))
 
-  private[graft] def ensureDocIdx(spark: SparkSession, storeDir: String, k: Int): Unit = {
-    ensureIdx(fpIdxDir(storeDir), partitionCols = Seq("pfx")) {
+  private[graft] def ensureDocIdx(spark: SparkSession, storeDir: String, k: Int,
+      fpPfx: Int = FpPfxChars): Unit = {
+    ensureIdx(fpIdxDir(storeDir, fpPfx), partitionCols = Seq("pfx")) {
       storeText(spark, storeDir).select(col("doc_id"), fp(col("text")).as("fp"))
-        .withColumn("pfx", pfxOf(col("fp")))
+        .withColumn("pfx", pfxOf(col("fp"), fpPfx))
     }
     ensureIdx(shIdxDir(storeDir, k)) { shingleDigests(storeText(spark, storeDir), k) }
     // Count side tables bootstrap from the shingle index (a ONE-TIME
@@ -336,7 +344,8 @@ object NearDupIngest {
   private[graft] def admitDocsFlow(spark: SparkSession, batch: DataFrame,
       storeDir: String, jaccardMin: Double, shingleK: Int, maxDf: Int,
       batchId: Long, pin: DataFrame => DataFrame,
-      gate: DataFrame => DataFrame = identity): DataFrame = {
+      gate: DataFrame => DataFrame = identity,
+      fpPfx: Int = FpPfxChars): DataFrame = {
     val docs = gate(normalizedDocs(batch))
     val batchIds = docs.select("doc_id")
     val shIdx = readIdx(spark, shIdxDir(storeDir, shingleK), shSchema)
@@ -360,8 +369,8 @@ object NearDupIngest {
     val keeper = Window.partitionBy("fp").orderBy("doc_id")
     val docsFp = docs.withColumn("fp", fp(col("text")))
       .withColumn("rn", row_number().over(keeper)).where(col("rn") === 1)
-    val hitRows = readPartIdx(spark, fpIdxDir(storeDir), fpSchema)
-      .join(docsFp.select(pfxOf(col("fp")).as("pfx"), col("fp")), Seq("pfx", "fp"), "left_semi")
+    val hitRows = readPartIdx(spark, fpIdxDir(storeDir, fpPfx), fpSchema)
+      .join(docsFp.select(pfxOf(col("fp"), fpPfx).as("pfx"), col("fp")), Seq("pfx", "fp"), "left_semi")
     val hitFps = hitRows.join(batchIds, Seq("doc_id"), "left_anti").select("fp")
     val exactNew = pin(docsFp.join(hitFps, Seq("fp"), "left_anti")
       .select("doc_id", "text", "fp"))
@@ -421,16 +430,19 @@ object NearDupIngest {
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
       batchId: Long, jaccardMin: Double = 0.8, shingleK: Int = 3,
-      maxDf: Int = 8, gate: DataFrame => DataFrame = identity): Long = {
+      maxDf: Int = 8, gate: DataFrame => DataFrame = identity,
+      fpPfx: Int = FpPfxChars): Long = {
     // -1 is the bootstrap sentinel in the df-partials table; a batch
     // claiming it would silently exclude the ENTIRE bootstrap from
     // the df probe (admission then over-drops) and corrupt future
     // replay exclusion with its own -1-tagged partial. foreachBatch
     // ids are always >= 0.
     require(batchId >= 0, s"batchId must be >= 0 (-1 is the bootstrap sentinel): $batchId")
-    ensureDocIdx(spark, storeDir, shingleK)
+    require(fpPfx >= 1 && fpPfx <= 8, s"fp prefix width must be 1..8 hex chars: $fpPfx")
+    ensureDocIdx(spark, storeDir, shingleK, fpPfx)
     val survivors = admitDocsFlow(spark, batch, storeDir, jaccardMin, shingleK,
-      maxDf, batchId, pin = _.localCheckpoint(false), gate = gate).localCheckpoint(false)
+      maxDf, batchId, pin = _.localCheckpoint(false), gate = gate,
+      fpPfx = fpPfx).localCheckpoint(false)
     // store first (see scaladoc: no-replay skew must fail toward a
     // future sweepable dup, never toward dropping novel content).
     // The count tables go LAST for the same reason: a crash between
@@ -440,8 +452,8 @@ object NearDupIngest {
     // doc.
     val n = appendIdempotent(spark, survivors.select("doc_id", "text"), storeDir, batchId)
     appendIdempotentPartitioned(spark,
-      survivors.select(col("doc_id"), col("fp"), pfxOf(col("fp")).as("pfx")),
-      fpIdxDir(storeDir), batchId)
+      survivors.select(col("doc_id"), col("fp"), pfxOf(col("fp"), fpPfx).as("pfx")),
+      fpIdxDir(storeDir, fpPfx), batchId)
     val shNew = shingleDigests(survivors, shingleK).localCheckpoint(false)
     appendIdempotent(spark, shNew, shIdxDir(storeDir, shingleK), batchId)
     appendIdempotent(spark,
@@ -640,6 +652,72 @@ object NearDupIngest {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Batch-mode corpus sweep — the maintenance pass every documented
+  // safe-direction skew points at ("dup admitted, swept later").
+  // ---------------------------------------------------------------
+
+  /** One-scan digest derivation for [[storeSweep]]: `(doc_id, fp, sid)`
+    * rows — the exact-dedup fingerprint carried THROUGH the shingle
+    * explode, so both digest families come out of a single pass over
+    * the store's text. Docs shorter than `k` tokens keep one
+    * null-`sid` row (they participate in exact dedup, and are out of
+    * near-dup candidate scope exactly like the batch family). Exposed
+    * separately so the spec can assert the plan scans the store
+    * exactly once.
+    */
+  private[graft] def sweepDigests(spark: SparkSession, storeDir: String,
+      k: Int): DataFrame = {
+    val toks = storeText(spark, storeDir).select(col("doc_id"),
+      fp(col("text")).as("fp"),
+      posexplode_outer(graft.llm.TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until k).map(o => lead("tok", o).over(w))
+    toks.select(col("doc_id"), col("fp"),
+        when(lead("tok", k - 1).over(w).isNotNull,
+          md5(concat_ws(" ", parts: _*))).as("sid"))
+      .distinct()
+  }
+
+  /** Audit sweep over the store itself — the batch-tier x_dedup_corpus
+    * decision run on the streaming store's compacted output, trusting
+    * NO index (a torn crash window means the indexes may be missing
+    * exactly the rows the sweep must find; the store text is the one
+    * source of truth). Reports every doc the batch dedup family would
+    * drop, with its reason:
+    *   - `exact_dup`: same normalized fingerprint as a lower-id doc;
+    *   - `near_dup`: verified rare-shingle Jaccard ≥ 0.8 against a
+    *     lower-id doc (the family's 5·overlap ≥ 4·union integer test,
+    *     df ≤ 8 candidates).
+    * On a store built by a clean (no-crash) ingest run the sweep
+    * returns EMPTY — admission already made these decisions per batch;
+    * anything it finds is a documented safe-skew admission.
+    *
+    * Scale shape: the sweep is the O(corpus) maintenance job, so one
+    * full text pass is its honest floor — and it takes exactly one:
+    * the digest frame is pinned (narrow (doc_id, fp, sid) rows) and
+    * every branch downstream is the digest-keyed x_dedup_corpus
+    * dataflow (fp window for exact; rare-candidate equi-join + exact
+    * verify for near). `NearDupIngestSpec` machine-asserts both halves
+    * (one store scan in the digest plan; zero in the sweep plan).
+    */
+  def storeSweep(spark: SparkSession, storeDir: String,
+      shingleK: Int = 3): DataFrame = {
+    val dg = sweepDigests(spark, storeDir, shingleK).localCheckpoint(false)
+    val fpTab = dg.groupBy("doc_id").agg(first("fp").as("fp"))
+    val exact = fpTab
+      .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+      .where(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), lit("exact_dup").as("reason"))
+    val posts = dg.where(col("sid").isNotNull).select("doc_id", "sid")
+    val near = graft.llm.DedupQueries.jaccardVerified(
+        graft.llm.DedupQueries.pairOverlaps(posts,
+          graft.llm.DedupQueries.rareShingleCandidates(posts)))
+      .select(col("doc_b").as("doc_id"), lit("near_dup").as("reason"))
+      .distinct()
+    exact.unionByName(near)
+  }
+
   /** The lazy passage-admission dataflow (see [[admitDocsFlow]] for
     * the pin/plan-test contract): batch chunks at fixed windows,
     * keep-first within the batch by (doc_id, chunk_id) over the
@@ -761,9 +839,11 @@ object NearDupIngest {
     */
   def start(spark: SparkSession, docs: DataFrame, storeDir: String,
       dupWindow: String = "1 hour", jaccardMin: Double = 0.8,
-      gate: DataFrame => DataFrame = identity): StreamingQuery =
+      gate: DataFrame => DataFrame = identity,
+      fpPfx: Int = FpPfxChars): StreamingQuery =
     startWith(docs, dupWindow) { (batch, batchId) =>
-      ingestBatch(spark, batch, storeDir, batchId, jaccardMin, gate = gate)
+      ingestBatch(spark, batch, storeDir, batchId, jaccardMin, gate = gate,
+        fpPfx = fpPfx)
       ()
     }
 }

@@ -413,6 +413,40 @@ class NearDupIngestSpec extends SparkSpec {
     assert(admitted2 == Set(10L), s"compacted-path probe admitted $admitted2")
   }
 
+  test("fp prefix width is a real store parameter: p=2 lays out 256-way, plans the same DPP subquery, admits identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graftnddpp2").resolve("t").toString
+    Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    NearDupIngest.ensureDocIdx(spark, dir, 3, fpPfx = 2)
+    // width is baked into the directory name — a p=2 store can never
+    // alias a p=1 index
+    assert(NearDupIngest.fpIdxDir(dir, 2).endsWith(".fpidx-p2"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(NearDupIngest.fpIdxDir(dir, 1))),
+      "p=2 bootstrap must not create the p=1 layout")
+    val leaves = fpLeaves(NearDupIngest.fpIdxDir(dir, 2))
+    assert(leaves.nonEmpty, "fp index is not pfx-partitioned at p=2")
+    assert(leaves.forall(l => l.getName.stripPrefix("pfx=").length == 2),
+      s"p=2 leaves must carry 2-hex-char prefixes: ${leaves.map(_.getName).toSeq}")
+    val batch = Seq(Doc(10, ts(0), tNovel), Doc(11, ts(1), t1)).toDF()
+    val flow = NearDupIngest.admitDocsFlow(spark, batch, dir,
+      jaccardMin = 0.8, shingleK = 3, maxDf = 8, batchId = 0, pin = identity,
+      fpPfx = 2)
+    val fpScanLines = flow.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains(".fpidx-p2")).toSeq
+    assert(fpScanLines.nonEmpty, "no p=2 fp-index scan in the admission plan")
+    assert(fpScanLines.exists(l =>
+        l.contains("dynamicpruningexpression(") && !l.contains("dynamicpruningexpression(true)")),
+      s"p=2 fp probe is not partition-pruned:\n${fpScanLines.mkString("\n")}")
+    val admitted = flow.select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(10L), s"p=2 probe admitted $admitted")
+    // end-to-end at p=2: ingest appends the survivor + its p=2 index
+    // rows, and an exact replay of the batch admits nothing
+    val n = NearDupIngest.ingestBatch(spark, batch, dir, batchId = 0, fpPfx = 2)
+    assert(n == 1L, s"p=2 ingest admitted $n rows")
+    assert(storeIds(dir) == Set(1L, 2L, 3L, 10L))
+    assert(NearDupIngest.ingestBatch(spark, batch, dir, batchId = 0, fpPfx = 2) == 1L &&
+      storeIds(dir) == Set(1L, 2L, 3L, 10L), "p=2 replay must converge")
+  }
+
   /** The pre-index formulation (full store-text rescan per batch),
     * kept as the equivalence oracle: the incremental-index ingest must
     * admit EXACTLY the docs this admits.
@@ -627,5 +661,88 @@ class NearDupIngestSpec extends SparkSpec {
     val n2 = NearDupIngest.ingestBatch(spark,
       Seq((22L, junk)).toDF("doc_id", "text"), dir, batchId = 1)
     assert(n2 == 1 && storeIds(dir) == Set(1L, 21L, 22L))
+  }
+
+  test("lifecycle: gated streaming store feeds the batch sweep — empty when clean, catches crash-window dups, funnel reconciles") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graftndlife").resolve("t").toString
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    // streaming tier: gopher gate at the edge, two micro-batches
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = d =>
+      d.join(llm.CurationQueries.gopherFilterDf(d,
+          minWords = 5, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.5)
+        .where(col("kept") === 1).select("doc_id"), "doc_id")
+    val junk = text((1 to 20).map(_ => "the"): _*)
+    val input = MemoryStream[Doc](spark)
+    val q = NearDupIngest.start(spark, input.toDF(), dir, gate = gate)
+    try {
+      // 10 novel; 11 exact dup of seed 1; 12 gate-rejected junk;
+      // 13 near-dup of seed 2
+      input.addData(Doc(10, ts(0), tNovel), Doc(11, ts(1), t1),
+        Doc(12, ts(2), junk), Doc(13, ts(3), t2near))
+      q.processAllAvailable()
+      // 20 novel; 21 near-dup of 10, which entered via batch 0
+      input.addData(Doc(20, ts(10), tNovel2), Doc(21, ts(11), tNovelNear))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(storeIds(dir) == Set(1L, 2L, 10L, 20L))
+    NearDupIngest.compactStoreAndIndexes(spark, dir)
+
+    // funnel ⟷ store reconciliation on the CLEAN run: every store row
+    // beyond the seed is a funnel admission
+    // the stream interleaves empty watermark-advance micro-batches
+    // ((id, 0, 0) rows) — the funnel records them faithfully; the
+    // data-carrying rows are the two real batches
+    val stats = NearDupIngest.ingestStats(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stats.collect { case (_, in, adm) if in > 0 => (in, adm) } ==
+      Set((4L, 1L), (2L, 1L)), s"funnel rows: $stats")
+    val admittedTotal = stats.toSeq.map(_._3).sum
+    assert(storeIds(dir).size == 2 + admittedTotal,
+      "clean run: store = seed + funnel admissions")
+
+    // batch tier over the streaming store's compacted output: a clean
+    // ingest left nothing for the sweep to find
+    assert(NearDupIngest.storeSweep(spark, dir).count() == 0L,
+      "sweep over a cleanly-ingested store must be empty")
+
+    // the sweep's one-scan contract, machine-checked on both halves:
+    // the digest derivation scans the store exactly once, and the
+    // sweep dataflow reads only the pinned digest frame
+    val digestStoreScans = scannedRoots(NearDupIngest.sweepDigests(spark, dir, 3))
+      .count(p => p == dir || p.startsWith(dir + "/"))
+    assert(digestStoreScans == 1,
+      s"digest derivation must scan the store exactly once, got $digestStoreScans")
+    val sweepStoreScans = scannedRoots(NearDupIngest.storeSweep(spark, dir))
+      .count(p => p == dir || p.startsWith(dir + "/"))
+    assert(sweepStoreScans == 0,
+      s"sweep must read store text only through the digest pin, got $sweepStoreScans scans")
+
+    // crash-window simulation: a batch's store append landed but the
+    // process died before ANY index append — the documented torn
+    // window whose skew direction is "dup admitted, swept later".
+    // 30 = exact dup of seed 1; 31 = near-dup of admitted doc 10.
+    val t10near = text(((1 to 19).map(i => s"delta$i") :+ "deltaY"): _*)
+    val scratch = java.nio.file.Files.createTempDirectory("graftndlifedup")
+    Seq((30L, t1), (31L, t10near)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$scratch/out")
+    val part = new java.io.File(s"$scratch/out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "ingest-99.parquet"))
+    assert(storeIds(dir) == Set(1L, 2L, 10L, 20L, 30L, 31L))
+
+    // the sweep finds EXACTLY the safe-skew admissions, with reasons —
+    // an exact dup is also a Jaccard-1.0 near dup, and the sweep
+    // reports both independently (x_dedup_corpus's union semantics)
+    val swept = NearDupIngest.storeSweep(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(swept == Set((30L, "exact_dup"), (30L, "near_dup"), (31L, "near_dup")),
+      s"sweep found: $swept")
+    // and the swept DOCS are exactly the rows the funnel cannot account for
+    assert(storeIds(dir).size - 2 - admittedTotal == swept.map(_._1).size,
+      "sweep must explain exactly the store rows the funnel did not admit")
   }
 }
