@@ -999,15 +999,13 @@ object DedupQueries {
     containmentFromOverlaps(rareOverlaps(s, d), num = 9, den = 10)
   }
 
-  /** The looser 0.7 threshold — a second solve point pinning that the
-    * cross-multiplied cut is a real parameter, and the setting that
-    * surfaces the partial-quotation tier (e.g. the long side of an
-    * expansion pair, contained only fractionally in the short side).
-    */
-  val containmentT7: QueryDef = QueryDef.sql(
-    "x_containment_t7", containmentSql(num = 7, den = 10)) { (s, d) =>
-    containmentFromOverlaps(rareOverlaps(s, d), num = 7, den = 10)
-  }
+  // The 0.7-threshold second config (x_containment_t7) was FOLDED in
+  // round 12 (registry hygiene): both threshold tiers — including the
+  // partial-quotation reverse tier only 0.7 surfaces — are pinned by
+  // LlmOpsSpec's containment test at 9/10 AND 7/10 on constructed
+  // nested docs, which pins the cross-multiplied cut as a real
+  // parameter equally well at a fraction of the gate/bench cost.
+  // containmentPairs keeps its (num, den) parameters.
 
   // ----------------------------------------------------------------
   // Edit-distance fuzzy dedup: LSH candidates → exact Levenshtein
@@ -1771,7 +1769,7 @@ object DedupQueries {
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
-      crossSourceOverlap, crossSourceOverlapC24, containment, containmentT7,
+      crossSourceOverlap, crossSourceOverlapC24, containment,
       clusterRep, clusterRepLen,
       editDedup, editDedupD20, dedupAgreement, clusterSizes,
       dupWeights, dupWeightsCap4, mirrorDocs, mirrorDocsRaw,

@@ -528,6 +528,53 @@ object NearDupIngest {
   def ingestAlarms(spark: SparkSession, storeDir: String): DataFrame =
     ingestAlarms(ingestStats(spark, storeDir))
 
+  private[graft] def alarmsDir(storeDir: String): String = storeDir + ".alarms"
+
+  /** The scheduled consumer [[ingestAlarms]] exists to feed: a
+    * Structured Streaming monitor that TAILS the funnel table (each
+    * ingest batch lands as one new stats file — exactly what a file
+    * source incrementalizes over), classifies each new row, and
+    * appends the FLAGGED rows to the queryable `<store>.alarms` table
+    * under the same idempotent single-file-per-batch protocol as
+    * every other side table (so a monitor-batch replay can never
+    * double an alarm row, and [[compactStoreAndIndexes]] folds the
+    * accretion). `alarmLog` reads the result; an operator pages on
+    * its rows, each carrying the full evidence (batch, counts, rate,
+    * class).
+    *
+    * Scale shape: the source is the |batches|-row stats table and the
+    * state is the file-source's seen-files log — monitoring-cost.
+    * The stats directory must exist (seed the store with one ingest
+    * batch, or create it) before the monitor starts: a file source
+    * resolves its path eagerly.
+    */
+  def startAlarmMonitor(spark: SparkSession, storeDir: String,
+      minRateNum: Int = 1, minRateDen: Int = 20,
+      maxRateNum: Int = 1, maxRateDen: Int = 1,
+      minIn: Long = 100L): StreamingQuery = {
+    val schema = StructType.fromDDL("batch_id BIGINT, n_in BIGINT, n_admitted BIGINT")
+    val stats = spark.readStream.schema(schema).parquet(statsDir(storeDir))
+    ingestAlarms(stats, minRateNum, minRateDen, maxRateNum, maxRateDen, minIn)
+      .where(col("alarm").isNotNull)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, monitorBatchId: Long) =>
+        appendIdempotent(spark, batch, alarmsDir(storeDir), monitorBatchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The queryable alarm table the monitor maintains — empty (with
+    * the right schema) when no alarm has ever fired.
+    */
+  def alarmLog(spark: SparkSession, storeDir: String): DataFrame = {
+    val schema = StructType.fromDDL(
+      "batch_id BIGINT, n_in BIGINT, n_admitted BIGINT, rate DOUBLE, alarm STRING")
+    if (Files.exists(Paths.get(alarmsDir(storeDir)))) readIdx(spark, alarmsDir(storeDir), schema)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Idempotent single-file append into `dir`: the batch lands as ONE
     * file named by its batchId via atomic rename-replace, so a
     * foreachBatch replay overwrites its own previous attempt and rows
@@ -627,7 +674,7 @@ object NearDupIngest {
     // whole sweep when compactParquet rejects the subdirectory — and
     // an unluckily-named sibling store (`t.fpidxfoo`) must never be
     // swept by `t`'s maintenance.
-    val exact = Set(name + ".stats")
+    val exact = Set(name + ".stats", name + ".alarms")
     val parameterized =
       Seq(".fpidx-p", ".shidx-k", ".pgidx-c", ".dfidx-k", ".cntidx-k").map(name + _)
     def ours(n: String): Boolean =

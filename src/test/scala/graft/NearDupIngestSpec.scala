@@ -745,4 +745,48 @@ class NearDupIngestSpec extends SparkSpec {
     assert(storeIds(dir).size - 2 - admittedTotal == swept.map(_._1).size,
       "sweep must explain exactly the store rows the funnel did not admit")
   }
+
+  test("alarm monitor tails the funnel and materializes flagged batches into a queryable log") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndalarm").resolve("t").toString
+    Seq((1L, t1), (2L, t2)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+
+    // batch 0: all-novel => rate 1.0 (full_admission at minIn=2 —
+    // the broken-index signature); the stats file it writes also
+    // creates the directory the monitor tails
+    val novel3 = Seq((10L, tNovel), (11L, tNovel2),
+      (12L, text((1 to 20).map(i => s"golf$i"): _*)))
+    assert(NearDupIngest.ingestBatch(spark, novel3.toDF("doc_id", "text"), dir, batchId = 0) == 3L)
+
+    val q = NearDupIngest.startAlarmMonitor(spark, dir, minIn = 2L)
+    try {
+      q.processAllAvailable()
+      // batch 1: all dups of batch 0 => rate 0 (low_admission);
+      // batch 2: mixed (1 novel, 1 dup) => rate 0.5, NO alarm
+      assert(NearDupIngest.ingestBatch(spark,
+        Seq((20L, tNovel), (21L, tNovel2)).toDF("doc_id", "text"), dir, batchId = 1) == 0L)
+      assert(NearDupIngest.ingestBatch(spark,
+        Seq((30L, text((1 to 20).map(i => s"hotel$i"): _*)), (31L, t1))
+          .toDF("doc_id", "text"), dir, batchId = 2) == 1L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val log = NearDupIngest.alarmLog(spark, dir)
+      .select("batch_id", "n_in", "n_admitted", "alarm")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(log == Set(
+      (0L, 3L, 3L, "full_admission"),
+      (1L, 2L, 0L, "low_admission")), s"alarm log: $log")
+
+    // maintenance folds the alarm accretion like every other side
+    // table, and folding never changes what the log reads back
+    NearDupIngest.compactStoreAndIndexes(spark, dir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        NearDupIngest.alarmsDir(dir), Compaction.ManifestName)),
+      "maintenance must fold the alarms table")
+    val after = NearDupIngest.alarmLog(spark, dir)
+      .select("batch_id", "n_in", "n_admitted", "alarm")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(after == log, "compaction changed the alarm log")
+  }
 }

@@ -84,7 +84,14 @@ class PlanAuditSpec extends SparkSpec {
     // x_source_sketch_sim(_p16): |sources|² sketch-pair matrix — the
     // inequality join runs over one sketch row per SOURCE (catalog-
     // bounded, broadcast), never over docs or postings
-    "x_source_sketch_sim", "x_source_sketch_sim_p16")
+    "x_source_sketch_sim", "x_source_sketch_sim_p16",
+    // x_approx_profile_s20: the x_approx_profile 1-row×1-row scalar
+    // cross-join, combining the full-scan sketch pass with the
+    // sampled exact pass
+    "x_approx_profile_s20",
+    // x_bpe_merge_table: x_bpe_merges_r2's 1-row rank-1-merge scalar
+    // broadcast, once per round against the vocabulary frame
+    "x_bpe_merge_table")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
