@@ -104,7 +104,8 @@ object Bench {
       "cc_build" -> (() => { llm.DedupQueries.ccLabels(spark, sfDir).count(); () }),
       "knn_sketch_build" -> (() => { llm.SimilarityQueries.knnSketchDf(spark, sfDir).count(); () }),
       "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
-      "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }))
+      "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }),
+      "bpe_build" -> (() => { llm.TextQueries.bpeBuildDf(spark, sfDir).count(); () }))
     // Build lines carry per-entry loadavg exactly like registry
     // queries, so `query_loadavg` is keyed identically to `queries`
     // (r11's artifacts omitted the build lines from the load map).

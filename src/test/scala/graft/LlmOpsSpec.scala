@@ -1083,6 +1083,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(r2 == Set(("aa+a", 3L, 1L), ("a+b", 1L, 2L)))
   }
 
+  test("bpe merge table: three hand-derived rounds — the from-scratch recount pin") {
+    // vocab: aaab×3 (2 in s1 + 1 in s2), cd×1.
+    // round 1: 'aa' 2 positions × 3 = 6 (vs 'ab' 3, 'cd' 1) -> merge aa
+    // round 2 on {Zab×3, cd}: 'Za'=3 ties 'ab'=3, 'Z' sorts first -> Za
+    // round 3 on {Yb×3, cd}: 'Yb'=3 -> merge, decoded aaa+b
+    val docs = Seq((1L, "s1", "aaab aaab"), (2L, "s2", "aaab cd"))
+      .toDF("doc_id", "source", "text")
+    val table = llm.TextQueries.bpeMergeTableOf(docs, rounds = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(table == Set((1L, "a+a", 6L), (2L, "aa+a", 3L), (3L, "aaa+b", 3L)))
+  }
+
+  test("bpe encode: per-source symbol mass under the trained merges") {
+    // after 2 rounds (aa->Z, Za->Y): aaab encodes to Yb (2 symbols),
+    // cd stays cd. s1 = 2×aaab: 8 chars -> 4 symbols (q=500000);
+    // s2 = aaab+cd: 6 chars -> 4 symbols (q=666666)
+    val docs = Seq((1L, "s1", "aaab aaab"), (2L, "s2", "aaab cd"))
+      .toDF("doc_id", "source", "text")
+    val got = llm.TextQueries.bpeEncodeOf(docs, rounds = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s1", 8L, 4L, 500000L), ("s2", 6L, 4L, 666666L)))
+  }
+
   test("mirror docs: only cross-source groups; raw config splits whitespace variants") {
     val docs = Seq(
       (1L, "a  b", "s1"), (2L, "a b", "s2"), (3L, "a b", "s1"),

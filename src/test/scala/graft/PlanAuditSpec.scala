@@ -89,9 +89,11 @@ class PlanAuditSpec extends SparkSpec {
     // cross-join, combining the full-scan sketch pass with the
     // sampled exact pass
     "x_approx_profile_s20",
-    // x_bpe_merge_table: x_bpe_merges_r2's 1-row rank-1-merge scalar
-    // broadcast, once per round against the vocabulary frame
-    "x_bpe_merge_table")
+    // x_bpe_merge_table / x_bpe_encode: x_bpe_merges_r2's 1-row
+    // rank-1-merge scalar broadcast, once per round against the
+    // vocabulary frame (encode additionally broadcasts the 1-row
+    // trained-merges frame against the distinct vocab)
+    "x_bpe_merge_table", "x_bpe_encode")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
