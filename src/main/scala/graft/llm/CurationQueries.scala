@@ -1510,6 +1510,69 @@ object CurationQueries {
     dataCardDf(s, d, minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
   }
 
+  /** Budget-constrained source-mix solve — the DECISION the data card
+    * exists to inform: rank sources by Gopher pass rate (quality
+    * first, source name as the total-order tie-break), then greedily
+    * allocate a token budget (here: half the corpus's total
+    * duplication-discounted effective mass, so the target is
+    * scale-invariant) down the ranking. Each source contributes
+    * `alloc_q = clamp(budget − taken_by_better_sources, 0,
+    * eff_tokens_q)` — full takes at the top, one partial take at the
+    * boundary, zeros below — plus the per-source take fraction a
+    * sampler would apply. This is the greedy knapsack a mix owner
+    * actually ships when quality is the ranking signal and token mass
+    * is the constraint; x_mix_weights is the unconstrained
+    * (rebalance-to-target) counterpart.
+    *
+    * Scale shape: everything after the card is windows and one 1-row
+    * budget broadcast over the |sources|-row frame — catalog-bounded,
+    * like the card itself. All allocations are exact integer
+    * arithmetic on the quantized token masses.
+    */
+  private[graft] def mixAllocFrom(card: DataFrame): DataFrame = {
+    val ranked = card
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gopher_pass_q").desc, col("source"))).cast("long"))
+      // rows = |sources|: bounded unpartitioned window, see scaladoc
+      .withColumn("taken_q", coalesce(
+        sum("eff_tokens_q").over(Window.orderBy("rk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val budget = card.agg(expr("sum(eff_tokens_q) div 2").as("budget_q"))
+    ranked.crossJoin(broadcast(budget))
+      .withColumn("alloc_q",
+        greatest(lit(0L), least(col("eff_tokens_q"), col("budget_q") - col("taken_q"))))
+      .select(col("source"), col("rk"), col("gopher_pass_q"), col("eff_tokens_q"),
+        col("alloc_q"),
+        coalesce(expr("alloc_q * 1000000 div nullif(eff_tokens_q, 0)"), lit(0L))
+          .as("take_frac_q"))
+  }
+
+  private def mixSolveSql(minWords: Int, maxWords: Int,
+      minDistinct: Double, maxTop2: Double): String =
+    s"""WITH card AS (
+       |${dataCardSql(minWords, maxWords, minDistinct, maxTop2)}),
+       |r AS (
+       |  SELECT source, gopher_pass_q, eff_tokens_q,
+       |         CAST(row_number() OVER (ORDER BY gopher_pass_q DESC, source) AS BIGINT) AS rk
+       |  FROM card),
+       |c AS (
+       |  SELECT *, CAST(coalesce(sum(eff_tokens_q) OVER (
+       |    ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS taken_q
+       |  FROM r),
+       |b AS (SELECT CAST(sum(eff_tokens_q) // 2 AS BIGINT) AS budget_q FROM card)
+       |SELECT c.source, c.rk, c.gopher_pass_q, c.eff_tokens_q,
+       |       CAST(greatest(0, least(c.eff_tokens_q, b.budget_q - c.taken_q)) AS BIGINT) AS alloc_q,
+       |       CAST(coalesce(greatest(0, least(c.eff_tokens_q, b.budget_q - c.taken_q)) * 1000000
+       |            // nullif(c.eff_tokens_q, 0), 0) AS BIGINT) AS take_frac_q
+       |FROM c, b""".stripMargin
+
+  val mixSolve: QueryDef = QueryDef.sql(
+    "x_mix_solve",
+    mixSolveSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)) { (s, d) =>
+    mixAllocFrom(dataCardDf(s, d, minWords = 20, maxWords = 100000,
+      minDistinct = 0.30, maxTop2 = 0.10))
+  }
+
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
       redact, decontaminate, decontaminateFrac, decontaminateBloom,
@@ -1518,5 +1581,5 @@ object CurationQueries {
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
       shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
       curriculum, curriculumW2, packAudit, packAuditB4000,
-      sourceFunnel, sourceFunnelStrict, dataCard, dataCardStrict)
+      sourceFunnel, sourceFunnelStrict, dataCard, dataCardStrict, mixSolve)
 }

@@ -240,4 +240,27 @@ class CurationSpec extends SparkSpec {
       .select("pos").as[Long].collect().sorted
     assert(pos.toSeq == (1L to 100L))
   }
+
+  test("mix solve: greedy quality-ranked allocation with one partial take at the budget boundary") {
+    import spark.implicits._
+    // total effective mass 200 → budget 100. Quality rank: a, c, b.
+    // a takes its full 60; c gets the remaining 40 of its 70 (partial,
+    // frac 40e6/70 = 571428); b is below the boundary and takes 0.
+    val card = Seq(
+      ("a", 900000L, 60L), ("b", 500000L, 70L), ("c", 700000L, 70L)
+    ).toDF("source", "gopher_pass_q", "eff_tokens_q")
+    val got = CurationQueries.mixAllocFrom(card)
+      .select("source", "rk", "alloc_q", "take_frac_q")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 60L, 1000000L),
+      ("c", 2L, 40L, 571428L),
+      ("b", 3L, 0L, 0L)))
+    // a zero-mass source allocates 0 with a deterministic 0 fraction
+    val z = CurationQueries.mixAllocFrom(
+        Seq(("z", 999999L, 0L), ("y", 1L, 10L)).toDF("source", "gopher_pass_q", "eff_tokens_q"))
+      .select("source", "alloc_q", "take_frac_q")
+      .as[(String, Long, Long)].collect().toSet
+    assert(z == Set(("z", 0L, 0L), ("y", 5L, 500000L)))
+  }
 }

@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpec {
     // rank-1-merge scalar broadcast, once per round against the
     // vocabulary frame (encode additionally broadcasts the 1-row
     // trained-merges frame against the distinct vocab)
-    "x_bpe_merge_table", "x_bpe_encode")
+    "x_bpe_merge_table", "x_bpe_encode",
+    // x_mix_solve: 1-row budget scalar broadcast against the
+    // |sources|-row card frame (the x_approx_profile scalar pattern)
+    "x_mix_solve")
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
