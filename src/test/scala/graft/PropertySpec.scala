@@ -138,6 +138,44 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("rare-overlap near-dup pairs equal a brute-force scala reference on random corpora") {
+    // docs drawn from a tiny vocabulary so near-dups, exact dups, AND
+    // df-capped common shingles all occur; the reference mirrors the
+    // family's candidate contract exactly (a pair sharing ONLY
+    // df > 8 shingles is out of scope on both sides)
+    val genDoc = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(12, genDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+        .toDF("doc_id", "text")
+      val post = graft.llm.TextOps.shinglePostings(docs, 3)
+        .withColumnRenamed("shingle", "sid")
+      val got = graft.llm.DedupQueries.jaccardVerified(
+          graft.llm.DedupQueries.pairOverlaps(post,
+            graft.llm.DedupQueries.rareShingleCandidates(post)))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // reference: distinct trigram sets, df over docs, rare-candidate
+      // scope, exact overlap/union threshold 5·ov >= 4·union
+      val sh: Map[Long, Set[String]] = texts.zipWithIndex.map { case (t, i) =>
+        val ts = t.split(" ").filter(_.nonEmpty).toVector
+        (i.toLong + 1) -> (0 to ts.length - 3).map(j => ts.slice(j, j + 3).mkString(" ")).toSet
+      }.toMap
+      val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val ids = sh.keys.toSeq.sorted
+      val ref = (for {
+        a <- ids; b <- ids if a < b
+        shared = sh(a) intersect sh(b)
+        if shared.exists(s => df(s) <= 8)
+        ov = shared.size.toLong
+        na = sh(a).size.toLong; nb = sh(b).size.toLong
+        if 5 * ov >= 4 * (na + nb - ov)
+      } yield (a, b) -> ((ov, na, nb))).toMap
+      got == ref
+    }, n = 8)
+  }
+
   test("ngram topk equals a brute-force scala reference on random corpora") {
     val genDoc = Gen.choose(0, 10).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
