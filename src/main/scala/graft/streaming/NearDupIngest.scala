@@ -765,6 +765,32 @@ object NearDupIngest {
     exact.unionByName(near)
   }
 
+  /** [[storeSweep]]'s passage-granular sibling for stores built by
+    * [[startPassage]]: re-chunk the store's text at the ingest's
+    * window width and report every chunk occurrence that is not the
+    * corpus-wide FIRST holder of its digest (first = min (doc_id,
+    * chunk_id), the admission's own keep-first rule). A clean passage
+    * ingest admits each passage exactly once — rebuilding documents
+    * from surviving full-width chunks re-chunks to exactly the
+    * admitted set — so anything the sweep finds is a crash-window
+    * admission (store append landed, passage-index append lost, a
+    * later batch re-admitted the passage under another doc).
+    *
+    * One text scan, then a digest-keyed window over the chunk rows —
+    * the same O(corpus) maintenance floor as the doc-level sweep.
+    */
+  def passageSweep(spark: SparkSession, storeDir: String,
+      chunkTokens: Int = 16): DataFrame = {
+    val ch = graft.llm.CurationQueries
+      .chunkDf(storeText(spark, storeDir), chunkTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("pg"))
+    ch.withColumn("rn", row_number().over(
+        Window.partitionBy("pg").orderBy("doc_id", "chunk_id")))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("chunk_id"), col("pg"),
+        lit("dup_passage").as("reason"))
+  }
+
   /** The lazy passage-admission dataflow (see [[admitDocsFlow]] for
     * the pin/plan-test contract): batch chunks at fixed windows,
     * keep-first within the batch by (doc_id, chunk_id) over the

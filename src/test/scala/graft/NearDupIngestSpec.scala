@@ -238,16 +238,27 @@ class NearDupIngestSpec extends SparkSpec {
   // Incremental index side tables
   // ---------------------------------------------------------------
 
-  /** Root paths of every file-source scan in the (lazy) plan. */
-  private def scannedRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+  /** Per-scan root-path lists of every file-source scan in the (lazy)
+    * plan — one inner Seq per scan NODE (a manifest read lists its
+    * live files as multiple roots of ONE scan).
+    */
+  private def scannedRootNodes(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.map(p => p.toUri.getPath)
+            fs.location.rootPaths.map(p => p.toUri.getPath).toSeq
           case _ => Seq.empty[String]
         }
-    }.flatten
+    }
+
+  /** Root paths of every file-source scan in the (lazy) plan. */
+  private def scannedRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    scannedRootNodes(df).flatten
+
+  /** Number of scan NODES reading under `dir`. */
+  private def storeScanNodes(df: org.apache.spark.sql.DataFrame, dir: String): Int =
+    scannedRootNodes(df).count(_.exists(p => p == dir || p.startsWith(dir + "/")))
 
   /** "No O(index) per batch" plan calculus: walk the optimized plan
     * upward from every index-directory scan; a scan stops being
@@ -711,12 +722,10 @@ class NearDupIngestSpec extends SparkSpec {
     // the sweep's one-scan contract, machine-checked on both halves:
     // the digest derivation scans the store exactly once, and the
     // sweep dataflow reads only the pinned digest frame
-    val digestStoreScans = scannedRoots(NearDupIngest.sweepDigests(spark, dir, 3))
-      .count(p => p == dir || p.startsWith(dir + "/"))
+    val digestStoreScans = storeScanNodes(NearDupIngest.sweepDigests(spark, dir, 3), dir)
     assert(digestStoreScans == 1,
       s"digest derivation must scan the store exactly once, got $digestStoreScans")
-    val sweepStoreScans = scannedRoots(NearDupIngest.storeSweep(spark, dir))
-      .count(p => p == dir || p.startsWith(dir + "/"))
+    val sweepStoreScans = storeScanNodes(NearDupIngest.storeSweep(spark, dir), dir)
     assert(sweepStoreScans == 0,
       s"sweep must read store text only through the digest pin, got $sweepStoreScans scans")
 
@@ -744,6 +753,40 @@ class NearDupIngestSpec extends SparkSpec {
     // and the swept DOCS are exactly the rows the funnel cannot account for
     assert(storeIds(dir).size - 2 - admittedTotal == swept.map(_._1).size,
       "sweep must explain exactly the store rows the funnel did not admit")
+  }
+
+  test("passage sweep: empty over a clean passage store; catches a crash-window re-admission") {
+    val dir = java.nio.file.Files.createTempDirectory("graftndpsweep").resolve("t").toString
+    Seq((1L, s"$pA $pB")).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    Compaction.compactParquet(spark, dir)
+    // batch 0: doc 10 arrives as pA+pC — pA is recycled, only pC is
+    // admitted and doc 10 is REBUILT as just pC
+    assert(NearDupIngest.ingestPassageBatch(spark,
+      Seq((10L, s"$pA $pC")).toDF("doc_id", "text"), dir, batchId = 0) == 1L)
+    assert(storeTexts(dir) == Map(1L -> s"$pA $pB", 10L -> pC))
+
+    // a clean ingest admitted each passage exactly once
+    assert(NearDupIngest.passageSweep(spark, dir).count() == 0L,
+      "sweep over a cleanly-ingested passage store must be empty")
+    // one text scan, structurally (the manifest read lists its live
+    // files as multiple roots of that ONE scan)
+    val sweepScans = storeScanNodes(NearDupIngest.passageSweep(spark, dir), dir)
+    assert(sweepScans == 1, s"passage sweep must scan the store once, got $sweepScans")
+
+    // crash window: doc 30's store append landed carrying pA again,
+    // but the passage-index append was lost — the next sweep finds the
+    // re-admitted passage (doc 1 chunk 0 is the first holder)
+    val scratch = java.nio.file.Files.createTempDirectory("graftndpsweepdup")
+    Seq((30L, s"$pA $pE")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$scratch/out")
+    val part = new java.io.File(s"$scratch/out").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "ingest-99.parquet"))
+    val swept = NearDupIngest.passageSweep(spark, dir)
+      .select("doc_id", "chunk_id", "reason")
+      .as[(Long, Long, String)].collect().toSet
+    assert(swept == Set((30L, 0L, "dup_passage")), s"passage sweep found: $swept")
   }
 
   test("alarm monitor tails the funnel and materializes flagged batches into a queryable log") {
