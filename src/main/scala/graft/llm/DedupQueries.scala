@@ -495,6 +495,78 @@ object DedupQueries {
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
   }
 
+  /** INCREMENTAL cluster-labeling refresh — the operation a daily
+    * corpus build actually runs when a delta arrives (here: the
+    * doc_id % 10 = 0 slice, the family's delta convention): the
+    * published labeling of the existing corpus is NOT recomputed;
+    * instead the delta's pairs are contracted onto it through a
+    * QUOTIENT graph whose nodes are published cluster labels plus the
+    * delta's doc ids. The expensive iterative CC then runs only on
+    * that quotient — its size is bounded by the delta's pair fan-out
+    * (affected components + delta docs), not the corpus. Because a
+    * published label is the min doc_id of its component and delta
+    * nodes enter as raw ids, the quotient's min-label IS the
+    * full-graph min-label, so the refreshed labeling hash-matches the
+    * same recursive-closure oracle as x_dedup_clusters — the FOURTH
+    * independent formulation on that oracle (min-label propagation,
+    * star contraction, recursive closure, incremental contraction).
+    *
+    * Pair mining stays corpus-level (the shared [[rareOverlaps]]
+    * artifact — candidate df is a corpus property); what is
+    * incremental is the LABELING, which is the iterative part. The
+    * base labeling is derived here for self-containment (a production
+    * refresh reads it); it is the same plan x_dedup_clusters runs,
+    * minus the delta.
+    */
+  val ccIncremental: QueryDef = QueryDef.sql(
+    "x_cc_incremental", clustersOracle) { (s, d) =>
+    ccIncrementalFrom(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d),
+      c => c % 10 === 0)
+  }
+
+  /** The incremental-contraction core (docs/pairs/delta-predicate form
+    * so the quotient mechanics are unit-testable on constructed
+    * graphs — including the case where one delta doc MERGES two
+    * published components).
+    */
+  private[graft] def ccIncrementalFrom(docs: DataFrame, pairs: DataFrame,
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val basePairs = pairs.where(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
+    val deltaPairs = pairs.where(isDelta(col("doc_a")) || isDelta(col("doc_b")))
+      .localCheckpoint(false) // read by the key mapping AND the node set
+    val baseLab = graft.operators.ConnectedComponents
+      .components(docs.where(!isDelta(col("doc_id"))), basePairs)
+      .localCheckpoint(false) // published labeling: three consumers below
+    // endpoint → super-node key: a base doc contracts to its published
+    // label; a delta doc enters as itself
+    def key(endpoint: String) =
+      coalesce(col(s"lab_$endpoint"), col(endpoint))
+    val qEdges = deltaPairs
+      .join(baseLab.select(col("doc_id").as("ba"), col("cluster_id").as("lab_doc_a")),
+        col("doc_a") === col("ba"), "left")
+      .join(baseLab.select(col("doc_id").as("bb"), col("cluster_id").as("lab_doc_b")),
+        col("doc_b") === col("bb"), "left")
+      .select(key("doc_a").as("doc_a"), key("doc_b").as("doc_b"))
+    val qNodes = qEdges.select(col("doc_a").as("doc_id"))
+      .unionAll(qEdges.select(col("doc_b").as("doc_id")))
+      .unionAll(docs.where(isDelta(col("doc_id"))))
+      .distinct()
+    val qLab = graft.operators.ConnectedComponents.components(qNodes, qEdges)
+      .select(col("doc_id").as("qkey"), col("cluster_id").as("qlab"))
+    // refreshed labeling: base docs remap through their label's
+    // quotient component (untouched labels pass through); delta docs
+    // read the quotient directly (pair-free deltas label themselves)
+    val baseOut = baseLab
+      .join(qLab, col("cluster_id") === col("qkey"), "left")
+      .select(col("doc_id"), coalesce(col("qlab"), col("cluster_id")).as("cluster_id"))
+    val deltaOut = docs.where(isDelta(col("doc_id")))
+      .join(qLab, col("doc_id") === col("qkey"), "left")
+      .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
+    baseOut.unionAll(deltaOut)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+  }
+
   /** Best-representative selection per near-dup cluster — the cluster
     * labeling CONSUMED by the decision production dedup actually
     * ships: instead of the min-id keeper, each cluster keeps its
@@ -1766,7 +1838,8 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, minhashSignature, minhashLshPairs,
+    Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, ccIncremental,
+      minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
       crossSourceOverlap, crossSourceOverlapC24, containment,

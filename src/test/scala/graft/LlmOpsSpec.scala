@@ -1095,6 +1095,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(table == Set((1L, "a+a", 6L), (2L, "aa+a", 3L), (3L, "aaa+b", 3L)))
   }
 
+  test("cc incremental: a delta doc merges two published components through the quotient") {
+    // published components over base docs {1,2} and {3,4} (labels 1, 3);
+    // delta doc 10 pairs with 2 AND 3 -> everything merges to label 1.
+    // Delta doc 20 pairs only with 21 (delta-delta), label 20; delta
+    // doc 30 is pair-free and labels itself.
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 20L, 21L, 30L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 10L), (10L, 3L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = llm.DedupQueries.ccIncrementalFrom(docs, pairs, c => c >= 10)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("bpe encode: per-source symbol mass under the trained merges") {
     // after 2 rounds (aa->Z, Za->Y): aaab encodes to Yb (2 symbols),
     // cd stays cd. s1 = 2×aaab: 8 chars -> 4 symbols (q=500000);
