@@ -530,7 +530,17 @@ object DedupQueries {
     * published components).
     */
   private[graft] def ccIncrementalFrom(docs: DataFrame, pairs: DataFrame,
-      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    ccRefreshFrom(docs, pairs, isDelta)._2
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+
+  /** The (published base labeling, refreshed full labeling) pair the
+    * incremental contraction produces — exposed so the churn diff can
+    * consume both sides of the refresh.
+    */
+  private def ccRefreshFrom(docs: DataFrame, pairs: DataFrame,
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val basePairs = pairs.where(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
     val deltaPairs = pairs.where(isDelta(col("doc_a")) || isDelta(col("doc_b")))
       .localCheckpoint(false) // read by the key mapping AND the node set
@@ -562,9 +572,51 @@ object DedupQueries {
     val deltaOut = docs.where(isDelta(col("doc_id")))
       .join(qLab, col("doc_id") === col("qkey"), "left")
       .select(col("doc_id"), coalesce(col("qlab"), col("doc_id")).as("cluster_id"))
-    baseOut.unionAll(deltaOut)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    (baseLab, baseOut.unionAll(deltaOut))
+  }
+
+  /** Cluster-membership CHURN across the incremental refresh — the
+    * diff table a daily build publishes beside the new labeling so
+    * downstream consumers (split assignments, cluster reps, sampling
+    * weights) know exactly which documents to re-evaluate. One row per
+    * affected doc: delta docs are `new` (old_cluster NULL — they had
+    * no published label); base docs appear only when the delta's
+    * contraction MOVED their component (`moved`, old and new labels
+    * both carried). Unchanged docs are absent — churn volume is
+    * bounded by the delta's fan-out, which is the whole point of the
+    * incremental path.
+    *
+    * Oracle: two independent recursive closures (full graph vs the
+    * base-only edge restriction) diffed — the engine's contraction
+    * never appears in the oracle's formulation.
+    */
+  val clusterChurn: QueryDef = QueryDef.sql(
+    "x_cluster_churn",
+    s"""WITH RECURSIVE $clusterCtes,
+       |edges_b AS (
+       |  SELECT a, b FROM edges WHERE a % 10 != 0 AND b % 10 != 0),
+       |reach_b(doc, r) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 != 0
+       |  UNION
+       |  SELECT reach_b.doc, e.b FROM reach_b JOIN edges_b e ON reach_b.r = e.a),
+       |lab_b AS (SELECT doc, CAST(min(r) AS BIGINT) AS old_cluster FROM reach_b GROUP BY doc)
+       |SELECT l.doc AS doc_id, b.old_cluster, l.cluster_id AS new_cluster,
+       |       CASE WHEN b.old_cluster IS NULL THEN 'new' ELSE 'moved' END AS status
+       |FROM lab l LEFT JOIN lab_b b ON l.doc = b.doc
+       |WHERE b.old_cluster IS NULL OR b.old_cluster != l.cluster_id""".stripMargin) { (s, d) =>
+    clusterChurnFrom(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d),
+      c => c % 10 === 0)
+  }
+
+  private[graft] def clusterChurnFrom(docs: DataFrame, pairs: DataFrame,
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val (baseLab, refreshed) = ccRefreshFrom(docs, pairs, isDelta)
+    refreshed
+      .join(baseLab.select(col("doc_id").as("bid"), col("cluster_id").as("old_cluster")),
+        col("doc_id") === col("bid"), "left")
+      .where(col("old_cluster").isNull || col("old_cluster") =!= col("cluster_id"))
+      .select(col("doc_id"), col("old_cluster"), col("cluster_id").as("new_cluster"),
+        when(col("old_cluster").isNull, "new").otherwise("moved").as("status"))
   }
 
   /** Best-representative selection per near-dup cluster — the cluster
@@ -1839,7 +1891,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, ccIncremental,
-      minhashSignature, minhashLshPairs,
+      clusterChurn, minhashSignature, minhashLshPairs,
       minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
       crossSourceOverlap, crossSourceOverlapC24, containment,

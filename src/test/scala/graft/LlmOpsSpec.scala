@@ -1107,6 +1107,14 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
       20L -> 20L, 21L -> 20L, 30L -> 30L))
+    // churn diff: {3,4} moved (their component merged under label 1);
+    // every delta doc is new; the untouched {1,2} are ABSENT
+    val churn = llm.DedupQueries.clusterChurnFrom(docs, pairs, c => c >= 10)
+      .as[(Long, Option[Long], Long, String)].collect().toSet
+    assert(churn == Set(
+      (3L, Some(3L), 1L, "moved"), (4L, Some(3L), 1L, "moved"),
+      (10L, None, 1L, "new"), (20L, None, 20L, "new"),
+      (21L, None, 20L, "new"), (30L, None, 30L, "new")))
   }
 
   test("bpe encode: per-source symbol mass under the trained merges") {
