@@ -102,6 +102,7 @@ object Bench {
       "index_build" -> (() => { llm.SharedIndex.sidPostings(spark, sfDir).count(); () }),
       "pairs_build" -> (() => { llm.DedupQueries.rareOverlaps(spark, sfDir).count(); () }),
       "cc_build" -> (() => { llm.DedupQueries.ccLabels(spark, sfDir).count(); () }),
+      "cc_base_build" -> (() => { llm.DedupQueries.baseLabels(spark, sfDir).count(); () }),
       "knn_sketch_build" -> (() => { llm.SimilarityQueries.knnSketchDf(spark, sfDir).count(); () }),
       "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
       "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }),

@@ -518,10 +518,26 @@ object DedupQueries {
     * refresh reads it); it is the same plan x_dedup_clusters runs,
     * minus the delta.
     */
+  /** The PUBLISHED base labeling (CC over the non-delta subgraph) as a
+    * shared materialized artifact — in production this is exactly what
+    * the refresh READS rather than recomputes, and both refresh
+    * consumers (x_cc_incremental, x_cluster_churn) contract onto the
+    * same copy. Bench prices it as `cc_base_build`.
+    */
+  private[graft] def baseLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    SharedIndex.materialized(s, d, "cc_labels_base") {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val pairs = nearDupPairs(s, d)
+      graft.operators.ConnectedComponents.components(
+        docs.where(!(col("doc_id") % 10 === 0)),
+        pairs.where(!(col("doc_a") % 10 === 0) && !(col("doc_b") % 10 === 0)))
+    }
+
   val ccIncremental: QueryDef = QueryDef.sql(
     "x_cc_incremental", clustersOracle) { (s, d) =>
     ccIncrementalFrom(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d),
-      c => c % 10 === 0)
+      c => c % 10 === 0, baseLabOpt = Some(baseLabels(s, d)))
   }
 
   /** The incremental-contraction core (docs/pairs/delta-predicate form
@@ -530,23 +546,29 @@ object DedupQueries {
     * published components).
     */
   private[graft] def ccIncrementalFrom(docs: DataFrame, pairs: DataFrame,
-      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
-    ccRefreshFrom(docs, pairs, isDelta)._2
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      baseLabOpt: Option[DataFrame] = None): DataFrame =
+    ccRefreshFrom(docs, pairs, isDelta, baseLabOpt)._2
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
 
   /** The (published base labeling, refreshed full labeling) pair the
     * incremental contraction produces — exposed so the churn diff can
-    * consume both sides of the refresh.
+    * consume both sides of the refresh. `baseLabOpt` injects an
+    * already-published labeling (the registry passes the shared
+    * [[baseLabels]] artifact — a production refresh READS its base);
+    * when absent it is derived, the self-contained unit-test path.
     */
   private def ccRefreshFrom(docs: DataFrame, pairs: DataFrame,
-      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      baseLabOpt: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val basePairs = pairs.where(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
     val deltaPairs = pairs.where(isDelta(col("doc_a")) || isDelta(col("doc_b")))
       .localCheckpoint(false) // read by the key mapping AND the node set
-    val baseLab = graft.operators.ConnectedComponents
-      .components(docs.where(!isDelta(col("doc_id"))), basePairs)
-      .localCheckpoint(false) // published labeling: three consumers below
+    val baseLab = baseLabOpt.getOrElse(
+      graft.operators.ConnectedComponents
+        .components(docs.where(!isDelta(col("doc_id"))), basePairs)
+        .localCheckpoint(false)) // published labeling: three consumers below
     // endpoint → super-node key: a base doc contracts to its published
     // label; a delta doc enters as itself
     def key(endpoint: String) =
@@ -605,12 +627,13 @@ object DedupQueries {
        |FROM lab l LEFT JOIN lab_b b ON l.doc = b.doc
        |WHERE b.old_cluster IS NULL OR b.old_cluster != l.cluster_id""".stripMargin) { (s, d) =>
     clusterChurnFrom(Tables.documents(s, d).select("doc_id"), nearDupPairs(s, d),
-      c => c % 10 === 0)
+      c => c % 10 === 0, baseLabOpt = Some(baseLabels(s, d)))
   }
 
   private[graft] def clusterChurnFrom(docs: DataFrame, pairs: DataFrame,
-      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    val (baseLab, refreshed) = ccRefreshFrom(docs, pairs, isDelta)
+      isDelta: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      baseLabOpt: Option[DataFrame] = None): DataFrame = {
+    val (baseLab, refreshed) = ccRefreshFrom(docs, pairs, isDelta, baseLabOpt)
     refreshed
       .join(baseLab.select(col("doc_id").as("bid"), col("cluster_id").as("old_cluster")),
         col("doc_id") === col("bid"), "left")
