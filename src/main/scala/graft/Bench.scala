@@ -106,7 +106,8 @@ object Bench {
       "knn_sketch_build" -> (() => { llm.SimilarityQueries.knnSketchDf(spark, sfDir).count(); () }),
       "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
       "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }),
-      "bpe_build" -> (() => { llm.TextQueries.bpeBuildDf(spark, sfDir).count(); () }))
+      "bpe_build" -> (() => { llm.TextQueries.bpeBuildDf(spark, sfDir).count(); () }),
+      "tok_build" -> (() => { llm.TextQueries.tokFrame(spark, sfDir).count(); () }))
     // Build lines carry per-entry loadavg exactly like registry
     // queries, so `query_loadavg` is keyed identically to `queries`
     // (r11's artifacts omitted the build lines from the load map).

@@ -84,6 +84,54 @@ object TextOps {
       .select(col("shingle"), (col("off") + col("lr")).as("sid"))
   }
 
+  /** Karp-Rabin modulus shared by the winnowing / repeated-span /
+    * fingerprint family and their DuckDB oracles.
+    */
+  val HashMod = 1000000007L
+
+  /** Token-position frame with per-token hash state:
+    * `(doc_id, pos, tok, th, tp)` where `pos` is the 0-based token
+    * position, `th = fold(acc*31 + ascii(c)) mod P` over the token's
+    * chars (the same char fold the oracles use), and
+    * `tp = 31^len(tok) mod P`.
+    *
+    * `(th, tp)` is the composable hash state of the polynomial fold:
+    * for strings s, t — `f(s ++ t) = (f(s)·31^|t| + f(t)) mod P` — so
+    * any k-token gram's hash can be rebuilt from per-token states with
+    * pure modular arithmetic (see [[gramHash]]), bit-identical to
+    * folding the gram's characters directly. The char-level fold (the
+    * one interpreted HOF in the family) then runs ONCE per token,
+    * instead of once per (gram config × window position × gram width)
+    * — the 100 TB shape is to materialize this frame once per corpus
+    * and derive every gram-indexed structure from it.
+    */
+  def tokenHashFrame(docs: DataFrame): DataFrame = {
+    val chars = filter(split(col("tok"), ""), c => length(c) > 0)
+    docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("th",
+        aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % HashMod))
+      .withColumn("tp",
+        aggregate(chars, lit(1L), (acc, _) => (acc * 31) % HashMod))
+  }
+
+  /** Hash of the `gram`-token window starting at the current row of a
+    * [[tokenHashFrame]], composed from per-token `(th, tp)` states via
+    * `lead` — space separator folded in as `acc·31 + 32` between
+    * tokens, exactly the character fold over
+    * `concat_ws(" ", tok₀ … tok₉)`. All intermediate products stay
+    * below 2⁶³: `(acc·31+32) < 3.2e10` is reduced mod P (< 1.001e9)
+    * before multiplying by `tp < P`, so the product is < 1.1e18.
+    * Rows without `gram` complete tokens yield garbage here — callers
+    * must filter on `lead(th, gram-1) IS NOT NULL` (a complete-window
+    * guard), as the char-fold formulation did via concat_ws nulls.
+    */
+  def gramHash(byDoc: org.apache.spark.sql.expressions.WindowSpec, gram: Int): Column =
+    (1 until gram).foldLeft(col("th")) { (acc, i) =>
+      (((acc * 31 + 32) % HashMod) * lead("tp", i).over(byDoc) % HashMod
+        + lead("th", i).over(byDoc)) % HashMod
+    }
+
   /** Quantize a float embedding to exact longs (×1000) — integer dot
     * products are order-insensitive and engine-reproducible, unlike
     * float sums.

@@ -317,28 +317,34 @@ object TextQueries {
     s"""WITH ${winnowCtes(win, gram)}
        |SELECT doc_id, fingerprint FROM wfp""".stripMargin
 
-  /** The posexplode + window winnowing dataflow at (window, gram). */
-  private def winnowDf(s: org.apache.spark.sql.SparkSession, d: String,
+  /** Shared token-hash frame for the winnowing / repeated-span / cut
+    * family: `(doc_id, pos, tok, th, tp)` per [[TextOps.tokenHashFrame]],
+    * materialized once per (JVM, sf-dir) and consumed by six gram
+    * configs (winnow w4g3 ×2, w5g4, spans/cut g6 and g8). Each config
+    * rebuilds its gram hashes from the per-token states with pure
+    * codegen'd modular arithmetic ([[TextOps.gramHash]]) — bit-identical
+    * to char-folding each gram string, which is what the DuckDB oracles
+    * still do, so the oracle twins pin the composition. Bench builds it
+    * as the `tok_build` line.
+    */
+  private[graft] def tokFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    SharedIndex.materialized(s, d, "tokhash")(
+      TextOps.tokenHashFrame(Tables.documents(s, d)))
+
+  /** The winnowing dataflow at (window, gram) over a token-hash frame. */
+  private def winnowFrom(frame: org.apache.spark.sql.DataFrame,
       win: Int, gram: Int): org.apache.spark.sql.DataFrame = {
     require(win >= 2 && gram >= 2, s"degenerate winnowing config ($win, $gram)")
-    // same char-fold primitive as x_fingerprint's fp_poly, per gram
-    def charFold(g: Column): Column =
-      aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
-        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // (doc, pos, gram) rows via lead — the shinglePostings shape,
-    // but keeping position and duplicates (winnowing needs the stream)
-    val tokAt = (0 until gram).map {
-      case 0 => col("tok")
-      case i => lead("tok", i).over(byDoc)
-    }
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("gram", concat_ws(" ", tokAt: _*))
-      .withColumn("gram_complete", tokAt.last.isNotNull)
+    // (doc, pos, gram-hash) rows composed from per-token hash state —
+    // keeping position and duplicates (winnowing needs the stream)
+    val hashes = frame
+      .withColumn("h", TextOps.gramHash(byDoc, gram))
+      .withColumn("gram_complete", lead("th", gram - 1).over(byDoc).isNotNull)
       .where(col("gram_complete"))
-    val hashes = grams.select(col("doc_id"), col("pos"), charFold(col("gram")).as("h"))
+      .select(col("doc_id"), col("pos"), col("h"))
     // full `win`-hash windows: min over [current, current+win-1], valid
     // only where the window is complete
     val wins = hashes
@@ -354,6 +360,13 @@ object TextQueries {
       .select("doc_id", "fingerprint")
     full.union(short).distinct()
   }
+
+  /** Registry entry point: winnowing over the shared materialized
+    * token-hash frame for `d`.
+    */
+  private def winnowDf(s: org.apache.spark.sql.SparkSession, d: String,
+      win: Int, gram: Int): org.apache.spark.sql.DataFrame =
+    winnowFrom(tokFrame(s, d), win, gram)
 
   val winnowFingerprints: QueryDef = QueryDef.sql(
     "x_winnow_fingerprints", winnowSql(win = 4, gram = 3)) { (s, d) =>
@@ -494,34 +507,31 @@ object TextQueries {
     * the count side contributes ONE row per hash, so occurrence rows
     * fan out 1:1 regardless of how common a gram is.
     */
-  private def repeatedStarts(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+  private def repeatedStartsFrom(frame: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
     require(gram >= 2 && minOcc >= 2, s"degenerate repeated-span config ($gram, $minOcc)")
-    def charFold(g: Column): Column =
-      aggregate(filter(split(g, ""), c => length(c) > 0), lit(0L),
-        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
     import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos0")
-    val tokAt = (0 until gram).map {
-      case 0 => col("tok")
-      case i => lead("tok", i).over(byDoc)
-    }
-    val occ = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
-      .withColumn("gram", concat_ws(" ", tokAt: _*))
-      .withColumn("gram_complete", tokAt.last.isNotNull)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val occ = frame
+      .withColumn("h", TextOps.gramHash(byDoc, gram))
+      .withColumn("gram_complete", lead("th", gram - 1).over(byDoc).isNotNull)
       .where(col("gram_complete"))
       // 1-based token positions, matching the oracle's generate_series
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        charFold(col("gram")).as("h"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("h"))
       .localCheckpoint(eager = false)
     val rep = occ.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= minOcc).select("h")
     occ.join(rep, "h").select("doc_id", "pos")
   }
 
-  def repeatedSpansOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+  private def repeatedStarts(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame =
+    repeatedStartsFrom(TextOps.tokenHashFrame(docs), gram, minOcc)
+
+  def repeatedSpansOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame =
+    repeatedSpansFrom(TextOps.tokenHashFrame(docs), gram, minOcc)
+
+  private def repeatedSpansFrom(frame: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hot = repeatedStarts(docs, gram, minOcc)
+    val hot = repeatedStartsFrom(frame, gram, minOcc)
     val isl = hot.withColumn("island",
       col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
     isl.groupBy("doc_id", "island")
@@ -568,7 +578,7 @@ object TextQueries {
 
   val repeatedSpans: QueryDef = QueryDef.sql(
     "x_repeated_spans", repeatedSpansSql(gram = 6, minOcc = 2)) { (s, d) =>
-    repeatedSpansOf(Tables.documents(s, d), gram = 6, minOcc = 2)
+    repeatedSpansFrom(tokFrame(s, d), gram = 6, minOcc = 2)
   }
 
   /** Coarser gram (8 tokens): only ≥ 8-token runs count as repeats —
@@ -577,7 +587,7 @@ object TextQueries {
     */
   val repeatedSpansG8: QueryDef = QueryDef.sql(
     "x_repeated_spans_g8", repeatedSpansSql(gram = 8, minOcc = 2)) { (s, d) =>
-    repeatedSpansOf(Tables.documents(s, d), gram = 8, minOcc = 2)
+    repeatedSpansFrom(tokFrame(s, d), gram = 8, minOcc = 2)
   }
 
   /** Exact-substring CUT — the back half of exact-substring dedup:
@@ -593,21 +603,30 @@ object TextQueries {
     * surviving tokens — fan-out and state both bounded by document
     * length, the chunking/sessionize class, never corpus-sized.
     */
-  def exactSubstrCutOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
-    val covered = repeatedStarts(docs, gram, minOcc)
+  def exactSubstrCutOf(docs: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame =
+    exactSubstrCutFrom(docs, TextOps.tokenHashFrame(docs), gram, minOcc)
+
+  private def exactSubstrCutFrom(docs: org.apache.spark.sql.DataFrame,
+      frame: org.apache.spark.sql.DataFrame, gram: Int, minOcc: Int): org.apache.spark.sql.DataFrame = {
+    val covered = repeatedStartsFrom(frame, gram, minOcc)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
       .distinct()
-    val toks = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"), col("tok"))
+    val toks = frame
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("tok"))
     val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
           s => s.getField("tok")), " ").as("clean_text"))
-    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // token counts come from the frame; token-less docs (absent from
+    // the frame) re-enter via the left join from the doc list with
+    // n_tokens = 0, matching the oracle's per-doc len(toks)
+    val counts = frame.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
@@ -636,7 +655,7 @@ object TextQueries {
 
   val exactSubstrCut: QueryDef = QueryDef.sql(
     "x_exact_substr_cut", exactSubstrCutSql(gram = 6, minOcc = 2)) { (s, d) =>
-    exactSubstrCutOf(Tables.documents(s, d), gram = 6, minOcc = 2)
+    exactSubstrCutFrom(Tables.documents(s, d), tokFrame(s, d), gram = 6, minOcc = 2)
   }
 
   /** Coarser cut (8-token windows, matching x_repeated_spans_g8): only
@@ -646,7 +665,7 @@ object TextQueries {
     */
   val exactSubstrCutG8: QueryDef = QueryDef.sql(
     "x_exact_substr_cut_g8", exactSubstrCutSql(gram = 8, minOcc = 2)) { (s, d) =>
-    exactSubstrCutOf(Tables.documents(s, d), gram = 8, minOcc = 2)
+    exactSubstrCutFrom(Tables.documents(s, d), tokFrame(s, d), gram = 8, minOcc = 2)
   }
 
   /** Per-document TF-IDF top-k keywords — the standard salient-term
