@@ -366,6 +366,97 @@ object CurationQueries {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Span-level decontamination — WHERE the benchmark leaks into each
+    * training document: every maximal token range covered by
+    * benchmark-matching `gram`-gram occurrences, as (span_start,
+    * span_end, span_tokens, n_grams). x_decontaminate says WHICH docs
+    * leak and how much; this is the operator a production pipeline
+    * runs to CUT the contaminated text instead of dropping the whole
+    * document (the surgical-decontamination pass).
+    *
+    * Unlike the repeated-span miner's gaps-and-islands (which merges
+    * only CONSECUTIVE start positions), spans here are true interval
+    * unions: two hits whose covered ranges overlap or touch merge into
+    * one span even when intermediate grams are clean — computed with a
+    * running `max(pos + gram - 1)` over earlier starts (per-doc window,
+    * state bounded by document length) marking group breaks where a
+    * start clears the covered frontier.
+    *
+    * Scale shape: the benchmark side is a DISTINCT gram set of a
+    * fixed-size eval suite — tiny in production, AQE broadcasts it
+    * (no hint, mirroring [[decontaminateDf]]'s rationale); the train
+    * side is positional gram postings bounded by corpus token count,
+    * pinned once (lazy localCheckpoint) and read by both the bench
+    * derivation and the probe; the merge is one shuffle by doc_id.
+    */
+  def deconSpansFrom(frame: DataFrame, isBench: Column, gram: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until gram).map(o => lead("tok", o).over(w))
+    val grams = frame
+      .withColumn("ng", concat_ws(" ", parts: _*))
+      .withColumn("gram_complete", lead("tok", gram - 1).over(w).isNotNull)
+      .where(col("gram_complete"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("ng"))
+      .localCheckpoint(eager = false)
+    val bench = grams.where(isBench).select(col("ng")).distinct()
+    val hot = grams.where(!isBench).join(bench, "ng").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // covered frontier BEFORE this start; a start past frontier+1 opens
+    // a new span (overlap-or-touch merges, strictly-past splits)
+    val frontier = max(col("pos") + (gram - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = hot.withColumn("brk",
+      when(col("pos") <= coalesce(frontier, lit(-1L)) + 1, 0L).otherwise(1L))
+    val grouped = marked.withColumn("island",
+      sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    grouped.groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (gram - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  /** [[deconSpansFrom]] over ad-hoc docs (tests); the registry entry
+    * reads the shared materialized token frame instead.
+    */
+  def deconSpansDf(docs: DataFrame, isBench: Column, gram: Int): DataFrame =
+    deconSpansFrom(TextOps.tokenHashFrame(docs), isBench, gram)
+
+  val deconSpans: QueryDef = QueryDef.sql(
+    "x_decon_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(list_slice(tok, i, i + 7), ' ') AS ng
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 7 <= len(tok)),
+      |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0),
+      |r AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN bench USING (ng)
+      |  WHERE g.doc_id % 25 != 0),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos <= coalesce(max(pos + 7) OVER (
+      |                PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |              THEN 0 ELSE 1 END AS brk
+      |  FROM r),
+      |i AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m)
+      |SELECT doc_id,
+      |       min(pos) AS span_start,
+      |       max(pos) + 7 AS span_end,
+      |       max(pos) + 7 - min(pos) + 1 AS span_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_grams
+      |FROM i GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+    deconSpansFrom(TextQueries.tokFrame(s, d), col("doc_id") % 25 === 0, gram = 8)
+  }
+
   /** Fraction-mode decontamination: instead of any-hit flagging, score
     * every training document by the FRACTION of its distinct 8-grams
     * that appear in the benchmark set, and gate on a threshold — how
@@ -1575,7 +1666,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
-      redact, decontaminate, decontaminateFrac, decontaminateBloom,
+      redact, decontaminate, decontaminateFrac, decontaminateBloom, deconSpans,
       deconReport, deconReportK6, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,

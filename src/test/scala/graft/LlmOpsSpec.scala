@@ -287,6 +287,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(llm.TextQueries.repeatedSpansOf(uniq, gram = 3, minOcc = 2).count() == 0)
   }
 
+  test("decon spans merge overlapping hits into maximal intervals and skip clean docs") {
+    // gram=3, benchmark = doc_id % 5 == 0. Bench doc 5 holds exactly
+    // one 3-gram "a b c"; bench doc 10 holds "c d e". Train doc 1
+    // embeds both with coverage overlap: "x y a b c d e z" has hits at
+    // pos 3 ("a b c") and pos 5 ("c d e") — the connecting gram at
+    // pos 4 ("b c d") is NOT in the benchmark, so gaps-and-islands
+    // over starts would split this into two spans; interval-merge must
+    // emit ONE span [3, 7] (start 5 <= frontier 5 + 1). Train doc 2
+    // has two genuinely disjoint hits -> two spans. Doc 3 is clean ->
+    // absent.
+    val docs = Seq(
+      (1L, "en", "x y a b c d e z"),
+      (2L, "en", "a b c m n o p c d e"),
+      (3L, "en", "q r s t u v"),
+      (5L, "en", "a b c"),
+      (10L, "en", "c d e")
+    ).toDF("doc_id", "lang", "text")
+    val got = llm.CurationQueries.deconSpansDf(docs, col("doc_id") % 5 === 0, gram = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 7L, 5L, 2L),
+      (2L, 1L, 3L, 3L, 1L), (2L, 8L, 10L, 3L, 1L)))
+    // touching (frontier + 1) merges too: hits at pos 1 and pos 4 with
+    // gram 3 cover [1,3] and [4,6] — adjacent, one span
+    val touch = Seq(
+      (1L, "en", "a b c c d e w"),
+      (5L, "en", "a b c"),
+      (10L, "en", "c d e")
+    ).toDF("doc_id", "lang", "text")
+    val t = llm.CurationQueries.deconSpansDf(touch, col("doc_id") % 5 === 0, gram = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(t == Set((1L, 1L, 6L, 6L, 2L)))
+  }
+
   test("exact-substring cut removes covered tokens and keeps the rest in order") {
     val docs = Seq(
       (1L, "en", "p q r s t u"),
