@@ -389,7 +389,12 @@ object CurationQueries {
     * pinned once (lazy localCheckpoint) and read by both the bench
     * derivation and the probe; the merge is one shuffle by doc_id.
     */
-  def deconSpansFrom(frame: DataFrame, isBench: Column, gram: Int): DataFrame = {
+  /** Hit starts shared by the span report and the cut: 1-based
+    * positions in TRAIN docs where a benchmark `gram`-gram begins.
+    * The positional gram stream is pinned once (lazy localCheckpoint)
+    * and read by both the bench derivation and the probe side.
+    */
+  private def deconHitStarts(frame: DataFrame, isBench: Column, gram: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts = col("tok") +: (1 until gram).map(o => lead("tok", o).over(w))
     val grams = frame
@@ -399,7 +404,11 @@ object CurationQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("ng"))
       .localCheckpoint(eager = false)
     val bench = grams.where(isBench).select(col("ng")).distinct()
-    val hot = grams.where(!isBench).join(bench, "ng").select("doc_id", "pos")
+    grams.where(!isBench).join(bench, "ng").select("doc_id", "pos")
+  }
+
+  def deconSpansFrom(frame: DataFrame, isBench: Column, gram: Int): DataFrame = {
+    val hot = deconHitStarts(frame, isBench, gram)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     // covered frontier BEFORE this start; a start past frontier+1 opens
     // a new span (overlap-or-touch merges, strictly-past splits)
@@ -455,6 +464,66 @@ object CurationQueries {
       |       CAST(count(*) AS BIGINT) AS n_grams
       |FROM i GROUP BY doc_id, island""".stripMargin) { (s, d) =>
     deconSpansFrom(TextQueries.tokFrame(s, d), col("doc_id") % 25 === 0, gram = 8)
+  }
+
+  /** Surgical decontamination CUT — the output stage the span report
+    * feeds: excise every token covered by a benchmark-matching 8-gram
+    * from each TRAIN document and rebuild the cleaned stream, keeping
+    * (doc_id, n_tokens, n_kept, clean_text) for every training doc
+    * (fully-contaminated docs keep 0 tokens; benchmark docs are not
+    * part of the training corpus and don't appear). Shares
+    * [[deconHitStarts]] with the span report and
+    * [[TextOps.cutCoveredPositions]] with exact-substring dedup's cut
+    * — same coverage-explode + anti-join + per-doc rebuild, different
+    * cover set.
+    */
+  def deconCutFrom(docs: DataFrame, frame: DataFrame, isBench: Column,
+      gram: Int): DataFrame = {
+    val covered = deconHitStarts(frame, isBench, gram)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
+      .distinct()
+    TextOps.cutCoveredPositions(docs.where(!isBench), frame.where(!isBench), covered)
+  }
+
+  /** [[deconCutFrom]] over ad-hoc docs (tests). */
+  def deconCutDf(docs: DataFrame, isBench: Column, gram: Int): DataFrame =
+    deconCutFrom(docs, TextOps.tokenHashFrame(docs), isBench, gram)
+
+  val deconCut: QueryDef = QueryDef.sql(
+    "x_decon_cut",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(list_slice(tok, i, i + 7), ' ') AS ng
+      |  FROM (SELECT doc_id, tok, generate_subscripts(tok, 1) AS i FROM toks)
+      |  WHERE i + 7 <= len(tok)),
+      |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0),
+      |r AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN bench USING (ng)
+      |  WHERE g.doc_id % 25 != 0),
+      |cov AS (SELECT DISTINCT doc_id, p FROM
+      |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM r)),
+      |tok AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks.tok)),
+      |    i -> struct_pack(p := CAST(i AS BIGINT), tok := toks.tok[i]))) AS pt
+      |  FROM toks WHERE doc_id % 25 != 0),
+      |k AS (
+      |  SELECT tok.doc_id, tok.pt.p AS p, tok.pt.tok AS tok
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pt.p = cov.p
+      |  WHERE cov.p IS NULL),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+      |  FROM k GROUP BY 1),
+      |n AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens
+      |      FROM toks WHERE doc_id % 25 != 0)
+      |SELECT doc_id, n_tokens,
+      |       coalesce(n_kept, 0) AS n_kept,
+      |       coalesce(clean_text, '') AS clean_text
+      |FROM n LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
+    deconCutFrom(Tables.documents(s, d), TextQueries.tokFrame(s, d),
+      col("doc_id") % 25 === 0, gram = 8)
   }
 
   /** Fraction-mode decontamination: instead of any-hit flagging, score
@@ -1666,7 +1735,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] =
     Seq(sampleStratified, tokenPack, corpusCurate, sourceCap, docChunks, docChunksC64,
-      redact, decontaminate, decontaminateFrac, decontaminateBloom, deconSpans,
+      redact, decontaminate, decontaminateFrac, decontaminateBloom, deconSpans, deconCut,
       deconReport, deconReportK6, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
       gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,

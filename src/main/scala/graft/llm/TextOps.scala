@@ -132,6 +132,37 @@ object TextOps {
         + lead("th", i).over(byDoc)) % HashMod
     }
 
+  /** Drop `covered` (doc_id, p) token positions from a token frame and
+    * rebuild the surviving stream per document — the shared back half
+    * of every positional cut (exact-substring dedup's repeat excision,
+    * span-level decontamination's surgical cut). Emits
+    * (doc_id, n_tokens, n_kept, clean_text) for every doc in `docIds`;
+    * docs losing everything keep 0 tokens and an empty string, and
+    * token-less docs re-enter via the left join with n_tokens = 0.
+    *
+    * Scale shape: the kept set is one anti-join on (doc_id, p);
+    * reconstruction is a per-doc sort of the survivors — fan-out and
+    * state bounded by document length, never corpus-sized.
+    */
+  def cutCoveredPositions(docIds: DataFrame, frame: DataFrame,
+      covered: DataFrame): DataFrame = {
+    val toks = frame
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    val counts = frame.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    docIds.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Quantize a float embedding to exact longs (×1000) — integer dot
     * products are order-insensitive and engine-reproducible, unlike
     * float sums.

@@ -611,24 +611,7 @@ object TextQueries {
     val covered = repeatedStartsFrom(frame, gram, minOcc)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (gram - 1))).as("p"))
       .distinct()
-    val toks = frame
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
-          s => s.getField("tok")), " ").as("clean_text"))
-    // token counts come from the frame; token-less docs (absent from
-    // the frame) re-enter via the left join from the doc list with
-    // n_tokens = 0, matching the oracle's per-doc len(toks)
-    val counts = frame.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    docs.select(col("doc_id"))
-      .join(counts, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    TextOps.cutCoveredPositions(docs, frame, covered)
   }
 
   private def exactSubstrCutSql(gram: Int, minOcc: Int): String =

@@ -321,6 +321,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(t == Set((1L, 1L, 6L, 6L, 2L)))
   }
 
+  test("decon cut excises covered tokens from train docs and drops bench docs") {
+    // same corpus as the span test: doc 1's merged span [3,7] cuts to
+    // "x y z"; doc 2's two disjoint spans leave the middle; clean doc 3
+    // survives whole; bench docs 5/10 are not training rows at all
+    val docs = Seq(
+      (1L, "en", "x y a b c d e z"),
+      (2L, "en", "a b c m n o p c d e"),
+      (3L, "en", "q r s t u v"),
+      (5L, "en", "a b c"),
+      (10L, "en", "c d e")
+    ).toDF("doc_id", "lang", "text")
+    val got = llm.CurationQueries.deconCutDf(docs, col("doc_id") % 5 === 0, gram = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 8L, 3L, "x y z"),
+      (2L, 10L, 4L, "m n o p"),
+      (3L, 6L, 6L, "q r s t u v")))
+  }
+
   test("exact-substring cut removes covered tokens and keeps the rest in order") {
     val docs = Seq(
       (1L, "en", "p q r s t u"),
