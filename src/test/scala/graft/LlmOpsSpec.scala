@@ -10,6 +10,36 @@ import graft.llm.TextOps._
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("registry gram-family plans read the materialized token frame, not the raw text") {
+    // The tok_build bench accounting ("per-query numbers are
+    // warm-artifact") is only honest if the registry consumers
+    // actually SCAN the materialized frame. Pure-frame queries must
+    // not touch documents.parquet at all; the cut re-reads documents
+    // only for its doc list.
+    def roots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val d = "/root/testdata/sf0.001"
+    // (the spans/starts queries pin their gram stream behind a lazy
+    // localCheckpoint, which replaces lineage with a LogicalRDD — no
+    // scan survives in their optimized plan to assert on)
+    for (q <- Seq("x_winnow_fingerprints", "x_winnow_fingerprints_w5")) {
+      val r = roots(SparkEntry.queries(q)(spark, d))
+      assert(r.exists(_.contains("tokhash")), s"$q does not scan the token frame: $r")
+      assert(!r.exists(_.contains("documents.parquet")),
+        s"$q re-derives from raw text: $r")
+    }
+    val cut = roots(SparkEntry.queries("x_exact_substr_cut")(spark, d))
+    assert(cut.exists(_.contains("tokhash")) && cut.exists(_.contains("documents.parquet")),
+      s"cut should scan frame + doc list: $cut")
+  }
+
   test("shinglePostings: distinct word trigrams in order") {
     val docs = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
     val sh = shinglePostings(docs, 3).as[(Long, String)].collect().toSet
