@@ -65,13 +65,18 @@ object SharedIndex {
       builtPaths.getOrElseUpdate(key, {
         val tag = key.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = root.resolve(s"sid_postings_$tag").toString
-        // Two measured non-wins keep this formulation as-is (3-trial
-        // cold builds at sf0.1/local[32], baseline ~10.2 s): persisting
+        // THREE measured non-wins keep this formulation as-is: persisting
         // `sh` before its two consumers costs ~+1 s (the codegen'd
-        // shingle pipeline recomputes cheaper than it materializes),
-        // and a "one-pass" dense_rank directly over the postings costs
+        // shingle pipeline recomputes cheaper than it materializes,
+        // 3-trial cold builds at sf0.1/local[32], baseline ~10.2 s),
+        // a "one-pass" dense_rank directly over the postings costs
         // ~+3 s (sorting every posting row dwarfs ranking the distinct
-        // set plus joining back).
+        // set plus joining back), and building the shingles FROM the
+        // materialized token-hash frame (skipping tokenize+posexplode)
+        // costs ~+1 s combined (2-trial r12: tok_build-first 3.9-4.0 s
+        // + index 5.3-6.1 s vs 1.2 s + 7.0-7.4 s as-is — scanning the
+        // 1.9M-row frame parquet is slower than re-tokenizing 50k docs
+        // inside the scan's codegen stage).
         val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
         sh.join(TextOps.shingleDict(sh), "shingle")
           .select("doc_id", "sid")
