@@ -53,6 +53,24 @@ object SharedIndex {
 
   private val builtPaths = mutable.HashMap.empty[String, String]
 
+  /** Test-only accounting: how many times each artifact key's builder
+    * actually RAN in this JVM (key = normalized dir, or dir#tag for
+    * [[materialized]]). The spans queries pin their gram stream behind
+    * a lazy localCheckpoint whose LogicalRDD hides lineage, so the
+    * warm-artifact contract ("the whole winnow/span/cut/decon family
+    * triggers exactly one tokhash build") cannot be asserted by plan
+    * inspection — the spec asserts it on these counts instead.
+    * Guarded by the same lock as [[builtPaths]].
+    */
+  private[graft] val buildCounts = mutable.HashMap.empty[String, Int]
+
+  private def countBuild(key: String): Unit =
+    buildCounts.update(key, buildCounts.getOrElse(key, 0) + 1)
+
+  /** Test-only: an immutable snapshot of [[buildCounts]]. */
+  private[graft] def buildCountsSnapshot: Map[String, Int] =
+    builtPaths.synchronized { buildCounts.toMap }
+
   /** The `(doc_id, sid)` postings for the documents table under `dir`,
     * building + persisting on first use. The whole check-and-build runs
     * under one lock so concurrent first callers can't race a rebuild of
@@ -77,6 +95,7 @@ object SharedIndex {
         // + index 5.3-6.1 s vs 1.2 s + 7.0-7.4 s as-is — scanning the
         // 1.9M-row frame parquet is slower than re-tokenizing 50k docs
         // inside the scan's codegen stage).
+        countBuild(key)
         val sh = TextOps.shinglePostings(Tables.documents(spark, dir), 3)
         sh.join(TextOps.shingleDict(sh), "shingle")
           .select("doc_id", "sid")
@@ -102,6 +121,7 @@ object SharedIndex {
     val key = Paths.get(dir).toAbsolutePath.normalize.toString + "#" + tag
     val path = builtPaths.synchronized {
       builtPaths.getOrElseUpdate(key, {
+        countBuild(key)
         val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
         val p = root.resolve(safe).toString
         build.write.mode("overwrite").parquet(p)

@@ -833,7 +833,7 @@ object SimilarityQueries {
     * vector; candidate generation is then an equi-join on
     * (band, bucket), never vec × vec.
     */
-  private def bandedBuckets(e: org.apache.spark.sql.DataFrame,
+  private[graft] def bandedBuckets(e: org.apache.spark.sql.DataFrame,
       bands: Int, r: Int): org.apache.spark.sql.DataFrame = {
     // the bucket long holds only r bits (one band's signature), so the
     // structural bound is r <= 62 — bands is free; the bands*r cap just
@@ -877,7 +877,7 @@ object SimilarityQueries {
     * edge configs (and the widest column the family carries), built
     * once instead of re-quantizing the embeddings per config.
     */
-  private def quantVecs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def quantVecs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     SharedIndex.materialized(s, d, "knn_quant") {
       Tables.embeddings(s, d)
@@ -893,7 +893,7 @@ object SimilarityQueries {
     * (N × bands·r planes × dim), and both configs previously paid it
     * in full.
     */
-  private val SketchPoolBands = 6
+  private[graft] val SketchPoolBands = 6
 
   /** The pooled `(vec_id, band, bucket)` sketch at [[SketchPoolBands]]
     * bands × `r` planes, shared-materialized per (sf-dir, r).
@@ -917,27 +917,40 @@ object SimilarityQueries {
     SharedIndex.materialized(s, d, s"knn_edges_b${bands}_r${r}_k$k") {
       val e = quantVecs(s, d)
       // slice the pooled sketch when it covers this config; wider
-      // configs (none registered) fall back to a standalone sketch
+      // configs (none registered) fall back to a standalone sketch.
+      // Both branches are pinned by SimilaritySpec: slice-vs-standalone
+      // parity at a covered width, and the fallback exercised at
+      // bands > SketchPoolBands through this entry point.
       val bkt =
         if (bands <= SketchPoolBands) sketchPool(s, d, r).where(col("band") < bands)
         else bandedBuckets(e, bands, r)
-      // distinct BEFORE scoring: a pair sharing several bands must be
-      // scored once, and the dedup key (vec_a, vec_b) is narrow
-      val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
-        .join(bkt.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
-            col("bucket").as("bucket_b")),
-          col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-            col("vec_a") =!= col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
-      cand.join(a, "vec_a").join(b, "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
-        .where(col("rn") <= k).drop("rn")
+      knnEdgesFrom(e, bkt, k)
     }
+
+  /** Candidate-generate + score + top-k from a prepared quantized-vector
+    * table and a banded sketch — the shared back half of both
+    * [[knnEdgesDf]] branches, exposed so the spec can pin slice-path /
+    * standalone-sketch parity without going through the artifact cache.
+    */
+  private[graft] def knnEdgesFrom(e: org.apache.spark.sql.DataFrame,
+      bkt: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // distinct BEFORE scoring: a pair sharing several bands must be
+    // scored once, and the dedup key (vec_a, vec_b) is narrow
+    val cand = bkt.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(bkt.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+          col("bucket").as("bucket_b")),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("vec_a") =!= col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"), col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("nrm").as("nrm_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (qdot(col("qe_a"), col("qe_b")) / (col("nrm_a") * col("nrm_b"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))))
+      .where(col("rn") <= k).drop("rn")
+  }
 
   /** The q/dots/bkt/cand/edges oracle CTE chain at a given config —
     * one builder for the whole kNN family, mirroring knnEdgesDf.

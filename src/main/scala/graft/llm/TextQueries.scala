@@ -317,15 +317,21 @@ object TextQueries {
     s"""WITH ${winnowCtes(win, gram)}
        |SELECT doc_id, fingerprint FROM wfp""".stripMargin
 
-  /** Shared token-hash frame for the winnowing / repeated-span / cut
-    * family: `(doc_id, pos, tok, th, tp)` per [[TextOps.tokenHashFrame]],
-    * materialized once per (JVM, sf-dir) and consumed by six gram
-    * configs (winnow w4g3 ×2, w5g4, spans/cut g6 and g8). Each config
-    * rebuilds its gram hashes from the per-token states with pure
-    * codegen'd modular arithmetic ([[TextOps.gramHash]]) — bit-identical
-    * to char-folding each gram string, which is what the DuckDB oracles
-    * still do, so the oracle twins pin the composition. Bench builds it
-    * as the `tok_build` line.
+  /** Shared token-hash frame for the winnowing / repeated-span / cut /
+    * decon family: `(doc_id, pos, tok, th, tp)` per
+    * [[TextOps.tokenHashFrame]], materialized once per (JVM, sf-dir).
+    * Consumers come in two kinds: the HASH consumers (winnow w4g3 ×2,
+    * w5g4; repeated-spans and exact-substring cut at g6/g8) rebuild
+    * their gram hashes from the per-token states with pure codegen'd
+    * modular arithmetic ([[TextOps.gramHash]]) — bit-identical to
+    * char-folding each gram string, which is what their DuckDB oracles
+    * still do, so those oracle twins pin the composition — while the
+    * STRING consumers (`x_decon_spans`/`x_decon_cut` via
+    * `CurationQueries.deconHitStarts`) rebuild gram *strings* with
+    * `concat_ws` over the `tok` column and join the eval suite's gram
+    * set on the strings themselves (a contamination hit must match the
+    * eval text, not a hash). Bench builds the frame as the `tok_build`
+    * line.
     */
   private[graft] def tokFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =

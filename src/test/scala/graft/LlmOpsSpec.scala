@@ -16,8 +16,9 @@ class LlmOpsSpec extends SparkSpec {
     // actually SCAN the materialized frame. Pure-frame queries must
     // not touch documents.parquet at all; the cut re-reads documents
     // only for its doc list.
-    def roots(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.queryExecution.optimizedPlan.collect {
+    def roots(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val plan = df.queryExecution.optimizedPlan
+      val v1 = plan.collect {
         case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           l.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -25,6 +26,23 @@ class LlmOpsSpec extends SparkSpec {
             case _ => Seq.empty[String]
           }
       }.flatten
+      // A Spark upgrade that plans parquet as DSV2 would make the v1
+      // match return empty and fail the assertions with a misleading
+      // "does not scan the token frame" — match the v2 node too, and
+      // if NEITHER matches, degrade legibly to the plan's string form
+      // (which always prints scan locations) instead of an empty list.
+      val v2 = plan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.rootPaths.map(_.toUri.getPath).toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      val typed = v1 ++ v2
+      if (typed.nonEmpty) typed
+      else "/[^\\s,\\]\\)]*\\.parquet".r.findAllIn(plan.toString).toSeq
+    }
     val d = "/root/testdata/sf0.001"
     // (the spans/starts queries pin their gram stream behind a lazy
     // localCheckpoint, which replaces lineage with a LogicalRDD — no
@@ -38,6 +56,31 @@ class LlmOpsSpec extends SparkSpec {
     val cut = roots(SparkEntry.queries("x_exact_substr_cut")(spark, d))
     assert(cut.exists(_.contains("tokhash")) && cut.exists(_.contains("documents.parquet")),
       s"cut should scan frame + doc list: $cut")
+  }
+
+  test("tokhash artifact builds exactly once for the whole winnow/span/cut/decon family") {
+    // The spans/decon queries pin their gram stream behind a lazy
+    // localCheckpoint whose LogicalRDD hides lineage, so the plan
+    // assertion above can only cover the winnow/cut configs. The
+    // warm-artifact accounting ("every config reads ONE materialized
+    // frame") is pinned here by the builder-run counter instead: run
+    // all eight registry consumers end to end, then assert the
+    // tokhash builder ran exactly once in this JVM for this sf-dir
+    // (possibly already triggered by an earlier test — the point is
+    // it can never run twice).
+    val d = "/root/testdata/sf0.001"
+    val family = Seq("x_winnow_fingerprints", "x_winnow_fingerprints_w5",
+      "x_repeated_spans", "x_repeated_spans_g8",
+      "x_exact_substr_cut", "x_exact_substr_cut_g8",
+      "x_decon_spans", "x_decon_cut")
+    for (q <- family) SparkEntry.queries(q)(spark, d).count()
+    def tokBuilds: Map[String, Int] = llm.SharedIndex.buildCountsSnapshot
+      .filter { case (k, _) => k.endsWith("#tokhash") && k.contains("sf0.001") }
+    assert(tokBuilds.values.sum == 1,
+      s"tokhash built ${tokBuilds.values.sum} times across the family: $tokBuilds")
+    // and re-running a consumer never rebuilds
+    SparkEntry.queries("x_decon_spans")(spark, d).count()
+    assert(tokBuilds.values.sum == 1, s"re-run rebuilt the frame: $tokBuilds")
   }
 
   test("shinglePostings: distinct word trigrams in order") {
@@ -519,6 +562,40 @@ class LlmOpsSpec extends SparkSpec {
     // k=5 ≥ clump size, so each node's top-k holds all three others:
     // every clump pair is mutual; nothing touches 9
     assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("knnEdgesDf: pooled-slice path == from-scratch sketch; bands>pool fallback is live and consistent") {
+    import llm.SimilarityQueries._
+    val d = "/root/testdata/sf0.001"
+    val e = quantVecs(spark, d)
+    def edgeMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("vec_a", "vec_b", "sim").as[(Long, Long, Double)]
+        .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    def assertSameEdges(got: Map[(Long, Long), Double],
+        want: Map[(Long, Long), Double], what: String): Unit = {
+      assert(got.keySet == want.keySet, s"$what: edge sets differ " +
+        s"(only-got=${(got.keySet -- want.keySet).take(5)}, only-want=${(want.keySet -- got.keySet).take(5)})")
+      got.foreach { case (k, s) => assert(math.abs(s - want(k)) < 1e-12, s"$what: sim drift at $k") }
+    }
+    // (1) the identity the pool slicing rests on: plane weights depend
+    // only on the absolute plane index, so a standalone sketch at ANY
+    // width restricted to the pool's bands IS the pooled sketch
+    val pool = knnSketchDf(spark, d)
+    val wideSketch = bandedBuckets(e, 8, 8)
+    assert(wideSketch.where(col("band") < SketchPoolBands).exceptAll(pool).isEmpty &&
+      pool.exceptAll(wideSketch.where(col("band") < SketchPoolBands)).isEmpty,
+      "standalone 8-band sketch restricted to the pool's bands != pooled sketch")
+    // (2) edge parity at a covered width: registry slice path vs the
+    // same back half fed a from-scratch 4-band sketch
+    assertSameEdges(edgeMap(knnEdgesDf(spark, d, 4, 8, 5)),
+      edgeMap(knnEdgesFrom(e, bandedBuckets(e, 4, 8), 5)), "b4 slice-vs-standalone")
+    // (3) the fallback branch itself, through the public entry at
+    // bands=8 > SketchPoolBands: routes to a standalone sketch and
+    // matches the explicit composition; top-k contract holds
+    val fb = knnEdgesDf(spark, d, 8, 8, 5)
+    assertSameEdges(edgeMap(fb), edgeMap(knnEdgesFrom(e, wideSketch, 5)), "b8 fallback")
+    val overK = fb.groupBy("vec_a").count().where(col("count") > 5).count()
+    assert(overK == 0, "fallback edges exceed k per source node")
   }
 
   test("kNN density: a dense clump drops, candidate-less vectors are absent (trivially kept)") {

@@ -45,7 +45,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def adjudicate(name: str, sql: str) -> bool:
-    assert REACH_MARK in sql and SUFFIX_MARK in sql, f"{name}: oracle shape changed"
+    # Uniqueness, not just presence: a future CTE that happens to
+    # contain a marker byte-sequence would silently truncate the
+    # "verbatim" prefix/suffix and adjudicate the wrong query.
+    assert sql.count(REACH_MARK) == 1, f"{name}: reach marker count {sql.count(REACH_MARK)} != 1"
+    assert sql.count(SUFFIX_MARK) == 1, f"{name}: suffix marker count {sql.count(SUFFIX_MARK)} != 1"
     prefix = sql.split(REACH_MARK)[0]          # WITH RECURSIVE q .. und
     suffix = sql.split(SUFFIX_MARK)[1]         # lc/mj/sz + final SELECT
     # materialize the verbatim undirected edge chain once
