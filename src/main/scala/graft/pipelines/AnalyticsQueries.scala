@@ -724,10 +724,48 @@ object AnalyticsQueries {
     gapHistogramOf(Tables.events(s, d), byType = true)
   }
 
+  /** The ingest-alarm classification ([[graft.streaming.NearDupIngest
+    * .ingestAlarms]]) as an oracle-checked carrier: a deterministic
+    * replay-storm funnel derived from `events` — batches of 500 by
+    * event_id, an event "admitted" when it is the global first
+    * occurrence of its (user_id, event_type) key — decays from
+    * rate≈0.7 at batch 0 to ≈0 as the simulated index saturates,
+    * which walks the classifier through both the null and the
+    * `low_admission` states (the exact scenario the alarm pages on: a
+    * re-crawl / replay storm). `full_admission` is pinned by the
+    * NearDupIngestSpec unit fixtures — no natural batch here admits
+    * 100%. Per-row arithmetic over |batches| rows; the funnel build
+    * is one window + one groupBy over events (monitoring-cost).
+    */
+  val ingestAlarms: QueryDef = QueryDef.sql(
+    "x_ingest_alarms",
+    """WITH f AS (
+      |  SELECT event_id // 500 AS batch_id,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1 AS adm
+      |  FROM events),
+      |s AS (
+      |  SELECT batch_id, count(*) AS n_in,
+      |         CAST(count(*) FILTER (adm) AS BIGINT) AS n_admitted
+      |  FROM f GROUP BY batch_id)
+      |SELECT batch_id, n_in, n_admitted,
+      |       CAST(n_admitted AS DOUBLE) / nullif(n_in, 0) AS rate,
+      |       CASE WHEN n_in >= 100 AND n_admitted * 20 <= n_in THEN 'low_admission'
+      |            WHEN n_in >= 100 AND n_admitted >= n_in THEN 'full_admission'
+      |            END AS alarm
+      |FROM s""") { (s, d) =>
+    val firstSeen = Tables.events(s, d)
+      .select(expr("event_id div 500").as("batch_id"),
+        (row_number().over(
+          Window.partitionBy("user_id", "event_type").orderBy("event_id")) === 1).as("adm"))
+    val stats = firstSeen.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_in"), count(when(col("adm"), 1)).as("n_admitted"))
+    graft.streaming.NearDupIngest.ingestAlarms(stats)
+  }
+
   val all: Seq[QueryDef] =
     Seq(rollup, pivotCounts, quantiles, approxProfile, approxProfileSampled,
       asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
       transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2,
-      retention, retentionW, gapHistogram, gapHistogramByType)
+      retention, retentionW, gapHistogram, gapHistogramByType, ingestAlarms)
 }
