@@ -114,9 +114,13 @@ object MultimodalQueries {
     * pipeline is testable and reproducible.
     */
   private def stubDecodeBatch(batch: Seq[MediaRow]): Seq[DecodedMedia] = {
-    // ??? real batch decoder goes here (e.g. ffmpeg/imageio handed the
-    // full buffer set); deterministic per-item fake keeps the plumbing
-    // exercised.
+    // The real-decoder seam is WIRED in [[MediaDecode]]: pure-JVM
+    // PPM(P6)/BMP(24bpp) parsers dispatched on magic bytes through the
+    // same 64-item partition-local boundary (golden-bytes-tested by
+    // MediaDecodeSpec). The registry queries keep this deterministic
+    // fake because their payloads are the testdata's TEXT bytes, not
+    // image containers; a heavier codec (ffmpeg/imageio) would slot
+    // into MediaDecode.decodeBatchReal the same way.
     batch.map { m =>
       val bytes = m.payload
       val n = bytes.length
