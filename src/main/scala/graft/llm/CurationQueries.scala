@@ -1047,15 +1047,6 @@ object CurationQueries {
     gopherSymbolsDf(Tables.documents(s, d), symNum = 1, symDen = 10, bulNum = 9, bulDen = 10)
   }
 
-  /** The aggressive config — symbol ratio ≤ 1/20, bullet lines ≤ 1/2;
-    * same parameterized builder and oracle on both sides.
-    */
-  val gopherSymbolsStrict: QueryDef = QueryDef.sql(
-    "x_gopher_symbols_strict",
-    gopherSymbolsSql(symNum = 1, symDen = 20, bulNum = 1, bulDen = 2)) { (s, d) =>
-    gopherSymbolsDf(Tables.documents(s, d), symNum = 1, symDen = 20, bulNum = 1, bulDen = 2)
-  }
-
   /** Water-filling token-budget allocation — the source-balancing
     * decision a mixture designer actually executes: given a total
     * token budget B = total × num/den, find the water level L with
@@ -1153,15 +1144,6 @@ object CurationQueries {
   val tokenBudget: QueryDef = QueryDef.sql(
     "x_token_budget", tokenBudgetSql(num = 1, den = 2)) { (s, d) =>
     tokenBudgetOf(Tables.documents(s, d), num = 1, den = 2)
-  }
-
-  /** The 30% budget — a second solve point of the same level search,
-    * pinning that the budget fraction is a real parameter (a tighter
-    * budget caps MORE sources at a LOWER level).
-    */
-  val tokenBudgetB30: QueryDef = QueryDef.sql(
-    "x_token_budget_b30", tokenBudgetSql(num = 3, den = 10)) { (s, d) =>
-    tokenBudgetOf(Tables.documents(s, d), num = 3, den = 10)
   }
 
   /** Exact length-percentile trim — the outlier-length filter
@@ -1321,15 +1303,6 @@ object CurationQueries {
   val shardAssign: QueryDef = QueryDef.sql(
     "x_shard_assign", shardAssignSql(nShards = 8)) { (s, d) =>
     shardAssignOf(Tables.documents(s, d), nShards = 8)
-  }
-
-  /** The 16-way fan-out: double the shards must roughly halve each
-    * token share — pinning that the modulus is a real layout
-    * parameter, not baked into the hash.
-    */
-  val shardAssignS16: QueryDef = QueryDef.sql(
-    "x_shard_assign_s16", shardAssignSql(nShards = 16)) { (s, d) =>
-    shardAssignOf(Tables.documents(s, d), nShards = 16)
   }
 
   // ----------------------------------------------------------------
@@ -1536,7 +1509,7 @@ object CurationQueries {
        |  SELECT 'dedup', source, CAST(count(*) AS BIGINT),
        |         CAST(sum(n) AS BIGINT) FROM dd GROUP BY source)""".stripMargin
 
-  private def sourceFunnelDf(s: SparkSession, d: String, minWords: Int,
+  private[graft] def sourceFunnelDf(s: SparkSession, d: String, minWords: Int,
       maxWords: Int, minDistinct: Double, maxTop2: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"), col("source"),
@@ -1558,16 +1531,6 @@ object CurationQueries {
     "x_source_funnel",
     sourceFunnelSql(minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)) { (s, d) =>
     sourceFunnelDf(s, d, minWords = 20, maxWords = 100000, minDistinct = 0.30, maxTop2 = 0.10)
-  }
-
-  /** The strict-filter funnel — same cuts as x_gopher_filter_strict;
-    * pins that the funnel tracks the filter config (quality-stage
-    * losses grow, dedup-stage structure shifts with the survivors).
-    */
-  val sourceFunnelStrict: QueryDef = QueryDef.sql(
-    "x_source_funnel_strict",
-    sourceFunnelSql(minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)) { (s, d) =>
-    sourceFunnelDf(s, d, minWords = 30, maxWords = 100000, minDistinct = 0.40, maxTop2 = 0.08)
   }
 
   /** Per-source corpus data card — the one-row-per-source datasheet a
@@ -1738,8 +1701,8 @@ object CurationQueries {
       redact, decontaminate, decontaminateFrac, decontaminateBloom, deconSpans, deconCut,
       deconReport, deconReportK6, mixWeights, pipelineE2e,
       gopherFilter, gopherFilterStrict, pipelineGopher,
-      gopherSymbols, gopherSymbolsStrict, tokenBudget, tokenBudgetB30,
-      shardAssign, shardAssignS16, pipelineHybrid, lengthTrim, lengthTrimP10,
+      gopherSymbols, tokenBudget,
+      shardAssign, pipelineHybrid, lengthTrim, lengthTrimP10,
       curriculum, curriculumW2, packAudit, packAuditB4000,
-      sourceFunnel, sourceFunnelStrict, dataCard, dataCardStrict, mixSolve)
+      sourceFunnel, dataCard, dataCardStrict, mixSolve)
 }

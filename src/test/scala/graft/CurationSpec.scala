@@ -220,6 +220,71 @@ class CurationSpec extends SparkSpec {
     assert(folded == ref)
   }
 
+  test("token budget: tighter budgets solve to lower levels and cap more sources") {
+    // Pins the budget fraction as a real parameter (was the folded
+    // x_token_budget_b30 registry twin): same 10/20/100/1000 fixture,
+    // two tighter solve points, both hand-derived.
+    import spark.implicits._
+    def doc(src: String, n: Int) = (src, (1 to n).map(_ => "w").mkString(" "))
+    val docs = Seq(doc("a", 10), doc("b", 20), doc("c", 100), doc("d", 1000))
+      .toDF("source", "text")
+    def alloc(num: Int, den: Int) =
+      CurationQueries.tokenBudgetOf(docs, num, den)
+        .select("source", "alloc_tokens", "capped")
+        .as[(String, Long, Long)].collect()
+        .map { case (src, a, c) => src -> ((a, c)) }.toMap
+    // B = 1130*3/10 = 339: level lands in the largest source (209)
+    assert(alloc(3, 10) == Map("a" -> ((10L, 0L)), "b" -> ((20L, 0L)),
+      "c" -> ((100L, 0L)), "d" -> ((209L, 1L))))
+    // B = 113: level 41 with one remainder token to c — TWO capped
+    // sources now, allocations still sum to the budget exactly
+    val a10 = alloc(1, 10)
+    assert(a10 == Map("a" -> ((10L, 0L)), "b" -> ((20L, 0L)),
+      "c" -> ((42L, 1L)), "d" -> ((41L, 1L))))
+    assert(a10.values.map(_._1).sum == 113L)
+  }
+
+  test("gopher symbols: the threshold pair is a real parameter (strict flips the mid-band docs)") {
+    // Pins the strict config (was the folded x_gopher_symbols_strict
+    // registry twin): one doc in the symbol mid-band (1/20 < ratio ≤
+    // 1/10), one in the bullet mid-band (1/2 < frac ≤ 9/10), one clean.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 15).map(i => s"w$i").mkString(" ") + " #"), // symbol ratio 1/15
+      (2L, "- a b\n- c d\ne f"), // bullet frac 2/3
+      (3L, "plain words only here")
+    ).toDF("doc_id", "text")
+    def kept(symNum: Int, symDen: Int, bulNum: Int, bulDen: Int) =
+      CurationQueries.gopherSymbolsDf(docs, symNum, symDen, bulNum, bulDen)
+        .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(kept(1, 10, 9, 10) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(kept(1, 20, 1, 2) == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("source funnel tracks the filter config: strict loses the mid-band doc at the quality stage") {
+    // Pins that the funnel's stage losses follow the filter parameters
+    // (was the folded x_source_funnel_strict registry twin): doc 1
+    // passes the default word floor (25 ≥ 20) but not the strict one
+    // (25 < 30); the raw stage is config-independent.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    def words(n: Int) = (1 to n).map(i => s"word$i").mkString(" ")
+    Seq((1L, words(25), "en", "s1"), (2L, words(40), "en", "s1"),
+        (3L, words(5), "en", "s2"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def stages(minWords: Int, minDistinct: Double, maxTop2: Double) =
+      CurationQueries.sourceFunnelDf(spark, dir, minWords, 100000, minDistinct, maxTop2)
+        .select("stage", "source", "n_docs", "n_tokens")
+        .as[(String, String, Long, Long)].collect().toSet
+    val raw = Set(("raw", "s1", 2L, 65L), ("raw", "s2", 1L, 5L))
+    assert(stages(20, 0.30, 0.10) ==
+      raw + (("quality", "s1", 2L, 65L)) + (("dedup", "s1", 2L, 65L)))
+    assert(stages(30, 0.40, 0.08) ==
+      raw + (("quality", "s1", 1L, 40L)) + (("dedup", "s1", 1L, 40L)))
+  }
+
   test("curriculum: closed-form positions are the weighted-interleave permutation") {
     import spark.implicits._
     // sources alphabetical: a (rank 1, w=3), b (rank 2, w=2), c (w=1)

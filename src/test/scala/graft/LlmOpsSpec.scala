@@ -948,7 +948,12 @@ class LlmOpsSpec extends SparkSpec {
       assert(qd2 <= rd && qt <= rt, s"quality grew for $src")
       assert(dd2 <= qd2 && dt <= qt, s"dedup grew for $src")
     }
-    val strict = byStage(llm.CurationQueries.sourceFunnelStrict)
+    // the strict config through the parameterized builder (the
+    // x_source_funnel_strict registry twin was folded into spec pins)
+    val strict = byStage(QueryDef.rowsOnly("strict_funnel") { (s, dd) =>
+      llm.CurationQueries.sourceFunnelDf(s, dd, minWords = 30, maxWords = 100000,
+        minDistinct = 0.40, maxTop2 = 0.08)
+    })
     assert(strict("quality").values.map(_._1).sum <= f("quality").values.map(_._1).sum)
     // raw is filter-independent
     assert(strict("raw") == f("raw"))

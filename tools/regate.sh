@@ -1,0 +1,81 @@
+#!/usr/bin/env bash
+# End-to-end re-gate: the full round discipline as one command.
+#
+#   tools/regate.sh [--sf1] [--no-tests] [--no-bench]
+#
+# Default flow (the per-session closing gate):
+#   1. sbt test                      - full unit suite
+#   2. graft.Verify @ sf0.01         - full-registry dump
+#      tools/check_oracle.py         - DuckDB compare (cached oracles)
+#   3. graft.Smoke                   - flagship entry, rows>0
+#   4. graft.Bench @ sf0.1 (gated)   - artifact under bench/
+#
+# --sf1 additionally runs the decade gate over $SF1 (default /tmp/sf1,
+# generate with `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1`):
+# a full-registry Verify dump, the DuckDB compare with the two
+# hour-class purity closures EXCLUDED (their recursive-CTE oracles are
+# infeasible at sf1), and tools/adjudicate_purity.py closing those two
+# via the verbatim-prefix/suffix min-label fixpoint.
+#
+# Every step fails the script on first error (set -e); the bench still
+# self-reports contention via its own loadavg gate + "valid" flag.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF001=${SF001:-/root/testdata/sf0.01}
+SF01=${SF01:-/root/testdata/sf0.1}
+SF1=${SF1:-/tmp/sf1}
+
+RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1
+for a in "$@"; do
+  case "$a" in
+    --sf1) RUN_SF1=1 ;;
+    --no-tests) RUN_TESTS=0 ;;
+    --no-bench) RUN_BENCH=0 ;;
+    *) echo "unknown flag: $a" >&2; exit 2 ;;
+  esac
+done
+
+if [ "$RUN_TESTS" = 1 ]; then
+  echo "== [1/4] unit suite =="
+  TLOG=$(mktemp /tmp/regate_tests.XXXXXX)
+  sbt -batch test >"$TLOG" 2>&1 || true
+  grep -E "Tests:|\*\*\* FAILED" "$TLOG" | tail -20
+  grep -q "All tests passed." "$TLOG" || { echo "unit suite FAILED (log: $TLOG)"; exit 1; }
+fi
+
+echo "== [2/4] sf0.01 full-registry oracle gate =="
+sbt -batch "runMain graft.Verify $SF001 /tmp/regate_v001" 2>&1 | grep "\[verify\]" || true
+python3 tools/check_oracle.py "$SF001" /tmp/regate_v001 | tail -3
+
+echo "== [3/4] flagship smoke =="
+sbt -batch "runMain graft.Smoke" 2>/dev/null | grep smoke
+
+if [ "$RUN_SF1" = 1 ]; then
+  echo "== [sf1] decade gate over $SF1 =="
+  [ -d "$SF1" ] || { echo "missing $SF1 - generate with: sbt \"runMain graft.ScaleGen $SF01 $SF1\""; exit 1; }
+  sbt -batch "runMain graft.Verify $SF1 /tmp/regate_v1" 2>&1 | grep "\[verify\]" || true
+  # purity closures out of the bulk compare (hour-class recursive CTEs
+  # at sf1); the dump dirs are symlinked so nothing is copied
+  rm -rf /tmp/regate_v1_np && mkdir -p /tmp/regate_v1_np
+  for d in /tmp/regate_v1/*/; do ln -s "$d" "/tmp/regate_v1_np/$(basename "$d")"; done
+  python3 - <<'EOF'
+import json
+o = json.load(open('/tmp/regate_v1/oracle_sql.json'))
+for k in ('x_knn_purity', 'x_knn_purity_b6'):
+    o.pop(k, None)
+json.dump(o, open('/tmp/regate_v1_np/oracle_sql.json', 'w'))
+EOF
+  python3 tools/check_oracle.py "$SF1" /tmp/regate_v1_np | tail -3
+  python3 tools/adjudicate_purity.py "$SF1" /tmp/regate_v1
+fi
+
+if [ "$RUN_BENCH" = 1 ]; then
+  OUT="bench/regate_$(date +%Y%m%d_%H%M%S).json"
+  echo "== [4/4] gated bench @ sf0.1 -> $OUT =="
+  SPARK_GRAFT_SF_DIR="$SF01" SPARK_GRAFT_BENCH_OUT="$OUT" \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | head -1 | cut -c1-400
+  echo "full artifact: $OUT"
+fi
+
+echo "== regate complete =="
