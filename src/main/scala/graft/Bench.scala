@@ -98,29 +98,46 @@ object Bench {
     // built (pairs_build reads the postings; cc_build reads the pairs;
     // the per-config knn builds slice the pooled sketch), so every
     // build line prices exactly its OWN marginal work.
-    val artifactBuilders: Seq[(String, () => Unit)] = Seq(
-      "index_build" -> (() => { llm.SharedIndex.sidPostings(spark, sfDir).count(); () }),
-      "pairs_build" -> (() => { llm.DedupQueries.rareOverlaps(spark, sfDir).count(); () }),
-      "cc_build" -> (() => { llm.DedupQueries.ccLabels(spark, sfDir).count(); () }),
-      "cc_base_build" -> (() => { llm.DedupQueries.baseLabels(spark, sfDir).count(); () }),
-      "knn_sketch_build" -> (() => { llm.SimilarityQueries.knnSketchDf(spark, sfDir).count(); () }),
-      "knn_build_b4" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count(); () }),
-      "knn_build_b6" -> (() => { llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count(); () }),
-      "bpe_build" -> (() => { llm.TextQueries.bpeBuildDf(spark, sfDir).count(); () }),
-      "tok_build" -> (() => { llm.TextQueries.tokFrame(spark, sfDir).count(); () }))
+    // Builders return their artifact's ROW COUNT: the scaling-exponent
+    // measurements (TESTDATA.md) need seconds AND output rows side by
+    // side, and the count() was already being forced for the build.
+    val allBuilders: Seq[(String, () => Long)] = Seq(
+      "index_build" -> (() => llm.SharedIndex.sidPostings(spark, sfDir).count()),
+      "pairs_build" -> (() => llm.DedupQueries.rareOverlaps(spark, sfDir).count()),
+      "cc_build" -> (() => llm.DedupQueries.ccLabels(spark, sfDir).count()),
+      "cc_base_build" -> (() => llm.DedupQueries.baseLabels(spark, sfDir).count()),
+      "knn_sketch_build" -> (() => llm.SimilarityQueries.knnSketchDf(spark, sfDir).count()),
+      "knn_build_b4" -> (() => llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count()),
+      "knn_build_b6" -> (() => llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count()),
+      "bpe_build" -> (() => llm.TextQueries.bpeBuildDf(spark, sfDir).count()),
+      "tok_build" -> (() => llm.TextQueries.tokFrame(spark, sfDir).count()))
+    // Optional build-line filter, the builder-side sibling of
+    // SPARK_GRAFT_ONLY (names without the _build suffix, e.g.
+    // SPARK_GRAFT_BUILDS=index,pairs,cc): targeted profiling at scale
+    // points where the unmeasured families would dominate wall-clock.
+    // Unset -> all builders, the only mode whose total is comparable.
+    val buildFilter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BUILDS").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val artifactBuilders = buildFilter match {
+      case Some(names) => allBuilders.filter { case (n, _) => names(n.stripSuffix("_build")) }
+      case None        => allBuilders
+    }
     // Build lines carry per-entry loadavg exactly like registry
     // queries, so `query_loadavg` is keyed identically to `queries`
     // (r11's artifacts omitted the build lines from the load map).
-    val buildResults: Seq[(String, (Double, Double))] = artifactBuilders.flatMap { case (name, build) =>
+    val buildResults: Seq[(String, (Double, Double, Long))] = artifactBuilders.flatMap { case (name, build) =>
       val loadBefore = loadAvg()
       val t0 = System.nanoTime()
-      try { build(); Some(name -> (((System.nanoTime() - t0) / 1e9), loadBefore)) }
+      try {
+        val rows = build()
+        Some(name -> (((System.nanoTime() - t0) / 1e9), loadBefore, rows))
+      }
       catch { case e: Throwable =>
         failures ::= s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}"
         None
       }
     }
-    val builds: Map[String, Double] = buildResults.map { case (n, (secs, _)) => n -> secs }.toMap
+    val builds: Map[String, Double] = buildResults.map { case (n, (secs, _, _)) => n -> secs }.toMap
     // Best-of-2 per query (best-of-3 when the first two disagree >3×):
     // this host's timings vary 2-3× run to run under identical plans,
     // so a single sample is mostly noise. The first run also pays
@@ -186,16 +203,20 @@ object Bench {
     // included (kept separate so the driver's name→seconds contract
     // for `queries` is untouched).
     val loads = (results.collect { case (n, (secs, load)) if secs >= 0 => n -> load } ++
-        buildResults.map { case (n, (_, load)) => n -> load })
+        buildResults.map { case (n, (_, load, _)) => n -> load })
       .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // Build-artifact row counts, for the scaling tables in TESTDATA.md.
+    val buildRows = buildResults.map { case (n, (_, _, rows)) => s"\"" + n + "\":" + rows }
       .mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
-    val allValid = valid && failures.isEmpty && results.size == ok.size && only.isEmpty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+    val allValid = valid && failures.isEmpty && results.size == ok.size &&
+      only.isEmpty && buildFilter.isEmpty
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {

@@ -43,15 +43,29 @@ object ScaleGen {
           .cast("long").as("n_chars"))
     }.reduce(_.unionByName(_))
 
-  def scaleEmbeddings(emb: DataFrame, factor: Int, dim: Int = 64): DataFrame =
+  def scaleEmbeddings(emb: DataFrame, factor: Int, dim: Int = 64): DataFrame = {
+    // Rotation alone yields only `dim` distinct variants; past that the
+    // second block of replicas NEGATES its rotation (norm-preserving,
+    // every sign bit flips -> different LSH buckets, cosine -1 to the
+    // unnegated twin) so no replica duplicates another's vectors and
+    // the near-dup structure stays replica-local. Two blocks cover
+    // factor <= 2*dim = 128 - enough for the sf10 scale slice (100x).
+    require(factor <= 2 * dim, s"factor $factor > ${2 * dim} would repeat embedding variants")
     (0 until factor).map { k =>
       if (k == 0) emb
-      else emb.select(
-        (col("vec_id") + k * IdOffset).as("vec_id"),
-        expr(s"concat(slice(embedding, ${k + 1}, ${dim - k}), slice(embedding, 1, $k))")
-          .as("embedding"),
-        col("label"))
+      else {
+        val r = k % dim
+        val rotated =
+          if (r == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
+        val varied = if (k < dim) rotated else transform(rotated, x => -x)
+        emb.select(
+          (col("vec_id") + k * IdOffset).as("vec_id"),
+          varied.as("embedding"),
+          col("label"))
+      }
     }.reduce(_.unionByName(_))
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
