@@ -60,9 +60,17 @@ object Bench {
     val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "5").toInt
     val sleepMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_SLEEP_MS", "60000").toLong
     val (loadStart, valid) = awaitIdleHost(maxLoad, retries, sleepMs)
+    // Shuffle partitions default to the core count (right for the
+    // sf0.01-sf1 working set) but are a REAL scale knob: the sf10
+    // probe (TESTDATA.md round-13 wave) OOMs pairs_build's candidate
+    // expansion at 32 partitions x 8g heap, and completes with
+    // partitions sized so each task's slice fits - the same
+    // partitions >> cores sizing a production cluster runs with.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosAsLongKey, "true") // legacy-encoding tolerance; see Tables.normalizeTs
       .config("spark.sql.session.timeZone", "UTC")
