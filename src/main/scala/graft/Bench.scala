@@ -66,6 +66,12 @@ object Bench {
     // expansion at 32 partitions x 8g heap, and completes with
     // partitions sized so each task's slice fits - the same
     // partitions >> cores sizing a production cluster runs with.
+    // The env override marks the artifact invalid-for-comparison below
+    // (a non-default partitions run is a DIFFERENT config — the very
+    // knob the sf10 sweep showed changes OOM/runtime behavior), and the
+    // effective value is emitted in the JSON either way so every
+    // artifact is self-describing.
+    val partitionsOverridden = sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
@@ -127,7 +133,12 @@ object Bench {
     val buildFilter: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BUILDS").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val artifactBuilders = buildFilter match {
-      case Some(names) => allBuilders.filter { case (n, _) => names(n.stripSuffix("_build")) }
+      // Match the stripped convention AND the full builder name: the
+      // kNN edge builders' suffix is `_build_b4`/`_build_b6`, which
+      // stripSuffix("_build") leaves untouched — without the full-name
+      // fallback, `SPARK_GRAFT_BUILDS=knn_build_b4` silently selected
+      // nothing.
+      case Some(names) => allBuilders.filter { case (n, _) => names(n.stripSuffix("_build")) || names(n) }
       case None        => allBuilders
     }
     // Build lines carry per-entry loadavg exactly like registry
@@ -223,8 +234,8 @@ object Bench {
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
     val allValid = valid && failures.isEmpty && results.size == ok.size &&
-      only.isEmpty && buildFilter.isEmpty
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+      only.isEmpty && buildFilter.isEmpty && !partitionsOverridden
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {

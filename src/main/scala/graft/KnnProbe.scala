@@ -21,6 +21,10 @@ import org.apache.spark.sql.SparkSession
   */
 object KnnProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: runMain graft.KnnProbe <sfDir> <bands> <r> <k>")
+      sys.exit(2)
+    }
     val Array(sfDir, bands, r, k) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -75,7 +75,13 @@ object MediaDecode {
     require(w > 0 && h > 0, s"degenerate PPM dimensions ${w}x$h")
     require(maxv == 255, s"unsupported PPM maxval $maxv (only 8-bit)")
     i += 1 // exactly ONE whitespace byte separates maxval from pixel data
-    val need = w * h * 3
+    // Size math in Long: an adversarial header (e.g. 65536×65536) would
+    // overflow `w*h*3` in Int, bypass the truncation require, and fail
+    // as an ArrayIndexOutOfBounds instead of the documented
+    // IllegalArgumentException quarantine contract.
+    val needL = w.toLong * h.toLong * 3L
+    require(needL <= Int.MaxValue, s"PPM dimensions ${w}x$h overflow a JVM array")
+    val need = needL.toInt
     require(b.length - i >= need, s"truncated PPM pixel data (${b.length - i} < $need)")
     (w, h, java.util.Arrays.copyOfRange(b, i, i + need))
   }
@@ -104,8 +110,16 @@ object MediaDecode {
     val comp = le32(b, 30)
     require(w > 0 && h > 0, s"degenerate BMP dimensions ${w}x$hRaw")
     require(bpp == 24 && comp == 0, s"only 24-bpp BI_RGB supported (got $bpp bpp, compression $comp)")
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    require(b.length >= pixOff + rowSize * h, "truncated BMP pixel data")
+    // Same Long-math quarantine contract as the PPM side: adversarial
+    // width/height/pixOff must fail the require()s, not wrap around Int
+    // and surface as an array-bounds error.
+    require(pixOff >= 54, s"BMP pixel offset $pixOff inside the headers")
+    val rowSizeL = ((w.toLong * 3L + 3L) / 4L) * 4L
+    val endL = pixOff.toLong + rowSizeL * h.toLong
+    require(endL <= Int.MaxValue && w.toLong * h.toLong * 3L <= Int.MaxValue,
+      s"BMP dimensions ${w}x$h overflow a JVM array")
+    require(b.length >= endL, "truncated BMP pixel data")
+    val rowSize = rowSizeL.toInt // safe: bounded by endL <= Int.MaxValue
     val out = new Array[Byte](w * h * 3)
     var row = 0
     while (row < h) {

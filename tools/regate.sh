@@ -40,7 +40,10 @@ if [ "$RUN_TESTS" = 1 ]; then
   echo "== [1/4] unit suite =="
   TLOG=$(mktemp /tmp/regate_tests.XXXXXX)
   sbt -batch test >"$TLOG" 2>&1 || true
-  grep -E "Tests:|\*\*\* FAILED" "$TLOG" | tail -20
+  # `|| true`: a compile error emits no ScalaTest summary, and under
+  # pipefail a no-match grep would kill the script BEFORE the explicit
+  # failure line below prints the log path.
+  grep -E "Tests:|\*\*\* FAILED" "$TLOG" | tail -20 || true
   grep -q "All tests passed." "$TLOG" || { echo "unit suite FAILED (log: $TLOG)"; exit 1; }
 fi
 
