@@ -174,6 +174,84 @@ object MultimodalQueries {
         round(element_at(col("features"), 1).cast("double") * 1000).cast("long").as("f0_q"))
   }
 
+  /** The REAL container decoder ([[MediaDecode]]), oracle-audited end
+    * to end: each document synthesizes a deterministic binary-PPM (P6)
+    * gradient image from its own doc_id — dimensions `(4 + id%5) ×
+    * (3 + id%7)`, pixel i carrying `((id + 3i) % 256, (2id + 5i) %
+    * 256, (3id + 7i) % 256)` — so the container BYTES (ASCII header +
+    * packed RGB) are pure arithmetic both engines can produce. The
+    * payload is assembled entirely with codegen'd column functions
+    * (`transform` → per-pixel hex pairs → `unhex` → binary concat
+    * with the header); the only non-codegen step remains the
+    * documented 64-item `mapPartitions` decode boundary, now running
+    * [[MediaDecode.decodeBatchReal]]'s magic-byte dispatch + P6
+    * parser on real container bytes instead of the stub.
+    *
+    * Output is integer-exact: the decoder's float features are
+    * rescaled back to the integer statistics they encode (sum_r =
+    * f0·n·255, min_luma3 = f3·765, bright_n = f6·n — float error
+    * ≤ 2⁻²⁴·18360 ≈ 0.001, three orders under the rounding
+    * boundary), so the DuckDB twin is a closed-form aggregate over
+    * `generate_series`, not a float compare. bright: luma > 127.5 ⇔
+    * r+g+b > 382.5 ⇔ ≥ 383 on integers.
+    */
+  val multimodalReal: QueryDef = QueryDef.sql(
+    "x_multimodal_real",
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id + 3 * i) % 256 AS r,
+      |         (2 * doc_id + 5 * i) % 256 AS g,
+      |         (3 * doc_id + 7 * i) % 256 AS b
+      |  FROM d, generate_series(0, 71) t(i)
+      |  WHERE i < w * h)
+      |SELECT doc_id,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       'ppm' AS format, CAST(1 AS BIGINT) AS n_frames,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(min(r + g + b) AS BIGINT) AS min_luma3,
+      |       CAST(max(r + g + b) AS BIGINT) AS max_luma3,
+      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n
+      |FROM p GROUP BY doc_id, w, h""") { (s, d) =>
+    val spark: SparkSession = s
+    import spark.implicits._
+    val gen = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 7).cast("int").as("h"))
+      .withColumn("n", col("w") * col("h"))
+    def chan(v: Column): Column = lpad(hex(v % 256), 2, "0")
+    val hexPix = concat_ws("",
+      transform(sequence(lit(0), col("n") - 1), i => concat(
+        chan(col("doc_id") + i * 3),
+        chan(col("doc_id") * 2 + i * 5),
+        chan(col("doc_id") * 3 + i * 7))))
+    val payload = concat(
+      concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n")).cast("binary"),
+      unhex(hexPix))
+    val media = gen
+      .select(col("doc_id"), payload.as("payload"), lit("ppm").as("mime"))
+      .as[MediaRow]
+    MediaDecode.decodeMedia(media).toDF()
+      .withColumn("npx", col("width") * col("height"))
+      .select(
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("format"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(element_at(col("features"), 1).cast("double") * col("npx") * 255).cast("long").as("sum_r"),
+        round(element_at(col("features"), 2).cast("double") * col("npx") * 255).cast("long").as("sum_g"),
+        round(element_at(col("features"), 3).cast("double") * col("npx") * 255).cast("long").as("sum_b"),
+        round(element_at(col("features"), 4).cast("double") * 765).cast("long").as("min_luma3"),
+        round(element_at(col("features"), 5).cast("double") * 765).cast("long").as("max_luma3"),
+        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"))
+  }
+
   // ----------------------------------------------------------------
   // Frame sampling — the subsample-before-decode step, shared by the
   // standalone sampler query and the composed sample-then-decode one.
@@ -366,6 +444,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(multimodalMeta, multimodalDecode, frameSample, framesDecoded,
+    Seq(multimodalMeta, multimodalDecode, multimodalReal, frameSample, framesDecoded,
       avAlign, avAlignF1)
 }
