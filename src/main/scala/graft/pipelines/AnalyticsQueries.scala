@@ -737,8 +737,23 @@ object AnalyticsQueries {
     * 100%. Per-row arithmetic over |batches| rows; the funnel build
     * is one window + one groupBy over events (monitoring-cost).
     */
-  val ingestAlarms: QueryDef = QueryDef.sql(
-    "x_ingest_alarms",
+  /** The deterministic replay-storm funnel both alarm carriers share:
+    * batches of 500 by event_id, an event "admitted" when it is the
+    * global first occurrence of its (user_id, event_type) key — so the
+    * admission rate decays from ≈0.7 at batch 0 to ≈0 as the simulated
+    * index saturates.
+    */
+  private def replayStormStats(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .select(expr("event_id div 500").as("batch_id"),
+        (row_number().over(
+          Window.partitionBy("user_id", "event_type").orderBy("event_id")) === 1).as("adm"))
+    firstSeen.groupBy("batch_id")
+      .agg(count(lit(1)).as("n_in"), count(when(col("adm"), 1)).as("n_admitted"))
+  }
+
+  /** The matching oracle CTE pair (funnel → per-batch classification). */
+  private val replayStormAlarmSql =
     """WITH f AS (
       |  SELECT event_id // 500 AS batch_id,
       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1 AS adm
@@ -746,20 +761,61 @@ object AnalyticsQueries {
       |s AS (
       |  SELECT batch_id, count(*) AS n_in,
       |         CAST(count(*) FILTER (adm) AS BIGINT) AS n_admitted
-      |  FROM f GROUP BY batch_id)
-      |SELECT batch_id, n_in, n_admitted,
-      |       CAST(n_admitted AS DOUBLE) / nullif(n_in, 0) AS rate,
-      |       CASE WHEN n_in >= 100 AND n_admitted * 20 <= n_in THEN 'low_admission'
-      |            WHEN n_in >= 100 AND n_admitted >= n_in THEN 'full_admission'
-      |            END AS alarm
-      |FROM s""") { (s, d) =>
-    val firstSeen = Tables.events(s, d)
-      .select(expr("event_id div 500").as("batch_id"),
-        (row_number().over(
-          Window.partitionBy("user_id", "event_type").orderBy("event_id")) === 1).as("adm"))
-    val stats = firstSeen.groupBy("batch_id")
-      .agg(count(lit(1)).as("n_in"), count(when(col("adm"), 1)).as("n_admitted"))
-    graft.streaming.NearDupIngest.ingestAlarms(stats)
+      |  FROM f GROUP BY batch_id),
+      |a AS (
+      |  SELECT batch_id, n_in, n_admitted,
+      |         CAST(n_admitted AS DOUBLE) / nullif(n_in, 0) AS rate,
+      |         CASE WHEN n_in >= 100 AND n_admitted * 20 <= n_in THEN 'low_admission'
+      |              WHEN n_in >= 100 AND n_admitted >= n_in THEN 'full_admission'
+      |              END AS alarm
+      |  FROM s)""".stripMargin
+
+  /** The ingest-alarm classification ([[graft.streaming.NearDupIngest
+    * .ingestAlarms]]) as an oracle-checked carrier: the replay-storm
+    * funnel walks the classifier through both the null and the
+    * `low_admission` states (the exact scenario the alarm pages on: a
+    * re-crawl / replay storm). `full_admission` is pinned by the
+    * NearDupIngestSpec unit fixtures — no natural batch here admits
+    * 100%. Per-row arithmetic over |batches| rows; the funnel build
+    * is one window + one groupBy over events (monitoring-cost).
+    */
+  val ingestAlarms: QueryDef = QueryDef.sql(
+    "x_ingest_alarms",
+    s"""$replayStormAlarmSql
+       |SELECT batch_id, n_in, n_admitted, rate, alarm FROM a""".stripMargin) { (s, d) =>
+    graft.streaming.NearDupIngest.ingestAlarms(replayStormStats(Tables.events(s, d)))
+  }
+
+  /** The alarm MONITOR's materialized output, oracle-checked: the same
+    * replay-storm funnel is written to a fixture store's `.stats`
+    * directory, [[graft.streaming.NearDupIngest.startAlarmMonitor]]
+    * tails it as a real Structured Streaming file source (classify →
+    * flagged rows only → idempotent single-file-per-batch append to
+    * `<store>.alarms`), and the query returns what
+    * [[graft.streaming.NearDupIngest.alarmLog]] reads back from disk.
+    * x_ingest_alarms pins the classification ARITHMETIC; this pins the
+    * monitor's end-to-end materialization — source tailing, the
+    * flagged-only filter, the append protocol, and the log reader —
+    * against the same DuckDB twin (restricted to flagged rows).
+    *
+    * Scale shape: the monitored table is |batches| rows and the
+    * monitor's state is the file-source seen-files log — monitoring-
+    * cost, independent of corpus size. Each invocation uses a fresh
+    * temp store, so replays (bench samples) never see stale alarms.
+    */
+  val alarmStore: QueryDef = QueryDef.sql(
+    "x_alarm_store",
+    s"""$replayStormAlarmSql
+       |SELECT batch_id, n_in, n_admitted, rate, alarm FROM a
+       |WHERE alarm IS NOT NULL""".stripMargin) { (s, d) =>
+    import graft.streaming.NearDupIngest
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_alarm_store").resolve("store").toString
+    replayStormStats(Tables.events(s, d))
+      .write.mode("overwrite").parquet(NearDupIngest.statsDir(storeDir))
+    val q = NearDupIngest.startAlarmMonitor(s, storeDir)
+    try q.processAllAvailable() finally q.stop()
+    NearDupIngest.alarmLog(s, storeDir)
   }
 
   val all: Seq[QueryDef] =
@@ -767,5 +823,6 @@ object AnalyticsQueries {
       asofJoin, asofNative,
       rangeJoin, intervalJoin, intervalJoinC60, sessionize, sessionizeG10,
       transitionMatrix, transitionMatrixG10, sessionFunnel, sessionFunnelS2,
-      retention, retentionW, gapHistogram, gapHistogramByType, ingestAlarms)
+      retention, retentionW, gapHistogram, gapHistogramByType, ingestAlarms,
+      alarmStore)
 }
