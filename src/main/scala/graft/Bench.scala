@@ -60,22 +60,33 @@ object Bench {
     val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "5").toInt
     val sleepMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_SLEEP_MS", "60000").toLong
     val (loadStart, valid) = awaitIdleHost(maxLoad, retries, sleepMs)
-    // Shuffle partitions default to the core count (right for the
-    // sf0.01-sf1 working set) but are a REAL scale knob: the sf10
-    // probe (TESTDATA.md round-13 wave) OOMs pairs_build's candidate
-    // expansion at 32 partitions x 8g heap, and completes with
-    // partitions sized so each task's slice fits - the same
-    // partitions >> cores sizing a production cluster runs with.
+    // Shuffle partitions are sized to the DATA via SessionTuning: the
+    // core count at the sf0.01-sf1 working set (input fits cores x
+    // ~1.5MiB slices) and full waves of cores past that — at sf10 the
+    // heuristic lands on the 96 the quiet-host sweep measured as the
+    // point where the whole build chain goes ≈linear-or-better
+    // (TESTDATA.md round-13 wave; 32 partitions x 8g heap OOM'd
+    // pairs_build's candidate expansion there).
     // The env override marks the artifact invalid-for-comparison below
     // (a non-default partitions run is a DIFFERENT config — the very
     // knob the sf10 sweep showed changes OOM/runtime behavior), and the
     // effective value is emitted in the JSON either way so every
-    // artifact is self-describing.
+    // artifact is self-describing. The adaptive default is NOT an
+    // override: it is a pure function of (cores, input bytes), so two
+    // default-config runs at the same sf are still comparable.
     val partitionsOverridden = sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val shufflePartitions = SessionTuning.shufflePartitions(cpus.toInt, sfDir)
+    // Same master resolution as Verify: env > spark-submit > local[cpus].
+    // A non-default master is a different execution topology — real
+    // executor JVMs, network shuffle — so it also invalidates the
+    // artifact for cross-round comparison (and is emitted in the JSON).
+    val masterOverridden =
+      sys.env.contains("SPARK_GRAFT_MASTER") || sys.props.contains("spark.master")
+    val master = sys.env.get("SPARK_GRAFT_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse(s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosAsLongKey, "true") // legacy-encoding tolerance; see Tables.normalizeTs
@@ -234,8 +245,8 @@ object Bench {
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
     val allValid = valid && failures.isEmpty && results.size == ok.size &&
-      only.isEmpty && buildFilter.isEmpty && !partitionsOverridden
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+      only.isEmpty && buildFilter.isEmpty && !partitionsOverridden && !masterOverridden
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {

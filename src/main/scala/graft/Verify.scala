@@ -10,9 +10,20 @@ object Verify {
     // (local iteration aid; the driver always runs the full surface)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Master resolution order: explicit env > spark-submit's spark.master
+    // system property (the local-cluster gate submits this class through
+    // /opt/spark/bin/spark-submit, whose --master must not be clobbered
+    // by a hardcoded builder value) > in-process local[cpus].
+    val master = sys.env.get("SPARK_GRAFT_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse(s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(master)
+      // Data-adaptive: resolves to the core count at every driver test
+      // scale (sf0.001-sf1 input fits the cores x ~1.5MiB working set)
+      // and grows with input bytes past that — see SessionTuning.
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitions(cpus.toInt, sfDir))
       .config(Tables.NanosAsLongKey, "true") // legacy-encoding tolerance; see Tables.normalizeTs
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # End-to-end re-gate: the full round discipline as one command.
 #
-#   tools/regate.sh [--sf1] [--no-tests] [--no-bench]
+#   tools/regate.sh [--sf1] [--cluster] [--sf10-spot] [--no-tests] [--no-bench]
 #
 # Default flow (the per-session closing gate):
 #   1. sbt test                      - full unit suite
@@ -17,6 +17,18 @@
 # infeasible at sf1), and tools/adjudicate_purity.py closing those two
 # via the verbatim-prefix/suffix min-label fixpoint.
 #
+# --cluster additionally runs the FULL sf0.01 registry under a
+# local-cluster master (real executor JVMs on this box: task
+# serialization, broadcast transport, network shuffle fetch — the
+# execution dimension local[N] structurally cannot exercise), via
+# spark-submit of the packaged jar, then the same DuckDB compare.
+#
+# --sf10-spot additionally hash-compares the exact-arithmetic dedup
+# chain at $SF10 (default /tmp/sf10, generate with
+# `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf10 100`) —
+# the tractable-oracle subset that upgrades the second decade from
+# row-count evidence to hash evidence without hour-class DuckDB CTEs.
+#
 # Every step fails the script on first error (set -e); the bench still
 # self-reports contention via its own loadavg gate + "valid" flag.
 set -euo pipefail
@@ -25,11 +37,14 @@ cd "$(dirname "$0")/.."
 SF001=${SF001:-/root/testdata/sf0.01}
 SF01=${SF01:-/root/testdata/sf0.1}
 SF1=${SF1:-/tmp/sf1}
+SF10=${SF10:-/tmp/sf10}
 
-RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1
+RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=0 RUN_SF10=0
 for a in "$@"; do
   case "$a" in
     --sf1) RUN_SF1=1 ;;
+    --cluster) RUN_CLUSTER=1 ;;
+    --sf10-spot) RUN_SF10=1 ;;
     --no-tests) RUN_TESTS=0 ;;
     --no-bench) RUN_BENCH=0 ;;
     *) echo "unknown flag: $a" >&2; exit 2 ;;
@@ -71,6 +86,32 @@ json.dump(o, open('/tmp/regate_v1_np/oracle_sql.json', 'w'))
 EOF
   python3 tools/check_oracle.py "$SF1" /tmp/regate_v1_np | tail -3
   python3 tools/adjudicate_purity.py "$SF1" /tmp/regate_v1
+fi
+
+if [ "$RUN_CLUSTER" = 1 ]; then
+  echo "== [cluster] sf0.01 full-registry gate under local-cluster =="
+  # Real executor JVMs: closure serialization, broadcast transport and
+  # shuffle fetch actually cross process boundaries here. The jar is
+  # spark-submit's primary resource, so executors fetch it from the
+  # driver's file server — exactly the cluster distribution path.
+  sbt -batch package >/dev/null
+  JAR=$(ls target/scala-2.13/*_2.13-*.jar | head -1)
+  CLOG=$(mktemp /tmp/regate_cluster.XXXXXX)
+  rm -rf /tmp/regate_vlc
+  SPARK_GRAFT_CPUS=16 /opt/spark/bin/spark-submit \
+    --master "local-cluster[4,4,4096]" --driver-memory 4g \
+    --class graft.Verify "$JAR" "$SF001" /tmp/regate_vlc >"$CLOG" 2>&1 || \
+    { echo "cluster Verify FAILED (log: $CLOG)"; exit 1; }
+  grep "\[verify\]" "$CLOG" || true
+  python3 tools/check_oracle.py "$SF001" /tmp/regate_vlc | tail -3
+fi
+
+if [ "$RUN_SF10" = 1 ]; then
+  echo "== [sf10] exact-arithmetic spot gate over $SF10 =="
+  [ -d "$SF10" ] || { echo "missing $SF10 - generate with: sbt \"runMain graft.ScaleGen $SF01 $SF10 100\""; exit 1; }
+  SPOT=x_dedup_exact,x_fingerprint,x_cluster_sizes,x_dedup_agreement,x_decontaminate
+  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10 $SPOT" 2>&1 | grep "\[verify\]" || true
+  python3 tools/check_oracle.py "$SF10" /tmp/regate_v10 | tail -8
 fi
 
 if [ "$RUN_BENCH" = 1 ]; then
