@@ -23,9 +23,16 @@ import graft.llm.TextOps.tokens
   * below — at larger corpus sizes you raise permutations/bits so bucket
   * occupancy (and the quadratic within-bucket pairing) stays bounded.
   * The default-config queries use 8 perms / 4 bands and 60 bits / 4
-  * chunks; `x_minhash_lsh_pairs_p16` and `x_dedup_simhash_b48` run the
+  * chunks; `x_dedup_simhash_b48` and `x_minhash_estimate_p16` run the
   * same builders at non-default configs, oracle-checked, to pin that
-  * the parameterization is real.
+  * the parameterization is real. (The 16-perm LSH-PAIRS twins were
+  * folded in round 14: their verified output is value-identical to
+  * the default config at sf0.01, sf0.1 AND sf1 — verification
+  * collapses the band-config difference — so the cross-config recall
+  * identity is pinned tighter in LlmOpsSpec, and the 16-perm
+  * signature arithmetic keeps its own oracle via
+  * `x_minhash_estimate_p16` / `x_source_sketch_sim_p16`, whose
+  * outputs DO diverge.)
   *
   * All shingle-based queries run on [[SharedIndex.sidPostings]] — the
   * `(doc_id, sid)` inverted index materialized once per (JVM, sf-dir)
@@ -175,7 +182,7 @@ object DedupQueries {
     * threshold in one step) — the common path for one-shot candidate
     * policies (MinHash bands, incremental delta probes).
     */
-  private def verifiedPairs(post: DataFrame, cand: DataFrame): DataFrame =
+  private[graft] def verifiedPairs(post: DataFrame, cand: DataFrame): DataFrame =
     jaccardVerified(pairOverlaps(post, cand))
 
   /** The rare-shingle overlap-evidence table as a shared materialized
@@ -741,17 +748,16 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash+LSH at the scale config: 16 permutations / 8 bands × 2
-    * rows — the knob you turn when corpus growth raises per-bucket
-    * occupancy (more, narrower bands keep recall while each bucket
-    * stays small). Same verification; oracle-checked like the default.
-    */
-  val minhashLshPairsP16: QueryDef = QueryDef.sql(
-    "x_minhash_lsh_pairs_p16", minhashLshSql(perms = 16, bands = 8)) { (s, d) =>
-    val post = SharedIndex.sidPostings(s, d)
-    verifiedPairs(post, bandCandidates(post, perms = 16, bands = 8))
-      .select("doc_a", "doc_b", "jaccard")
-  }
+  // The 16-perm / 8-band LSH-pairs twin was FOLDED (round 14): its
+  // verified output is value-identical to the default config at every
+  // tested scale (sf0.01, sf0.1, sf1 — exact-Jaccard verification
+  // collapses the candidate-set difference because both band layouts
+  // reach full recall on the j ≥ 0.8 pair set). The cross-config
+  // identity — equal verified pairs from UNEQUAL candidate sets — is
+  // pinned in LlmOpsSpec, which is strictly tighter than two oracles
+  // that each matched independently; the 16-perm signature arithmetic
+  // itself stays externally oracle-checked where it visibly diverges
+  // (x_minhash_estimate_p16, x_source_sketch_sim_p16).
 
   /** SimHash, default config: 60-bit signature, 15-bit chunk banding
     * (4 chunks), hamming ≤ 10 (bit_count of xor — exact ints).
@@ -1771,7 +1777,7 @@ object DedupQueries {
        |      FROM md GROUP BY method) d2
        |  ON p.method = d2.method""".stripMargin
 
-  private def lexsemAgreementDf(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def lexsemAgreementDf(s: org.apache.spark.sql.SparkSession, d: String,
       perms: Int, bands: Int): DataFrame = {
     val post = SharedIndex.sidPostings(s, d)
     val vecIds = Tables.embeddings(s, d).select("vec_id")
@@ -1801,14 +1807,13 @@ object DedupQueries {
     lexsemAgreementDf(s, d, perms = 8, bands = 4)
   }
 
-  /** The 16-perm lexical side — pins that the overlay tracks the
-    * lexical config (more perms = tighter bands = fewer lexical
-    * candidates feeding the overlap).
-    */
-  val lexsemAgreementP16: QueryDef = QueryDef.sql(
-    "x_lexsem_agreement_p16", lexsemAgreementSql(perms = 16, bands = 8)) { (s, d) =>
-    lexsemAgreementDf(s, d, perms = 16, bands = 8)
-  }
+  // The 16-perm agreement twin was FOLDED (round 14) with the LSH-
+  // pairs twin it depended on: since the verified lexical pair set is
+  // value-identical across band configs at every tested scale, the
+  // overlay was too (1/1 output rows equal at sf0.01, sf0.1, sf1).
+  // LlmOpsSpec pins the cross-config identity through this builder's
+  // public shape; see the fold note at the former
+  // x_minhash_lsh_pairs_p16 site.
 
   /** Source-level MinHash sketch similarity: each SOURCE gets one
     * `perms`-component MinHash signature over the union of its
@@ -1915,7 +1920,7 @@ object DedupQueries {
   val all: Seq[QueryDef] =
     Seq(dedupExact, dedupNgram, dedupClusters, dedupClustersLss, ccIncremental,
       clusterChurn, minhashSignature, minhashLshPairs,
-      minhashLshPairsP16, dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
+      dedupSimhash, dedupSimhashB48, dedupCorpus, dedupIncremental,
       passageDedup, passageDedupC24, dupProfile, dupProfileD4,
       crossSourceOverlap, crossSourceOverlapC24, containment,
       clusterRep, clusterRepLen,
@@ -1923,5 +1928,5 @@ object DedupQueries {
       dupWeights, dupWeightsCap4, mirrorDocs, mirrorDocsRaw,
       splitLeakfree, splitLeakfree95, pipelineOrder, shingleGrowth, shingleGrowthB20,
       minhashEstimate, minhashEstimateP16, qualityDupMatrix, qualityDupMatrixT8,
-      lexsemAgreement, lexsemAgreementP16, sourceSketch, sourceSketchP16)
+      lexsemAgreement, sourceSketch, sourceSketchP16)
 }

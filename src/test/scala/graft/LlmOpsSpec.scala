@@ -564,6 +564,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("folded 16-perm LSH twins: unequal candidate sets, identical verified output") {
+    // Round-14 fold evidence, pinned: x_minhash_lsh_pairs_p16 and
+    // x_lexsem_agreement_p16 were retired because exact-Jaccard
+    // verification collapses the (16 perms, 8 bands) vs (8, 4)
+    // difference — both layouts reach full recall on the j ≥ 0.8 pair
+    // set at sf0.01/sf0.1/sf1 (value-identical dumps, TESTDATA.md
+    // round-14 wave). This spec pins that identity as a PROPERTY:
+    // the candidate GENERATION genuinely differs between configs (so
+    // the equality below is recall, not plan identity), yet the
+    // verified pairs — and the lexical-vs-semantic overlay built on
+    // them — are equal. The 16-perm signature arithmetic keeps its
+    // external oracle where it visibly diverges (x_minhash_estimate_p16,
+    // x_source_sketch_sim_p16).
+    import llm.DedupQueries._
+    val d = "/root/testdata/sf0.001"
+    val post = llm.SharedIndex.sidPostings(spark, d)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val candBase = pairSet(bandCandidates(post, perms = 8, bands = 4))
+    val cand16 = pairSet(bandCandidates(post, perms = 16, bands = 8))
+    assert(candBase != cand16,
+      s"band configs produced IDENTICAL candidates (${candBase.size}) — the fold's " +
+        "premise (different generation, same verified output) would be vacuous")
+    def verified(perms: Int, bands: Int): Map[(Long, Long), Double] =
+      verifiedPairs(post, bandCandidates(post, perms, bands))
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val (vBase, v16) = (verified(8, 4), verified(16, 8))
+    assert(vBase.nonEmpty, "no verified pairs at sf0.001 — identity would be vacuous")
+    assert(v16 == vBase, s"verified pair sets diverge across band configs " +
+      s"(only-16=${(v16.keySet -- vBase.keySet).take(5)}, only-base=${(vBase.keySet -- v16.keySet).take(5)})")
+    def overlay(perms: Int, bands: Int): Set[(String, Long, Long)] =
+      lexsemAgreementDf(spark, d, perms, bands)
+        .as[(String, Long, Long)].collect().toSet
+    assert(overlay(16, 8) == overlay(8, 4), "lexsem overlay diverges across band configs")
+  }
+
   test("knnEdgesDf: pooled-slice path == from-scratch sketch; bands>pool fallback is live and consistent") {
     import llm.SimilarityQueries._
     val d = "/root/testdata/sf0.001"
