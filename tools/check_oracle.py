@@ -28,6 +28,13 @@ CACHE_ON = os.environ.get("GRAFT_ORACLE_CACHE", "1") != "0"
 CACHE_DIR = os.environ.get("GRAFT_ORACLE_CACHE_DIR", "/tmp/graft_oracle_cache")
 
 con = duckdb.connect()
+# Optional memory cap + spill dir (e.g. GRAFT_DUCKDB_MEM=48GB): at the
+# sf10 scale slices the shingle-join oracles want to grab DuckDB's
+# default 80%-of-RAM budget, which starves whatever else the gate is
+# running; a cap makes the hash joins/aggs spill to disk instead.
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
