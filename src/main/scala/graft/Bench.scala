@@ -13,6 +13,37 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Aggregate (steal, total) jiffies from /proc/stat's cpu line —
+    * the raw counters behind CPU-steal measurement. None if unreadable.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val f = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.find(_.startsWith("cpu ")).get.trim
+        .split("\\s+").drop(1).map(_.toLong)
+      Some((f.lift(7).getOrElse(0L), f.sum))
+    } catch { case _: Throwable => None }
+
+  /** CPU-steal percentage over a short sampling window — HYPERVISOR
+    * contention, which the loadavg gate is structurally blind to:
+    * loadavg counts THIS guest's runnable tasks, steal counts the
+    * cycles the host gave someone else. Round 14's regate bench passed
+    * the loadavg gate at 0.36 yet came out ~1.7× slower than its
+    * replicate; the adjudication found 4–12% steal and page-fault
+    * stalls (a 2 GB in-memory copy took minutes) — an artifact that
+    * was invalid for comparison with nothing in its JSON saying so.
+    * Now both dimensions gate, and both are emitted.
+    */
+  private def stealPct(windowMs: Long = 2000): Double = {
+    val a = cpuJiffies()
+    Thread.sleep(windowMs)
+    (a, cpuJiffies()) match {
+      case (Some((s1, t1)), Some((s2, t2))) if t2 > t1 =>
+        100.0 * (s2 - s1) / (t2 - t1)
+      case _ => -1.0
+    }
+  }
+
   /** Block until the host is idle enough to produce meaningful numbers,
     * or give up after a bounded wait. Two rounds running, the driver's
     * bench artifact was produced on a loaded host (loadavg_start 3+)
@@ -27,16 +58,41 @@ object Bench {
     * /proc/loadavg (-1.0) is reported as-is and marked invalid, since a
     * run whose contention can't be observed can't be trusted either.
     */
-  private def awaitIdleHost(maxLoad: Double, retries: Int, sleepMs: Long): (Double, Boolean) = {
+  /** Memory WRITE bandwidth (GB/s) over a fresh 256 MB buffer — the
+    * direct detector for hypervisor dirty-page write-tracking
+    * (live-migration/snapshot mode), the round-14 failure the other
+    * two gates can miss: reads ran at 17.8 GB/s and the CPU was clean
+    * while a 2 GB in-memory COPY took 351 s (≈0.01 GB/s), and every
+    * allocation-heavy Spark stage ran 2–4× slow. A fresh buffer makes
+    * every page a first-touch fault + write, exactly the degraded
+    * path. Healthy bare/VM hosts measure >2 GB/s; write-tracking
+    * collapses this by orders of magnitude, not percentages.
+    */
+  private def writeGBps(): Double =
+    try {
+      val buf = new Array[Byte](256 * 1024 * 1024)
+      val t0 = System.nanoTime()
+      java.util.Arrays.fill(buf, 1.toByte)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (buf(12345) == 1 && dt > 0) 0.25 / dt else -1.0
+    } catch { case _: Throwable => -1.0 }
+
+  private def awaitIdleHost(maxLoad: Double, maxSteal: Double, minWrite: Double,
+      retries: Int, sleepMs: Long): (Double, Double, Double, Boolean) = {
     var load = loadAvg()
+    var steal = stealPct()
+    var write = writeGBps()
     var left = retries
-    while (load > maxLoad && left > 0) {
-      System.err.println(f"bench: host loaded (loadavg $load%.2f > $maxLoad%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
+    while ((load > maxLoad || steal > maxSteal || write < minWrite) && left > 0) {
+      System.err.println(f"bench: host busy (loadavg $load%.2f vs $maxLoad%.2f, steal $steal%.1f%% vs $maxSteal%.1f%%, write $write%.2f GB/s vs min $minWrite%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
       Thread.sleep(sleepMs)
       load = loadAvg()
+      steal = stealPct()
+      write = writeGBps()
       left -= 1
     }
-    (load, load >= 0 && load <= maxLoad)
+    (load, steal, write,
+      load >= 0 && load <= maxLoad && steal >= 0 && steal <= maxSteal && write >= minWrite)
   }
 
   def main(args: Array[String]): Unit = {
@@ -57,9 +113,16 @@ object Bench {
     // Gate BEFORE the SparkSession spins up its own 32 threads: by the
     // time the warm-up runs, loadavg already reflects us, not the host.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "0.5").toDouble
+    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "1.5").toDouble
+    val minWrite = sys.env.getOrElse("SPARK_GRAFT_WRITE_GBPS_MIN", "1.0").toDouble
     val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "5").toInt
     val sleepMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_SLEEP_MS", "60000").toLong
-    val (loadStart, valid) = awaitIdleHost(maxLoad, retries, sleepMs)
+    val (loadStart, stealStart, writeStart, valid) =
+      awaitIdleHost(maxLoad, maxSteal, minWrite, retries, sleepMs)
+    // Whole-run steal: absolute counters here vs at emit time — the
+    // per-artifact certificate that no hypervisor burst landed MID-run
+    // (the start gate alone can't promise that).
+    val jiffiesStart = cpuJiffies()
     // Shuffle partitions are sized to the DATA via SessionTuning: the
     // core count at the sf0.01-sf1 working set (input fits cores x
     // ~1.5MiB slices) and full waves of cores past that — at sf10 the
@@ -226,6 +289,10 @@ object Bench {
     failures.reverse.foreach(f => System.err.println(s"bench: FAILED $f"))
     val ok = results.collect { case (n, (secs, _)) if secs >= 0 => n -> secs }
     val loadEnd = loadAvg()
+    val stealRun = (jiffiesStart, cpuJiffies()) match {
+      case (Some((s1, t1)), Some((s2, t2))) if t2 > t1 => 100.0 * (s2 - s1) / (t2 - t1)
+      case _ => -1.0
+    }
     val qs = (ok ++ builds)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -244,9 +311,13 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
+    // A whole-run steal above the gate threshold invalidates even if
+    // the start gate passed: the burst landed mid-run and some subset
+    // of the timings is contaminated in a way query_loadavg can't show.
     val allValid = valid && failures.isEmpty && results.size == ok.size &&
-      only.isEmpty && buildFilter.isEmpty && !partitionsOverridden && !masterOverridden
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+      only.isEmpty && buildFilter.isEmpty && !partitionsOverridden && !masterOverridden &&
+      stealRun >= 0 && stealRun <= maxSteal
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct_start":$stealStart,"steal_pct_run":$stealRun,"write_gbps_start":$writeStart,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {
