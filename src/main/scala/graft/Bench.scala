@@ -1,5 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Pure validity arithmetic for the bench artifact, factored out of
+  * the main so the gate policy is unit-pinnable without running a
+  * bench. Policy (round 15, after round 14 produced NO valid
+  * artifact on a degraded host):
+  *
+  *  - RUN FIRST, STAMP AFTER. The artifact is self-adjudicating by
+  *    design, so blocking up to 5 minutes in an idle-wait loop buys
+  *    nothing an external caller can afford — round 14's driver
+  *    bench burned its whole window in the pre-wait on a host whose
+  *    steal floor sat above the threshold, then timed out (rc=124)
+  *    with no artifact at all. Waiting is now opt-in
+  *    (SPARK_GRAFT_LOADAVG_RETRIES, default 0) for interactive runs.
+  *
+  *  - STEAL IS A COVARIATE, NOT A GATE (except a catastrophic
+  *    ceiling). Round 15 measured WHY the absolute 1.5% gate could
+  *    never pass: steal on this host is a function of the guest's
+  *    own load — 2.2–3.3% at idle, 19.9% under a 32-thread spin
+  *    burn, 7.5% under the bench's mixed duty cycle (measured
+  *    identically on two different days: 7.465% / 7.474%). An
+  *    idle-calibrated excess gate is therefore structurally
+  *    unmeetable too: the run's own work "bursts" past any idle
+  *    floor. The honest design — the round-14 verdict's own
+  *    fallback prescription — is to gate hard on what cleanly
+  *    separates clean from contaminated runs (loadavg: other
+  *    processes; write bandwidth: the dirty-page-tracking failure
+  *    that actually degraded round 14), and EMIT steal as a
+  *    continuous covariate (idle floor, loaded floor, whole-run,
+  *    excess) so cross-round comparability is adjudicated from the
+  *    artifact itself: two runs at similar floors compare; a run at
+  *    a 20% loaded floor against one at 3% does not, and the JSON
+  *    says so. Only a catastrophic whole-run ceiling (default 25%)
+  *    still invalidates — beyond it the guest was barely scheduled
+  *    at all and per-query numbers are noise.
+  *
+  *  - RE-PROBE WRITE BANDWIDTH AT EMIT. Dirty-page write-tracking
+  *    (the actual round-14 failure) can begin mid-run with
+  *    near-zero steal; a start-only probe would stamp such a run
+  *    valid. Both probes gate and both are emitted.
+  */
+object BenchGate {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** The host-health component of the artifact's validity stamp.
+    * Any unreadable probe (-1) invalidates: a run whose contention
+    * can't be observed can't be trusted either.
+    */
+  def hostValid(load: Double, maxLoad: Double,
+      stealRun: Double, stealCeil: Double,
+      writeStart: Double, writeEnd: Double, minWrite: Double): Boolean =
+    load >= 0 && load <= maxLoad &&
+      stealRun >= 0 && stealRun <= stealCeil &&
+      writeStart >= minWrite && writeEnd >= minWrite
+}
+
 object Bench {
   /** 1-minute load average — the bench self-reports host contention so
     * a contaminated artifact is identifiable from the JSON alone
@@ -44,20 +104,27 @@ object Bench {
     }
   }
 
-  /** Block until the host is idle enough to produce meaningful numbers,
-    * or give up after a bounded wait. Two rounds running, the driver's
-    * bench artifact was produced on a loaded host (loadavg_start 3+)
-    * and required an out-of-band re-run to adjudicate; the fix is to
-    * make the artifact SELF-adjudicating — the bench first waits for
-    * the contention to drain (bounded), and if it never does, the JSON
-    * it emits carries `"valid": false` so no reader has to cross-check
-    * the timings against an external signal.
-    *
-    * Returns (loadavg at measurement start, valid). `valid` is true
-    * when the start loadavg is at or below the threshold; an unreadable
-    * /proc/loadavg (-1.0) is reported as-is and marked invalid, since a
-    * run whose contention can't be observed can't be trusted either.
+  /** Steal percentage while this guest runs an all-core spin burn —
+    * the LOADED floor, i.e. how much of the CPU it asks for the
+    * hypervisor actually grants. On this host the idle floor reads
+    * 2–3% while the loaded floor reads ~20%: steal here is a
+    * function of the guest's own demand, which is why whole-run
+    * steal is emitted as a covariate for cross-round adjudication
+    * (two artifacts at similar floors compare; dissimilar floors
+    * mean dissimilar host capacity and the JSON shows it) rather
+    * than gated against an idle-calibrated threshold the run's own
+    * work would always breach.
     */
+  private def stealUnderLoad(windowMs: Long = 2000): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to Runtime.getRuntime.availableProcessors).map { _ =>
+      val t = new Thread(() => { var x = 0L; while (!stop.get()) x += 1; if (x == -1) println(x) })
+      t.setDaemon(true); t.start(); t
+    }
+    try { Thread.sleep(500); stealPct(windowMs) } // 500 ms ramp before sampling
+    finally { stop.set(true); threads.foreach(_.join(1000)) }
+  }
+
   /** Memory WRITE bandwidth (GB/s) over a fresh 256 MB buffer — the
     * direct detector for hypervisor dirty-page write-tracking
     * (live-migration/snapshot mode), the round-14 failure the other
@@ -77,22 +144,30 @@ object Bench {
       if (buf(12345) == 1 && dt > 0) 0.25 / dt else -1.0
     } catch { case _: Throwable => -1.0 }
 
-  private def awaitIdleHost(maxLoad: Double, maxSteal: Double, minWrite: Double,
-      retries: Int, sleepMs: Long): (Double, Double, Double, Boolean) = {
+  /** OPT-IN bounded idle-wait (retries > 0 only; default is RUN
+    * FIRST — see BenchGate's policy note). Round 14's driver bench
+    * spent its entire external window in this loop on a host whose
+    * steal floor exceeded the then-absolute threshold, then timed
+    * out with no artifact; the artifact is self-adjudicating, so for
+    * unattended callers waiting adds only the risk of producing
+    * nothing. Interactive/builder runs can still set
+    * SPARK_GRAFT_LOADAVG_RETRIES to wait out a transient burst.
+    */
+  private def awaitIdleHost(maxLoad: Double, stealFloor: Double, maxExcess: Double,
+      minWrite: Double, retries: Int, sleepMs: Long): (Double, Double, Double) = {
     var load = loadAvg()
     var steal = stealPct()
     var write = writeGBps()
     var left = retries
-    while ((load > maxLoad || steal > maxSteal || write < minWrite) && left > 0) {
-      System.err.println(f"bench: host busy (loadavg $load%.2f vs $maxLoad%.2f, steal $steal%.1f%% vs $maxSteal%.1f%%, write $write%.2f GB/s vs min $minWrite%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
+    while ((load > maxLoad || steal - stealFloor > maxExcess || write < minWrite) && left > 0) {
+      System.err.println(f"bench: host busy (loadavg $load%.2f vs $maxLoad%.2f, steal $steal%.1f%% vs floor $stealFloor%.1f%%+$maxExcess%.1f%%, write $write%.2f GB/s vs min $minWrite%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
       Thread.sleep(sleepMs)
       load = loadAvg()
       steal = stealPct()
       write = writeGBps()
       left -= 1
     }
-    (load, steal, write,
-      load >= 0 && load <= maxLoad && steal >= 0 && steal <= maxSteal && write >= minWrite)
+    (load, steal, write)
   }
 
   def main(args: Array[String]): Unit = {
@@ -110,15 +185,36 @@ object Bench {
     // file the builder commits per round (bench/roundN.json) — per-query
     // regression attribution needs the full history, not the tail.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "")
-    // Gate BEFORE the SparkSession spins up its own 32 threads: by the
-    // time the warm-up runs, loadavg already reflects us, not the host.
+    // Probe BEFORE the SparkSession spins up its own 32 threads: by
+    // the time the warm-up runs, loadavg and steal already reflect
+    // us, not the host. Policy is run-first/stamp-after (BenchGate):
+    // retries defaults to 0, so an unattended caller pays ~8 s of
+    // calibration, never minutes of waiting.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "0.5").toDouble
-    val maxSteal = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "1.5").toDouble
+    // The catastrophic whole-run steal ceiling — see BenchGate's
+    // policy note: steal is emitted as a covariate (floors + run +
+    // excess) and only invalidates past the point where the guest
+    // was barely scheduled and per-query numbers are noise.
+    val stealCeil = sys.env.getOrElse("SPARK_GRAFT_STEAL_CEIL", "25.0").toDouble
     val minWrite = sys.env.getOrElse("SPARK_GRAFT_WRITE_GBPS_MIN", "1.0").toDouble
-    val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "5").toInt
+    val retries = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_RETRIES", "0").toInt
     val sleepMs = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_SLEEP_MS", "60000").toLong
-    val (loadStart, stealStart, writeStart, valid) =
-      awaitIdleHost(maxLoad, maxSteal, minWrite, retries, sleepMs)
+    // Host-capacity calibration, both emitted as covariates: the idle
+    // floor (median of 3 x 2 s samples while this process is still
+    // single-threaded — the structural hypervisor tax, 2-3% here) and
+    // the loaded floor (steal under a brief all-core spin burn — what
+    // the hypervisor actually grants under full demand, ~20% here).
+    // NOTE: loadavg is sampled BEFORE the burn (inside awaitIdleHost
+    // ordering below the floors would see the burn's own load).
+    val stealFloor = BenchGate.median(Seq.fill(3)(stealPct()))
+    val loadPreBurn = loadAvg()
+    val stealFloorLoaded = stealUnderLoad()
+    val (loadStart0, stealStart, writeStart) =
+      awaitIdleHost(maxLoad, stealFloor, stealCeil, minWrite, retries, sleepMs)
+    // The spin burn runs ~2.5 s on all cores, which nudges the
+    // 1-minute loadavg by up to ~32 * 2.5/60 ≈ 1.3 — charge the
+    // artifact the PRE-burn load unless the post-burn read is lower.
+    val loadStart = if (loadPreBurn >= 0) math.min(loadPreBurn, loadStart0) else loadStart0
     // Whole-run steal: absolute counters here vs at emit time — the
     // per-artifact certificate that no hypervisor burst landed MID-run
     // (the start gate alone can't promise that).
@@ -311,13 +407,21 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
     val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
-    // A whole-run steal above the gate threshold invalidates even if
-    // the start gate passed: the burst landed mid-run and some subset
-    // of the timings is contaminated in a way query_loadavg can't show.
-    val allValid = valid && failures.isEmpty && results.size == ok.size &&
+    // Emit-time write-bandwidth re-probe: dirty-page write-tracking
+    // (the round-14 failure) can begin MID-run with near-zero steal —
+    // a start-only probe would stamp such a run valid.
+    val writeEnd = writeGBps()
+    // Validity = the run was internally clean: no other processes
+    // (loadavg), no memory-write collapse at either probe, nothing
+    // failed, no config overrides, and whole-run steal below the
+    // catastrophic ceiling. Steal floors/run/excess are emitted as
+    // covariates for cross-round comparability adjudication — see
+    // BenchGate's policy note.
+    val allValid = failures.isEmpty && results.size == ok.size &&
       only.isEmpty && buildFilter.isEmpty && !partitionsOverridden && !masterOverridden &&
-      stealRun >= 0 && stealRun <= maxSteal
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct_start":$stealStart,"steal_pct_run":$stealRun,"write_gbps_start":$writeStart,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+      BenchGate.hostValid(loadStart, maxLoad, stealRun, stealCeil,
+        writeStart, writeEnd, minWrite)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct_floor":$stealFloor,"steal_pct_floor_loaded":$stealFloorLoaded,"steal_pct_start":$stealStart,"steal_pct_run":$stealRun,"steal_pct_excess_run":${stealRun - stealFloor},"write_gbps_start":$writeStart,"write_gbps_end":$writeEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {
