@@ -252,6 +252,133 @@ object MultimodalQueries {
         round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"))
   }
 
+  /** Little-endian hex of an int column's low 4 (resp. 2) bytes — the
+    * codegen'd building blocks for real BMP headers. Values are
+    * mod-256'd before `hex`, so each piece is exactly 2 hex chars.
+    */
+  private def le32hex(v: Column): Column = concat(
+    lpad(hex(v % 256), 2, "0"),
+    lpad(hex(shiftright(v, 8) % 256), 2, "0"),
+    lpad(hex(shiftright(v, 16) % 256), 2, "0"),
+    lpad(hex(shiftright(v, 24) % 256), 2, "0"))
+  private def le16hex(v: Column): Column = concat(
+    lpad(hex(v % 256), 2, "0"),
+    lpad(hex(shiftright(v, 8) % 256), 2, "0"))
+
+  /** The BMP sibling of [[multimodalReal]], closing the last decoder
+    * path with no registry carrier: each document synthesizes a
+    * deterministic uncompressed 24-bpp BMP from its own doc_id —
+    * a real `BM` file header + 40-byte BITMAPINFOHEADER built from
+    * little-endian column arithmetic, pixel rows stored BOTTOM-UP in
+    * BGR order and padded to 4-byte boundaries (w ∈ 4..8 ⇒ row bytes
+    * 12,15,18,21,24 ⇒ all four pad widths 0..3 occur in every run) —
+    * and decodes it through [[MediaDecode.decodeBatchReal]]'s
+    * magic-byte dispatch + BMP parser. Logical (top-down, RGB) pixel
+    * i of doc `id` carries `((id+7i)%256, (3id+5i)%256, (5id+2i)%256)`,
+    * so the DuckDB twin is the same closed-form `generate_series`
+    * aggregate shape as the P6 carrier's, with integer-exact rescaled
+    * statistics (identical float-error budget: n ≤ 72, sums ≤ 18360,
+    * error ≤ 2⁻²⁴·18360 ≈ 0.001 ≪ 0.5).
+    *
+    * What the oracle pins end-to-end: header field encoding/parsing
+    * (dims, pixel offset, bpp, compression), BGR→RGB channel order
+    * (the three channel formulas differ, so a swap breaks sum_r vs
+    * sum_b), and row padding (a parser that misaligned the 4-byte
+    * stride would read pad bytes as pixels). What it structurally
+    * CANNOT pin: bottom-up vs top-down row order — every emitted
+    * statistic is a whole-image aggregate, invariant under any pixel
+    * permutation. That dimension stays pinned by MediaDecodeSpec's
+    * hand-built golden fixtures (bottom-up and negative-height
+    * top-down bytes decoding to identical pixels), and the synthesis
+    * side is pinned against hand-computed container bytes in
+    * MediaDecodeSpec so a consistent-but-wrong synth/parse pair
+    * can't cancel out.
+    */
+  val multimodalBmp: QueryDef = QueryDef.sql(
+    "x_multimodal_bmp",
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id + 7 * i) % 256 AS r,
+      |         (3 * doc_id + 5 * i) % 256 AS g,
+      |         (5 * doc_id + 2 * i) % 256 AS b
+      |  FROM d, generate_series(0, 71) t(i)
+      |  WHERE i < w * h)
+      |SELECT doc_id,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       'bmp' AS format, CAST(1 AS BIGINT) AS n_frames,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(min(r + g + b) AS BIGINT) AS min_luma3,
+      |       CAST(max(r + g + b) AS BIGINT) AS max_luma3,
+      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n
+      |FROM p GROUP BY doc_id, w, h""") { (s, d) =>
+    val spark: SparkSession = s
+    import spark.implicits._
+    val media = bmpPayloads(Tables.documents(s, d)).as[MediaRow]
+    MediaDecode.decodeMedia(media).toDF()
+      .withColumn("npx", col("width") * col("height"))
+      .select(
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("format"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(element_at(col("features"), 1).cast("double") * col("npx") * 255).cast("long").as("sum_r"),
+        round(element_at(col("features"), 2).cast("double") * col("npx") * 255).cast("long").as("sum_g"),
+        round(element_at(col("features"), 3).cast("double") * col("npx") * 255).cast("long").as("sum_b"),
+        round(element_at(col("features"), 4).cast("double") * 765).cast("long").as("min_luma3"),
+        round(element_at(col("features"), 5).cast("double") * 765).cast("long").as("max_luma3"),
+        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"))
+  }
+
+  /** The BMP container synthesis, exposed for the golden-bytes spec:
+    * (doc_id, payload, mime) rows whose payload is the complete BMP
+    * file, assembled entirely from codegen'd column functions (header
+    * arithmetic → hex → one `unhex`). Rows are emitted in STORAGE
+    * order (bottom-up): storage row rs holds logical row y = h-1-rs,
+    * each pixel as BGR, then `rowsize − 3w` zero pad bytes.
+    */
+  private[graft] def bmpPayloads(documents: DataFrame): DataFrame = {
+    val gen = documents
+      .select(col("doc_id"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 7).cast("int").as("h"))
+      .withColumn("rowsize", ((col("w") * 3 + 3) / 4).cast("int") * 4)
+      .withColumn("imgsize", col("rowsize") * col("h"))
+    def chan(v: Column): Column = lpad(hex(v % 256), 2, "0")
+    val headerHex = concat(
+      lit("424D"),                      // "BM"
+      le32hex(col("imgsize") + 54),     // file size
+      lit("00000000"),                  // reserved
+      lit("36000000"),                  // pixel offset = 54
+      lit("28000000"),                  // DIB size = 40 (BITMAPINFOHEADER)
+      le32hex(col("w")),
+      le32hex(col("h")),                // positive height = bottom-up
+      le16hex(lit(1)),                  // planes
+      le16hex(lit(24)),                 // bpp
+      lit("00000000"),                  // BI_RGB
+      le32hex(col("imgsize")),
+      lit("00000000"), lit("00000000"), // x/y pixels-per-meter
+      lit("00000000"), lit("00000000")) // colors used / important
+    val pixHex = concat_ws("",
+      transform(sequence(lit(0), col("h") - 1), rs =>
+        concat(
+          concat_ws("", transform(sequence(lit(0), col("w") - 1), x => {
+            val i = (col("h") - 1 - rs) * col("w") + x // logical top-down index
+            concat(
+              chan(col("doc_id") * 5 + i * 2),  // B
+              chan(col("doc_id") * 3 + i * 5),  // G
+              chan(col("doc_id") + i * 7))      // R
+          })),
+          repeat(lit("00"), (col("rowsize") - col("w") * 3).cast("int")))))
+    gen.select(col("doc_id"),
+      unhex(concat(headerHex, pixHex)).as("payload"),
+      lit("bmp").as("mime"))
+  }
+
   // ----------------------------------------------------------------
   // Frame sampling — the subsample-before-decode step, shared by the
   // standalone sampler query and the composed sample-then-decode one.
@@ -444,6 +571,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(multimodalMeta, multimodalDecode, multimodalReal, frameSample, framesDecoded,
-      avAlign, avAlignF1)
+    Seq(multimodalMeta, multimodalDecode, multimodalReal, multimodalBmp,
+      frameSample, framesDecoded, avAlign, avAlignF1)
 }
