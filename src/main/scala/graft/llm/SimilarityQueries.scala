@@ -1031,6 +1031,21 @@ object SimilarityQueries {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /** FROZEN-vs-ADAPTIVE policy for the kNN r (plane-count) configs
+    * (round-15 decision, closing the round-14 verdict's open
+    * question): `x_knn_graph`/`x_knn_graph_b6` here and the
+    * `knn_build_b4`/`knn_build_b6` bench lines are INTENTIONALLY
+    * frozen at r=8 — they are the cross-round comparables, and their
+    * oracle CTEs pin the exact parameterization, so changing r under
+    * them would silently re-baseline both the bench history and the
+    * oracle chain. The adaptive law `planesFor` (r grows with log2 of
+    * the corpus) is product code and is what a user should reach for
+    * at unknown scale; it is carried — and its adaptivity itself
+    * oracle-pinned at three scale points — by `x_knn_graph_rlaw`
+    * below. If a scale point above sf0.1 ever enters the regular
+    * bench, add a NEW `knn_build_rlaw` line rather than rewiring
+    * these: frozen lines stay comparable, the law stays measured.
+    */
   val knnGraph: QueryDef = QueryDef.sql(
     "x_knn_graph", knnGraphSql(bands = 4, r = 8, k = 5)) { (s, d) =>
     knnGraphDf(s, d, bands = 4, r = 8, k = 5)
