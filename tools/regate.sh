@@ -137,7 +137,11 @@ if [ "$RUN_SF10" = 1 ]; then
   # evidence is build_rows exactly 100x sf0.1 plus the sf1 decade's
   # full hash gate. tools/adjudicate_cluster_sizes.py remains the
   # sf1-class closure tool (validated transitively at sf0.01).
-  SPOT=x_dedup_exact,x_fingerprint,x_winnow_fingerprints,x_decontaminate,x_gopher_filter,x_doc_chunks,x_length_trim
+  # The per-doc exact-arithmetic set, extended in round 15 with the
+  # two real-decoder carriers: their oracles are closed-form
+  # generate_series aggregates per doc (no joins), so they stay
+  # DuckDB-feasible at 500k docs.
+  SPOT=x_dedup_exact,x_fingerprint,x_winnow_fingerprints,x_decontaminate,x_gopher_filter,x_doc_chunks,x_length_trim,x_multimodal_real,x_multimodal_bmp
   # Fresh dump dir + explicit exit check (mirroring the cluster
   # block): with `|| true` on the Verify pipeline and a dirty
   # /tmp/regate_v10, a crashed/OOM'd Verify would leave a prior run's
