@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
 # End-to-end re-gate: the full round discipline as one command.
 #
-#   tools/regate.sh [--sf1] [--cluster] [--sf10-spot] [--no-tests] [--no-bench]
+#   tools/regate.sh [--sf1] [--cluster|--no-cluster] [--sf10-spot|--no-sf10]
+#                   [--sf10-pairs] [--no-tests] [--no-bench]
 #
 # Default flow (the per-session closing gate):
 #   1. sbt test                      - full unit suite
@@ -50,7 +51,7 @@ SF10=${SF10:-/tmp/sf10}
 # that crosses real process boundaries), and the sf10 spot gate runs
 # whenever its data dir exists — gates that exist but don't run by
 # default don't protect anything.
-RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=1
+RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=1 RUN_SF10_PAIRS=0
 RUN_SF10=0; if [ -d "$SF10" ]; then RUN_SF10=1; fi
 for a in "$@"; do
   case "$a" in
@@ -58,6 +59,7 @@ for a in "$@"; do
     --cluster) RUN_CLUSTER=1 ;;
     --no-cluster) RUN_CLUSTER=0 ;;
     --sf10-spot) RUN_SF10=1 ;;
+    --sf10-pairs) RUN_SF10_PAIRS=1 ;;
     --no-sf10) RUN_SF10=0 ;;
     --no-tests) RUN_TESTS=0 ;;
     --no-bench) RUN_BENCH=0 ;;
@@ -153,6 +155,23 @@ if [ "$RUN_SF10" = 1 ]; then
     { echo "sf10 Verify FAILED (log: $V10LOG)"; exit 1; }
   grep "\[verify\]" "$V10LOG" || true
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-60GB} python3 tools/check_oracle.py "$SF10" /tmp/regate_v10 | tail -10
+fi
+
+if [ "$RUN_SF10_PAIRS" = 1 ]; then
+  echo "== [sf10-pairs] partitioned pairs oracle over $SF10 =="
+  # Opt-in (≈10 min Spark dump + ≈2 min DuckDB): upgrades the pairs
+  # family's second-decade evidence from build_rows to a hash
+  # compare. The one-shot CTE oracle is measured-infeasible here
+  # (>55 GB spill, round 14); tools/oracle_pairs_partitioned.py runs
+  # the SAME oracle SQL decomposed exactly (per-band hash joins +
+  # DISTINCT; verification partitioned on its own group key).
+  [ -d "$SF10" ] || { echo "missing $SF10 - generate with: sbt \"runMain graft.ScaleGen $SF01 $SF10 100\""; exit 1; }
+  rm -rf /tmp/regate_v10p
+  P10LOG=$(mktemp /tmp/regate_sf10p.XXXXXX)
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10p x_minhash_lsh_pairs" >"$P10LOG" 2>&1 || \
+    { echo "sf10 pairs Verify FAILED (log: $P10LOG)"; exit 1; }
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
+    "$SF10" /tmp/regate_v10p/x_minhash_lsh_pairs --parts 64
 fi
 
 if [ "$RUN_BENCH" = 1 ]; then
