@@ -144,14 +144,13 @@ object Bench {
       if (buf(12345) == 1 && dt > 0) 0.25 / dt else -1.0
     } catch { case _: Throwable => -1.0 }
 
-  /** OPT-IN bounded idle-wait (retries > 0 only; default is RUN
-    * FIRST — see BenchGate's policy note). Round 14's driver bench
-    * spent its entire external window in this loop on a host whose
-    * steal floor exceeded the then-absolute threshold, then timed
-    * out with no artifact; the artifact is self-adjudicating, so for
-    * unattended callers waiting adds only the risk of producing
-    * nothing. Interactive/builder runs can still set
-    * SPARK_GRAFT_LOADAVG_RETRIES to wait out a transient burst.
+  /** Bounded decay-wait before the run (default 2 x 45 s, taken only
+    * when a probe is over threshold — see the retries doc in main).
+    * This is NOT round 14's starvation loop: that one defaulted to
+    * 5 x 60 s against a threshold the host could never meet and cost
+    * the round its artifact (driver rc=124); this one covers exactly
+    * the launcher JVM's own loadavg decay, and a genuinely busy host
+    * still runs after 90 s and stamps itself invalid.
     */
   private def awaitIdleHost(maxLoad: Double, stealFloor: Double, maxExcess: Double,
       minWrite: Double, retries: Int, sleepMs: Long): (Double, Double, Double) = {
