@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   *    nothing an external caller can afford — round 14's driver
   *    bench burned its whole window in the pre-wait on a host whose
   *    steal floor sat above the threshold, then timed out (rc=124)
-  *    with no artifact at all. Waiting is now opt-in
-  *    (SPARK_GRAFT_LOADAVG_RETRIES, default 0) for interactive runs.
+  *    with no artifact at all. The pre-run wait is now a BOUNDED
+  *    decay wait (SPARK_GRAFT_LOADAVG_RETRIES, default 2 × 45 s,
+  *    taken only when a probe is over threshold, extendable to 2×
+  *    that while loadavg is still strictly falling) — it covers the
+  *    launcher JVM's own loadavg decay, never minutes of starvation.
   *
   *  - STEAL IS A COVARIATE, NOT A GATE (except a catastrophic
   *    ceiling). Round 15 measured WHY the absolute 1.5% gate could
@@ -41,6 +44,23 @@ import org.apache.spark.sql.SparkSession
   *    valid. Both probes gate and both are emitted.
   */
 object BenchGate {
+  /** FROZEN calibration-workload parameters (round 16). The bench
+    * times a deterministic, data-independent probe — range → hashed
+    * key → groupBy-sum (one real exchange) → top-k — exactly like a
+    * query and emits it as `calib_s`, EXCLUDED from `total`. Two
+    * artifacts from different rounds then compare as `total/calib_s`
+    * ratios, separating code-attributable change from host-capacity
+    * drift (round 15's 1.67× uniform inflation vs round 13 was
+    * adjudicated as host degradation only via out-of-band steal-floor
+    * archaeology; the calib line puts that evidence IN the artifact).
+    * These constants must never change: a different probe is a
+    * different yardstick and silently re-baselines the renormalized
+    * series. BenchGateSpec pins them.
+    */
+  val CalibRows: Long = 100000000L
+  val CalibKeys: Long = 10000000L
+  val CalibPartitions: Int = 64
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -51,11 +71,22 @@ object BenchGate {
   /** The host-health component of the artifact's validity stamp.
     * Any unreadable probe (-1) invalidates: a run whose contention
     * can't be observed can't be trusted either.
+    *
+    * TWO loadavg reads gate (round 16, closing the r15 ADVICE hole):
+    * `loadMin` — the lowest clean read (entry-instant vs post-wait;
+    * the run's own startup burst is not host contention) against the
+    * strict `maxLoad`; and `loadPost` — the post-decay-wait read —
+    * against a looser `maxLoadPost` allowance for residual self-load.
+    * Gating only the min let contamination that ramps up seconds
+    * after launch (entry read idle-clean, host loaded for the whole
+    * run) stamp valid under the very gate the policy makes primary.
     */
-  def hostValid(load: Double, maxLoad: Double,
+  def hostValid(loadMin: Double, maxLoad: Double,
+      loadPost: Double, maxLoadPost: Double,
       stealRun: Double, stealCeil: Double,
       writeStart: Double, writeEnd: Double, minWrite: Double): Boolean =
-    load >= 0 && load <= maxLoad &&
+    loadMin >= 0 && loadMin <= maxLoad &&
+      loadPost >= 0 && loadPost <= maxLoadPost &&
       stealRun >= 0 && stealRun <= stealCeil &&
       writeStart >= minWrite && writeEnd >= minWrite
 }
@@ -145,26 +176,38 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   /** Bounded decay-wait before the run (default 2 x 45 s, taken only
-    * when a probe is over threshold — see the retries doc in main).
+    * when a probe is over threshold — see the retries doc in main),
+    * TREND-AWARE since round 16: after the base retries are spent,
+    * waiting continues — up to the same budget again (2 x retries
+    * sleeps total) — only while loadavg is BOTH still over the gate
+    * AND strictly falling. The round-15 driver run read 1.15 after
+    * 90 s with the decay still in progress and stamped itself
+    * invalid on pure startup noise; a flat or rising loadavg is real
+    * contention and stops the wait immediately.
     * This is NOT round 14's starvation loop: that one defaulted to
     * 5 x 60 s against a threshold the host could never meet and cost
     * the round its artifact (driver rc=124); this one covers exactly
-    * the launcher JVM's own loadavg decay, and a genuinely busy host
-    * still runs after 90 s and stamps itself invalid.
+    * the launcher JVM's own loadavg decay (worst case 4 x 45 s at
+    * the defaults), and a genuinely busy host still runs after it
+    * and stamps itself invalid.
     */
   private def awaitIdleHost(maxLoad: Double, stealFloor: Double, maxExcess: Double,
       minWrite: Double, retries: Int, sleepMs: Long): (Double, Double, Double) = {
     var load = loadAvg()
     var steal = stealPct()
     var write = writeGBps()
-    var left = retries
-    while ((load > maxLoad || steal - stealFloor > maxExcess || write < minWrite) && left > 0) {
-      System.err.println(f"bench: host busy (loadavg $load%.2f vs $maxLoad%.2f, steal $steal%.1f%% vs floor $stealFloor%.1f%%+$maxExcess%.1f%%, write $write%.2f GB/s vs min $minWrite%.2f), waiting ${sleepMs / 1000}s (${left} retries left)")
+    var waits = 0
+    var prevLoad = Double.MaxValue
+    val hardCap = retries * 2
+    def busy = load > maxLoad || steal - stealFloor > maxExcess || write < minWrite
+    while (busy && (waits < retries || (waits < hardCap && load > maxLoad && load < prevLoad))) {
+      System.err.println(f"bench: host busy (loadavg $load%.2f vs $maxLoad%.2f, steal $steal%.1f%% vs floor $stealFloor%.1f%%+$maxExcess%.1f%%, write $write%.2f GB/s vs min $minWrite%.2f), waiting ${sleepMs / 1000}s (wait ${waits + 1}/$hardCap)")
+      prevLoad = load
       Thread.sleep(sleepMs)
       load = loadAvg()
       steal = stealPct()
       write = writeGBps()
-      left -= 1
+      waits += 1
     }
     (load, steal, write)
   }
@@ -193,9 +236,18 @@ object Bench {
     // Probe BEFORE the SparkSession spins up its own 32 threads: by
     // the time the warm-up runs, loadavg and steal already reflect
     // us, not the host. Policy is run-first/stamp-after (BenchGate):
-    // retries defaults to 0, so an unattended caller pays ~8 s of
-    // calibration, never minutes of waiting.
+    // the pre-run wait is a bounded 2 x 45 s decay wait (trend-
+    // extendable to 4 x 45 s while loadavg is still falling), taken
+    // only when a probe is over threshold — an unattended caller on
+    // a clean host pays ~8 s of calibration, never minutes.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_MAX", "0.5").toDouble
+    // The looser allowance the POST-decay-wait loadavg read gates
+    // against (the min-of-reads gates against maxLoad): residual
+    // self-load from a degenerately-timed startup may legitimately
+    // read up to ~1 here, but contamination that ramped up right
+    // after the entry-instant read — which the min() alone would
+    // never see — reads its full magnitude and invalidates.
+    val maxLoadPost = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_POST_MAX", "1.0").toDouble
     // The catastrophic whole-run steal ceiling — see BenchGate's
     // policy note: steal is emitted as a covariate (floors + run +
     // excess) and only invalidates past the point where the guest
@@ -282,6 +334,35 @@ object Bench {
     } catch { case e: Throwable =>
       failures ::= s"warmup: ${e.getClass.getSimpleName}: ${e.getMessage}"
     }
+    // Deterministic, data-independent CALIBRATION probe (BenchGate's
+    // frozen parameters): range → multiplicative-hash key → groupBy
+    // sum/count (a real 10M-group exchange with partial agg) →
+    // top-k. Timed exactly like a query (best-of-2 min after the
+    // warm-up above), EXCLUDED from `total`, emitted as `calib_s` —
+    // plus a single end-of-run sample (`calib_end_s`) so mid-run
+    // host drift is visible in the artifact too. Cross-round totals
+    // compare as total/calib_s ratios; see BenchGate's policy note.
+    def calibOnce(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0L, BenchGate.CalibRows, 1L, BenchGate.CalibPartitions)
+          .selectExpr(s"(id * 2654435761) % ${BenchGate.CalibKeys} AS k", "id")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("id").as("s"),
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"))
+          .orderBy(org.apache.spark.sql.functions.col("s").desc, org.apache.spark.sql.functions.col("k"))
+          .limit(1000)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failures ::= s"calib: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        -1.0
+      }
+    }
+    val calibA = calibOnce()
+    val calibB = if (calibA >= 0) calibOnce() else calibA
+    val calibS = if (calibA < 0 || calibB < 0) -1.0 else math.min(calibA, calibB)
     // Every shared once-per-(JVM, sf-dir) artifact is built HERE, each
     // as its own metric line: the shingle postings (dedup family), the
     // near-dup CC labeling (nine consumers), and the two kNN edge-set
@@ -307,6 +388,19 @@ object Bench {
       "knn_sketch_build" -> (() => llm.SimilarityQueries.knnSketchDf(spark, sfDir).count()),
       "knn_build_b4" -> (() => llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, 8, 5).count()),
       "knn_build_b6" -> (() => llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 6, 8, 5).count()),
+      // The ADAPTIVE-r edge build (planesFor law), priced AFTER the
+      // frozen b4/b6 comparables so those lines' history is
+      // untouched: at sf0.1 planesFor resolves to the same r=8
+      // config, so this line prices exactly the adaptive path's
+      // MARGINAL cost (the corpus count() + a warm-artifact count) —
+      // near zero today, which is the point: the line exists so the
+      // adaptive path has bench history BEFORE a >sf0.1 scale point
+      // (where r diverges and this builds a real standalone sketch)
+      // ever enters the regular bench.
+      "knn_build_rlaw" -> (() => {
+        val r = llm.SimilarityQueries.planesFor(Tables.embeddings(spark, sfDir).count())
+        llm.SimilarityQueries.knnEdgesDf(spark, sfDir, 4, r, 5).count()
+      }),
       "bpe_build" -> (() => llm.TextQueries.bpeBuildDf(spark, sfDir).count()),
       "tok_build" -> (() => llm.TextQueries.tokFrame(spark, sfDir).count()))
     // Optional build-line filter, the builder-side sibling of
@@ -419,23 +513,31 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ").replaceAll("[\\p{Cntrl}]", "?") + "\""
-    val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     val total = ok.values.sum + builds.values.sum
     // Emit-time write-bandwidth re-probe: dirty-page write-tracking
     // (the round-14 failure) can begin MID-run with near-zero steal —
     // a start-only probe would stamp such a run valid.
     val writeEnd = writeGBps()
+    // One end-of-run calibration sample: side-by-side with calib_s
+    // it shows whether host capacity drifted DURING the run (the
+    // start-gated r10 artifact needed an out-of-band re-run to
+    // adjudicate exactly this).
+    val calibEndS = calibOnce()
+    // errors is serialized AFTER the end-of-run probes so a failed
+    // calib_end sample is named in the artifact, not just stderr.
+    val errs = failures.reverse.map(jstr).mkString("[", ",", "]")
     // Validity = the run was internally clean: no other processes
-    // (loadavg), no memory-write collapse at either probe, nothing
+    // (loadavg, gated at BOTH the min-of-reads and the post-wait
+    // read), no memory-write collapse at either probe, nothing
     // failed, no config overrides, and whole-run steal below the
-    // catastrophic ceiling. Steal floors/run/excess are emitted as
-    // covariates for cross-round comparability adjudication — see
-    // BenchGate's policy note.
+    // catastrophic ceiling. Steal floors/run/excess and the calib
+    // pair are emitted as covariates for cross-round comparability
+    // adjudication — see BenchGate's policy note.
     val allValid = failures.isEmpty && results.size == ok.size &&
       only.isEmpty && buildFilter.isEmpty && !partitionsOverridden && !masterOverridden &&
-      BenchGate.hostValid(loadStart, maxLoad, stealRun, stealCeil,
+      BenchGate.hostValid(loadStart, maxLoad, loadStart0, maxLoadPost, stealRun, stealCeil,
         writeStart, writeEnd, minWrite)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"steal_pct_floor":$stealFloor,"steal_pct_floor_loaded":$stealFloorLoaded,"steal_pct_start":$stealStart,"steal_pct_run":$stealRun,"steal_pct_excess_run":${stealRun - stealFloor},"write_gbps_start":$writeStart,"write_gbps_end":$writeEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_loadavg":$loads,"build_rows":$buildRows,"sf":"$sfDir","cpus":$cpus,"master":${jstr(master)},"shuffle_partitions":$shufflePartitions,"calib_s":$calibS,"calib_end_s":$calibEndS,"loadavg_start":$loadStart,"loadavg_post_wait":$loadStart0,"loadavg_end":$loadEnd,"steal_pct_floor":$stealFloor,"steal_pct_floor_loaded":$stealFloorLoaded,"steal_pct_start":$stealStart,"steal_pct_run":$stealRun,"steal_pct_excess_run":${stealRun - stealFloor},"write_gbps_start":$writeStart,"write_gbps_end":$writeEnd,"n_queries":${ok.size},"n_failed":${results.size - ok.size},"errors":$errs,"valid":$allValid}"""
     println(line)
     if (outFile.nonEmpty)
       try {
@@ -445,6 +547,12 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
       }
+    // Fixed-size summary as the LAST stdout line: the driver's
+    // BENCH_r*.json keeps a truncated log TAIL, which cuts the head
+    // off the full line above (r14/r15: rc=0 runs still parsed null)
+    // — this line is small enough to always survive the tail window,
+    // so every driver artifact carries at least total/valid/calib.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","summary":true,"sf":"$sfDir","n_queries":${ok.size},"n_failed":${results.size - ok.size},"calib_s":$calibS,"calib_end_s":$calibEndS,"loadavg_start":$loadStart,"loadavg_post_wait":$loadStart0,"steal_pct_run":$stealRun,"write_gbps_end":$writeEnd,"valid":$allValid}""")
     spark.stop()
     // Non-zero exit preserves the loud-failure contract for callers
     // that check rc — the artifact above is still on stdout.

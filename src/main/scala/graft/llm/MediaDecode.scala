@@ -137,21 +137,32 @@ object MediaDecode {
     (w, h, out)
   }
 
-  /** The fixed 8-dim feature vector both real decoders emit — simple
-    * whole-image statistics, each hand-checkable from golden pixels:
+  /** The fixed 9-dim feature vector both real decoders emit — simple
+    * image statistics, each hand-checkable from golden pixels:
     * [meanR, meanG, meanB, minLuma, maxLuma, meanLuma, brightFrac,
-    * aspect], channels normalized to [0,1], luma = (r+g+b)/3,
-    * brightFrac = share of pixels with luma > 127.5,
-    * aspect = w/(w+h).
+    * aspect, posWeightR], channels normalized to [0,1],
+    * luma = (r+g+b)/3, brightFrac = share of pixels with
+    * luma > 127.5, aspect = w/(w+h).
+    *
+    * posWeightR (9th, round 16) = Σᵢ i·rᵢ / (255·n²) over the LOGICAL
+    * top-down row-major pixel order — the one statistic here that is
+    * NOT invariant under pixel permutation. The other eight are
+    * whole-image aggregates, so an oracle built on them structurally
+    * cannot pin bottom-up vs top-down row handling (the r15 verdict's
+    * documented BMP blind spot); this one breaks under any row
+    * reordering and is still a closed-form `generate_series`
+    * aggregate in the registry carriers' DuckDB twins. Exact-integer
+    * recovery: posw ≤ 255·n(n−1)/2 < 2²⁰ at the carriers' n ≤ 72, so
+    * the float round-trip error ≤ posw·2⁻²⁴ ≈ 0.04 ≪ 0.5.
     */
   private[graft] def featuresOf(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
     val n = w * h
-    var sr = 0L; var sg = 0L; var sb = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L; var pwr = 0L
     var minL = Double.MaxValue; var maxL = 0.0; var bright = 0
     var i = 0
     while (i < n) {
       val r = rgb(i * 3) & 0xff; val g = rgb(i * 3 + 1) & 0xff; val bl = rgb(i * 3 + 2) & 0xff
-      sr += r; sg += g; sb += bl
+      sr += r; sg += g; sb += bl; pwr += i.toLong * r
       val l = (r + g + bl) / 3.0
       if (l < minL) minL = l
       if (l > maxL) maxL = l
@@ -166,6 +177,7 @@ object MediaDecode {
       (maxL / 255.0).toFloat,
       ((sr + sg + sb).toDouble / (3.0 * n) / 255.0).toFloat,
       bright.toFloat / n,
-      w.toFloat / (w + h))
+      w.toFloat / (w + h),
+      (pwr.toDouble / (255.0 * n.toDouble * n.toDouble)).toFloat)
   }
 }

@@ -200,7 +200,7 @@ object MultimodalQueries {
     """WITH d AS (
       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h FROM documents),
       |p AS (
-      |  SELECT doc_id, w, h,
+      |  SELECT doc_id, w, h, i,
       |         (doc_id + 3 * i) % 256 AS r,
       |         (2 * doc_id + 5 * i) % 256 AS g,
       |         (3 * doc_id + 7 * i) % 256 AS b
@@ -214,7 +214,8 @@ object MultimodalQueries {
       |       CAST(sum(b) AS BIGINT) AS sum_b,
       |       CAST(min(r + g + b) AS BIGINT) AS min_luma3,
       |       CAST(max(r + g + b) AS BIGINT) AS max_luma3,
-      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n
+      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n,
+      |       CAST(sum(i * r) AS BIGINT) AS posw_r
       |FROM p GROUP BY doc_id, w, h""") { (s, d) =>
     val spark: SparkSession = s
     import spark.implicits._
@@ -249,7 +250,13 @@ object MultimodalQueries {
         round(element_at(col("features"), 3).cast("double") * col("npx") * 255).cast("long").as("sum_b"),
         round(element_at(col("features"), 4).cast("double") * 765).cast("long").as("min_luma3"),
         round(element_at(col("features"), 5).cast("double") * 765).cast("long").as("max_luma3"),
-        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"))
+        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"),
+        // Feature 9, Σ i·rᵢ over logical pixel order (round 16): the
+        // P6 path has no row-order ambiguity to catch, but emitting
+        // the same statistic keeps both real-decoder carriers on the
+        // identical 9-column contract and pins the feature's
+        // normalization law in a second, independent pixel formula.
+        round(element_at(col("features"), 9).cast("double") * col("npx") * col("npx") * 255).cast("long").as("posw_r"))
   }
 
   /** Little-endian hex of an int column's low 4 (resp. 2) bytes — the
@@ -283,23 +290,26 @@ object MultimodalQueries {
     * What the oracle pins end-to-end: header field encoding/parsing
     * (dims, pixel offset, bpp, compression), BGR→RGB channel order
     * (the three channel formulas differ, so a swap breaks sum_r vs
-    * sum_b), and row padding (a parser that misaligned the 4-byte
-    * stride would read pad bytes as pixels). What it structurally
-    * CANNOT pin: bottom-up vs top-down row order — every emitted
-    * statistic is a whole-image aggregate, invariant under any pixel
-    * permutation. That dimension stays pinned by MediaDecodeSpec's
-    * hand-built golden fixtures (bottom-up and negative-height
-    * top-down bytes decoding to identical pixels), and the synthesis
-    * side is pinned against hand-computed container bytes in
-    * MediaDecodeSpec so a consistent-but-wrong synth/parse pair
-    * can't cancel out.
+    * sum_b), row padding (a parser that misaligned the 4-byte
+    * stride would read pad bytes as pixels), and — via `posw_r`
+    * (round 16) — bottom-up vs top-down ROW ORDER: the first eight
+    * statistics are whole-image aggregates, invariant under pixel
+    * permutation (the r15 verdict's documented blind spot), but
+    * Σ i·rᵢ over the logical top-down index is broken by any row
+    * reordering while staying closed-form in the same
+    * `generate_series` twin. MediaDecodeSpec's hand-built golden
+    * fixtures still pin the byte level (bottom-up and
+    * negative-height top-down bytes decoding to identical pixels),
+    * and the synthesis side is pinned against hand-computed
+    * container bytes there so a consistent-but-wrong synth/parse
+    * pair can't cancel out.
     */
   val multimodalBmp: QueryDef = QueryDef.sql(
     "x_multimodal_bmp",
     """WITH d AS (
       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h FROM documents),
       |p AS (
-      |  SELECT doc_id, w, h,
+      |  SELECT doc_id, w, h, i,
       |         (doc_id + 7 * i) % 256 AS r,
       |         (3 * doc_id + 5 * i) % 256 AS g,
       |         (5 * doc_id + 2 * i) % 256 AS b
@@ -313,7 +323,8 @@ object MultimodalQueries {
       |       CAST(sum(b) AS BIGINT) AS sum_b,
       |       CAST(min(r + g + b) AS BIGINT) AS min_luma3,
       |       CAST(max(r + g + b) AS BIGINT) AS max_luma3,
-      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n
+      |       CAST(sum(CASE WHEN r + g + b >= 383 THEN 1 ELSE 0 END) AS BIGINT) AS bright_n,
+      |       CAST(sum(i * r) AS BIGINT) AS posw_r
       |FROM p GROUP BY doc_id, w, h""") { (s, d) =>
     val spark: SparkSession = s
     import spark.implicits._
@@ -331,7 +342,14 @@ object MultimodalQueries {
         round(element_at(col("features"), 3).cast("double") * col("npx") * 255).cast("long").as("sum_b"),
         round(element_at(col("features"), 4).cast("double") * 765).cast("long").as("min_luma3"),
         round(element_at(col("features"), 5).cast("double") * 765).cast("long").as("max_luma3"),
-        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"))
+        round(element_at(col("features"), 7).cast("double") * col("npx")).cast("long").as("bright_n"),
+        // Position-weighted channel sum over LOGICAL pixel order
+        // (feature 9) — the round-16 addition that closes the
+        // row-order blind spot documented above: every other emitted
+        // statistic is pixel-permutation-invariant, this one breaks
+        // under any row reordering, so the oracle now pins bottom-up
+        // storage → top-down logical normalization in-registry.
+        round(element_at(col("features"), 9).cast("double") * col("npx") * col("npx") * 255).cast("long").as("posw_r"))
   }
 
   /** The BMP container synthesis, exposed for the golden-bytes spec:

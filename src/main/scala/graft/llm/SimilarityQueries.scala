@@ -1042,9 +1042,12 @@ object SimilarityQueries {
     * the corpus) is product code and is what a user should reach for
     * at unknown scale; it is carried — and its adaptivity itself
     * oracle-pinned at three scale points — by `x_knn_graph_rlaw`
-    * below. If a scale point above sf0.1 ever enters the regular
-    * bench, add a NEW `knn_build_rlaw` line rather than rewiring
-    * these: frozen lines stay comparable, the law stays measured.
+    * below. The adaptive path has its own priced bench line since
+    * round 16 (`knn_build_rlaw`, after the frozen comparables — at
+    * sf0.1 it resolves to the same r=8 config so it prices the
+    * adaptive path's marginal cost, and at any future >sf0.1 bench
+    * point it prices the real divergent build): frozen lines stay
+    * comparable, the law stays measured.
     */
   val knnGraph: QueryDef = QueryDef.sql(
     "x_knn_graph", knnGraphSql(bands = 4, r = 8, k = 5)) { (s, d) =>

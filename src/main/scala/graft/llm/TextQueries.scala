@@ -680,7 +680,7 @@ object TextQueries {
       .localCheckpoint(eager = false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    tf.join(df, "term").crossJoin(nDocs)
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
       .withColumn("score_q", expr("tf * 1000000 * n_docs div df"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("term"))))

@@ -28,11 +28,29 @@ class BenchGateSpec extends AnyFunSuite {
     assert(median(Nil) === -1.0)
   }
 
-  // The defaults these scenarios pin: maxLoad=0.5, stealCeil=25.0,
-  // minWrite=1.0 (Bench.main's env defaults).
-  private def gate(load: Double = 0.2, run: Double = 7.5,
+  // The defaults these scenarios pin: maxLoad=0.5, maxLoadPost=1.0,
+  // stealCeil=25.0, minWrite=1.0 (Bench.main's env defaults).
+  private def gate(load: Double = 0.2, loadPost: Double = 0.2, run: Double = 7.5,
       wStart: Double = 6.0, wEnd: Double = 6.0): Boolean =
-    hostValid(load, 0.5, run, 25.0, wStart, wEnd, 1.0)
+    hostValid(load, 0.5, loadPost, 1.0, run, 25.0, wStart, wEnd, 1.0)
+
+  test("calibration workload parameters are FROZEN (round 16): changing them re-baselines the total/calib series") {
+    assert(CalibRows === 100000000L)
+    assert(CalibKeys === 10000000L)
+    assert(CalibPartitions === 64)
+  }
+
+  test("post-wait loadavg gates at its looser allowance: late-ramping contamination can't hide behind a clean entry read") {
+    // The r15 ADVICE scenario: entry-instant read idle-clean (the
+    // min), external load ramps seconds later and persists — the
+    // post-decay-wait read carries its full magnitude.
+    assert(!gate(load = 0.1, loadPost = 3.0))
+    assert(gate(load = 0.1, loadPost = 1.0))  // boundary of the self-load allowance
+    assert(!gate(load = 0.1, loadPost = 1.01))
+    assert(!gate(loadPost = -1.0))            // unreadable post read is untrusted too
+    // A clean run whose startup burst decayed normally passes both.
+    assert(gate(load = 0.35, loadPost = 0.35))
+  }
 
   test("the measured host-normal run steal is VALID: 7.5% under load is this host's structural tax") {
     // The configuration both the r14 judge run and the r15 replicate
@@ -64,5 +82,9 @@ class BenchGateSpec extends AnyFunSuite {
   test("loadavg gate unchanged: absolute, 0.5 — other processes on the box contaminate") {
     assert(!gate(load = 0.51))
     assert(gate(load = 0.5))
+  }
+
+  test("loadavg min-read gate still applies with a clean post read") {
+    assert(!gate(load = 0.6, loadPost = 0.2))
   }
 }

@@ -9,17 +9,25 @@ import graft.llm.MultimodalQueries.MediaRow
   * The shared 2×2 image is red/green/blue/white, so every feature is
   * hand-derivable: channel means 127.5/255 = 0.5; per-pixel luma
   * 85, 85, 85, 255 → min 1/3, max 1.0, mean 0.5; one of four pixels
-  * bright → 0.25; aspect 2/(2+2) = 0.5.
+  * bright → 0.25; aspect 2/(2+2) = 0.5; position-weighted R over
+  * logical order (red, green, blue, white) = 0·255+1·0+2·0+3·255 =
+  * 765 → 765/(255·4²) = 0.1875.
   */
 class MediaDecodeSpec extends SparkSpec {
   import spark.implicits._
 
-  private val expectedFeatures = Array(0.5f, 0.5f, 0.5f, 85f / 255f, 1.0f, 0.5f, 0.25f, 0.5f)
+  private val expectedFeatures =
+    Array(0.5f, 0.5f, 0.5f, 85f / 255f, 1.0f, 0.5f, 0.25f, 0.5f, 0.1875f)
 
-  private def assertFeatures(got: Array[Float], what: String): Unit =
+  private def assertFeatures(got: Array[Float], what: String): Unit = {
+    // length pinned first: zip() truncates, so a decoder silently
+    // dropping the 9th (position-weighted) feature must not pass
+    assert(got.length == expectedFeatures.length,
+      s"$what: ${got.length} features, want ${expectedFeatures.length}")
     expectedFeatures.zip(got).zipWithIndex.foreach { case ((want, g), i) =>
       assert(math.abs(g - want) < 1e-6f, s"$what: feature $i: got $g want $want")
     }
+  }
 
   /** P6, 2×2, maxval 255, with a header comment: pixels row-major
     * red green / blue white.
@@ -86,6 +94,8 @@ class MediaDecodeSpec extends SparkSpec {
     assert(math.abs(d.features(0) - mean) < 1e-6 && math.abs(d.features(5) - mean) < 1e-6)
     assert(d.features(3) == 0f && d.features(4) == 1f) // min/max luma
     assert(math.abs(d.features(7) - 0.75f) < 1e-6) // aspect 3/(3+1)
+    // posWeightR: 0·0 + 1·90 + 2·255 = 600 over 255·3² = 2295
+    assert(math.abs(d.features(8) - 600f / 2295f) < 1e-6)
   }
 
   test("distributed decode: golden bytes through the 64-item mapPartitions seam") {
