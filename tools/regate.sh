@@ -52,7 +52,32 @@ SF10=${SF10:-/tmp/sf10}
 # whenever its data dir exists — gates that exist but don't run by
 # default don't protect anything.
 RUN_SF1=0 RUN_TESTS=1 RUN_BENCH=1 RUN_CLUSTER=1 RUN_SF10_PAIRS=0
-RUN_SF10=0; if [ -d "$SF10" ]; then RUN_SF10=1; fi
+# Auto-enable the sf10 spot gate only when $SF10 looks like a REAL
+# sf10 generation (r15 ADVICE: a stale/partial /tmp leftover must not
+# silently become a gating input): documents.parquet must exist and
+# its row count must be exactly 100x the sf0.1 table's.
+RUN_SF10=0
+if [ -d "$SF10" ]; then
+  if python3 - "$SF01" "$SF10" <<'EOF'
+import sys
+import pyarrow.parquet as pq
+base, ten = sys.argv[1], sys.argv[2]
+try:
+    n01 = pq.ParquetFile(f"{base}/documents.parquet").metadata.num_rows
+    n10 = pq.ParquetFile(f"{ten}/documents.parquet").metadata.num_rows
+except Exception as e:
+    sys.exit(f"sf10 sanity: unreadable documents.parquet ({e})")
+if n10 != 100 * n01:
+    sys.exit(f"sf10 sanity: {ten} has {n10} docs, expected {100*n01} (100x {base})")
+print(f"sf10 sanity OK: {n10} docs = 100x sf0.1")
+EOF
+  then
+    RUN_SF10=1
+    echo "NOTE: existing $SF10 auto-enables the sf10 spot gate (--no-sf10 to skip)"
+  else
+    echo "NOTE: $SF10 exists but failed the sanity check above - sf10 spot gate NOT auto-enabled"
+  fi
+fi
 for a in "$@"; do
   case "$a" in
     --sf1) RUN_SF1=1 ;;
@@ -158,20 +183,26 @@ if [ "$RUN_SF10" = 1 ]; then
 fi
 
 if [ "$RUN_SF10_PAIRS" = 1 ]; then
-  echo "== [sf10-pairs] partitioned pairs oracle over $SF10 =="
-  # Opt-in (≈10 min Spark dump + ≈2 min DuckDB): upgrades the pairs
-  # family's second-decade evidence from build_rows to a hash
-  # compare. The one-shot CTE oracle is measured-infeasible here
+  echo "== [sf10-pairs] partitioned pairs oracles over $SF10 =="
+  # Opt-in (≈10 min Spark dump + DuckDB decomposition per query):
+  # upgrades the pairs family's second-decade evidence from
+  # build_rows to a hash compare, for BOTH factorizable pairs
+  # queries — MinHash-LSH (per-band hash joins + DISTINCT) and
+  # n-gram Jaccard (rare-sid candidate join partitioned by shingle
+  # range). The one-shot CTE oracles are measured-infeasible here
   # (>55 GB spill, round 14); tools/oracle_pairs_partitioned.py runs
-  # the SAME oracle SQL decomposed exactly (per-band hash joins +
-  # DISTINCT; verification partitioned on its own group key).
+  # the SAME oracle SQL decomposed exactly (candidates rewritten by
+  # OR/partition algebra; verification partitioned on its own group
+  # key).
   [ -d "$SF10" ] || { echo "missing $SF10 - generate with: sbt \"runMain graft.ScaleGen $SF01 $SF10 100\""; exit 1; }
   rm -rf /tmp/regate_v10p
   P10LOG=$(mktemp /tmp/regate_sf10p.XXXXXX)
-  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10p x_minhash_lsh_pairs" >"$P10LOG" 2>&1 || \
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10p x_minhash_lsh_pairs,x_dedup_ngram" >"$P10LOG" 2>&1 || \
     { echo "sf10 pairs Verify FAILED (log: $P10LOG)"; exit 1; }
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
     "$SF10" /tmp/regate_v10p/x_minhash_lsh_pairs --parts 64
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
+    "$SF10" /tmp/regate_v10p/x_dedup_ngram --parts 64 --scratch /tmp/pairs_oracle_scratch_ng
 fi
 
 if [ "$RUN_BENCH" = 1 ]; then
