@@ -8,6 +8,9 @@ evidence from build_rows to a value-level hash compare.
 Supported queries (--query):
   x_minhash_lsh_pairs  (default)  sig -> per-band joins -> verify
   x_dedup_ngram                   rare-shingle candidates -> verify
+  x_containment                   same candidates; directed cut
+                                  den*overlap >= num*n_inner over
+                                  both orientations of each pair
 
 The decomposition is EXACT algebra over the same oracle SQL, not a
 data assumption:
@@ -113,6 +116,14 @@ def parse_threshold(oracle_sql):
     if not m:
         sys.exit("could not parse the jaccard threshold from oracle SQL")
     return int(m.group(1)), int(m.group(2))
+
+
+def parse_containment_threshold(oracle_sql):
+    """The directed `den * overlap >= num * n_inner` containment cut."""
+    m = re.search(r"WHERE (\d+) \* overlap >= (\d+) \* n_inner", oracle_sql)
+    if not m:
+        sys.exit("could not parse the containment threshold from oracle SQL")
+    return int(m.group(2)), int(m.group(1))  # (num, den)
 
 
 def parse_rare_cap(oracle_sql):
@@ -247,6 +258,32 @@ def final_select(query):
     sys.exit(f"unsupported query {query}")
 
 
+def final_containment(con, scratch, oracle_sql):
+    """x_containment's stage 5: both orientations of every verified
+    candidate pair, kept when den*overlap >= num*n_inner (threshold
+    parsed). Plain union algebra over the same ver partitions."""
+    num, den = parse_containment_threshold(oracle_sql)
+    log(f"containment cut: {den}*overlap >= {num}*n_inner")
+    con.sql(f"""
+      COPY (
+        WITH cnt AS (
+          SELECT doc_id, count(*) AS n FROM '{scratch}/post.parquet' GROUP BY doc_id),
+        full_p AS (
+          SELECT v.doc_a, v.doc_b, v.overlap, ca.n AS n_a, cb.n AS n_b
+          FROM '{scratch}/ver/*.parquet' v
+          JOIN cnt ca ON v.doc_a = ca.doc_id
+          JOIN cnt cb ON v.doc_b = cb.doc_id),
+        dirs AS (
+          SELECT doc_a AS doc_inner, doc_b AS doc_outer, overlap,
+                 n_a AS n_inner, n_b AS n_outer FROM full_p
+          UNION ALL
+          SELECT doc_b, doc_a, overlap, n_b, n_a FROM full_p)
+        SELECT doc_inner, doc_outer, overlap, n_inner, n_outer,
+               CAST(overlap AS DOUBLE) / n_inner AS containment
+        FROM dirs WHERE {den} * overlap >= {num} * n_inner
+      ) TO '{scratch}/final.parquet' (FORMAT parquet)""")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -260,16 +297,18 @@ def main():
     args = ap.parse_args()
 
     query = args.query or os.path.basename(args.spark_dump_dir.rstrip("/"))
-    if query not in ("x_minhash_lsh_pairs", "x_dedup_ngram"):
-        sys.exit(f"unsupported query {query} (x_minhash_lsh_pairs | x_dedup_ngram)")
+    if query not in ("x_minhash_lsh_pairs", "x_dedup_ngram", "x_containment"):
+        sys.exit(f"unsupported query {query} "
+                 "(x_minhash_lsh_pairs | x_dedup_ngram | x_containment)")
 
     dump_parent = os.path.dirname(args.spark_dump_dir.rstrip("/"))
     oracle_json = os.path.join(dump_parent, "oracle_sql.json")
     if not os.path.exists(oracle_json):
         sys.exit(f"missing {oracle_json} (run graft.Verify first)")
     oracle_sql = json.load(open(oracle_json))[query]
-    num, den = parse_threshold(oracle_sql)
-    log(f"query {query}: jaccard cut {num}*overlap >= {den}*union")
+    if query != "x_containment":
+        num, den = parse_threshold(oracle_sql)
+        log(f"query {query}: jaccard cut {num}*overlap >= {den}*union")
 
     scratch = args.scratch
     shutil.rmtree(scratch, ignore_errors=True)
@@ -288,16 +327,19 @@ def main():
 
     # -- stage 5: per-doc counts + threshold + the query's projection
     t0 = time.time()
-    con.sql(f"""
-      COPY (
-        WITH cnt AS (
-          SELECT doc_id, count(*) AS n FROM '{scratch}/post.parquet' GROUP BY doc_id)
-        {final_select(query)}
-        FROM '{scratch}/ver/*.parquet' v
-        JOIN cnt ca ON v.doc_a = ca.doc_id
-        JOIN cnt cb ON v.doc_b = cb.doc_id
-        WHERE {num} * v.overlap >= {den} * (ca.n + cb.n - v.overlap)
-      ) TO '{scratch}/final.parquet' (FORMAT parquet)""")
+    if query == "x_containment":
+        final_containment(con, scratch, oracle_sql)
+    else:
+        con.sql(f"""
+          COPY (
+            WITH cnt AS (
+              SELECT doc_id, count(*) AS n FROM '{scratch}/post.parquet' GROUP BY doc_id)
+            {final_select(query)}
+            FROM '{scratch}/ver/*.parquet' v
+            JOIN cnt ca ON v.doc_a = ca.doc_id
+            JOIN cnt cb ON v.doc_b = cb.doc_id
+            WHERE {num} * v.overlap >= {den} * (ca.n + cb.n - v.overlap)
+          ) TO '{scratch}/final.parquet' (FORMAT parquet)""")
     log(f"stage 5 final: {time.time()-t0:.1f}s")
 
     # -- stage 6: canon compare against the Spark dump

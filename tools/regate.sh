@@ -187,9 +187,10 @@ if [ "$RUN_SF10_PAIRS" = 1 ]; then
   # Opt-in (≈10 min Spark dump + DuckDB decomposition per query):
   # upgrades the pairs family's second-decade evidence from
   # build_rows to a hash compare, for BOTH factorizable pairs
-  # queries — MinHash-LSH (per-band hash joins + DISTINCT) and
-  # n-gram Jaccard (rare-sid candidate join partitioned by shingle
-  # range). The one-shot CTE oracles are measured-infeasible here
+  # queries — MinHash-LSH (per-band hash joins + DISTINCT), n-gram
+  # Jaccard and containment (rare-sid candidate join partitioned by
+  # shingle range; containment adds the directed den*ov>=num*n_inner
+  # cut over both orientations). The one-shot CTE oracles are measured-infeasible here
   # (>55 GB spill, round 14); tools/oracle_pairs_partitioned.py runs
   # the SAME oracle SQL decomposed exactly (candidates rewritten by
   # OR/partition algebra; verification partitioned on its own group
@@ -197,12 +198,14 @@ if [ "$RUN_SF10_PAIRS" = 1 ]; then
   [ -d "$SF10" ] || { echo "missing $SF10 - generate with: sbt \"runMain graft.ScaleGen $SF01 $SF10 100\""; exit 1; }
   rm -rf /tmp/regate_v10p
   P10LOG=$(mktemp /tmp/regate_sf10p.XXXXXX)
-  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10p x_minhash_lsh_pairs,x_dedup_ngram" >"$P10LOG" 2>&1 || \
+  SPARK_DRIVER_MEM=24g SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify $SF10 /tmp/regate_v10p x_minhash_lsh_pairs,x_dedup_ngram,x_containment" >"$P10LOG" 2>&1 || \
     { echo "sf10 pairs Verify FAILED (log: $P10LOG)"; exit 1; }
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
     "$SF10" /tmp/regate_v10p/x_minhash_lsh_pairs --parts 64
   GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
     "$SF10" /tmp/regate_v10p/x_dedup_ngram --parts 64 --scratch /tmp/pairs_oracle_scratch_ng
+  GRAFT_DUCKDB_MEM=${GRAFT_DUCKDB_MEM:-48GB} python3 tools/oracle_pairs_partitioned.py \
+    "$SF10" /tmp/regate_v10p/x_containment --parts 64 --scratch /tmp/pairs_oracle_scratch_ct
 fi
 
 if [ "$RUN_BENCH" = 1 ]; then
