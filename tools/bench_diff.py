@@ -43,9 +43,25 @@ def main():
         sys.exit("no common queries")
     for tag, d, n in (("old", old, len(qo)), ("new", new, len(qn))):
         print(f"{tag}: total={d['value']:.1f}s n={n} "
-              f"loadavg_start={d.get('loadavg_start')} valid={d.get('valid')}")
+              f"loadavg_start={d.get('loadavg_start')} valid={d.get('valid')} "
+              f"calib_s={d.get('calib_s')} calib_end_s={d.get('calib_end_s')}")
     print(f"common={len(common)} sum_old={sum(qo[k] for k in common):.1f}s "
           f"sum_new={sum(qn[k] for k in common):.1f}s  (flag ratio {ratio}x)")
+    # Host-capacity renormalization (round 16): when both artifacts
+    # carry the frozen calibration probe, the total comparison is also
+    # reported as total/calib ratios — a uniform inflation that tracks
+    # the calib line is host capacity, not code (the r13->r15 1.67x
+    # adjudication needed out-of-band steal archaeology; this puts it
+    # in the diff). Entry-level findings below stay RAW seconds: calib
+    # is one number per run, per-entry swings keep their own evidence.
+    co, cn = old.get("calib_s", -1.0) or -1.0, new.get("calib_s", -1.0) or -1.0
+    if co > 0 and cn > 0:
+        ro, rn = old["value"] / co, new["value"] / cn
+        print(f"calib-normalized: old total/calib={ro:.1f} new={rn:.1f} "
+              f"(host-capacity shift {cn/co:.2f}x; code-attributable shift {rn/ro:.2f}x)")
+    elif cn > 0:
+        print("calib-normalized: old artifact pre-dates calib_s - raw totals only; "
+              "the renormalized series starts at the first calib-carrying round (BASELINE.md)")
 
     # each run's own baseline load: the median per-entry load — entries
     # materially above it were measured during a busier-than-typical
