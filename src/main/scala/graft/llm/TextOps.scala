@@ -71,8 +71,18 @@ object TextOps {
     val parted = distinct.repartitionByRange(col("shingle"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = false)
-    val local = parted.withColumn("lr",
-      row_number().over(Window.partitionBy("pid").orderBy("shingle")).cast("long"))
+    // local rank WITHOUT a window (optimization round): a
+    // Window.partitionBy("pid") would force a hashpartitioning(pid)
+    // exchange + sort of the whole vocabulary even though the rows
+    // already sit in exactly those partitions (range partitioning
+    // cannot satisfy a hash-distribution requirement). Instead sort
+    // within the pinned partitions and read the per-partition row
+    // ordinal out of monotonically_increasing_id (partition index in
+    // the high bits, a 0-based consecutive counter in the low 33) —
+    // identical lr values, one full exchange + sort fewer.
+    val local = parted.sortWithinPartitions("shingle")
+      .withColumn("lr",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
     // per-partition sizes fall out of the window for free: cnt = max lr
     val counts = local.groupBy("pid").agg(max("lr").as("cnt"))
     val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))

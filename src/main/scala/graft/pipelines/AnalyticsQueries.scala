@@ -97,26 +97,35 @@ object AnalyticsQueries {
       |FROM lineitem""") { (s, d) =>
     val tol = 0.15
     // Three independent 1-row aggregations combined by scalar
-    // cross-joins (whitelisted in PlanAuditSpec). Everything
-    // non-distinct (both sketch families + the exact percentiles)
-    // shares ONE pass; the two exact distinct counts each need their
-    // own two-phase aggregation. Folding the distincts into the main
-    // pass instead would force Spark's multi-distinct Expand — 3× the
-    // rows through a sort aggregate alongside the percentile buffers,
-    // measured 8+ s at sf0.1 vs ~half that in this shape.
+    // cross-joins (whitelisted in PlanAuditSpec). The sketch families
+    // share ONE pass; the two exact distinct counts each need their
+    // own two-phase aggregation (folding them into the main pass
+    // would force Spark's multi-distinct Expand — 3× the rows through
+    // a sort aggregate, measured 8+ s at sf0.1 vs ~half that in this
+    // shape); the exact percentiles run through the distributed-rank
+    // helper below (see exactPercentilesRanked's doc for the measured
+    // 3.8 s → ~0.5 s and the 100 TB memory argument).
     val li = Tables.lineitem(s, d)
+    // The exact percentiles come from the distributed-rank helper, NOT
+    // the builtin `percentile` aggregate: on a high-cardinality double
+    // column the builtin buffers a per-partition OpenHashMap of every
+    // distinct value (measured ALONE at 3.8 s of this query's 4.4 s at
+    // sf0.1; ~600k distinct prices), where the rank formulation is one
+    // range-partitioned sort + a 4-row order-statistics lookup
+    // (measured ~0.5 s), and — unlike the hashmap — never concentrates
+    // the value set in executor memory at 100 TB.
     val onePass = li.agg(
       approx_count_distinct(col("l_orderkey")).as("a_orders"),
       approx_count_distinct(col("l_partkey")).as("a_parts"),
       expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("a_p50"),
-      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"),
-      expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
-      expr("percentile(l_extendedprice, 0.99D)").as("e_p99"))
+      expr("approx_percentile(l_extendedprice, 0.99D, 1000)").as("a_p99"))
+    val exactPcts = exactPercentilesRanked(li.select(col("l_extendedprice")),
+      Seq("e_p50" -> 0.5, "e_p99" -> 0.99))
     val exactOrders = li.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("exact_orders"))
     val exactParts = li.select("l_partkey").distinct()
       .agg(count(lit(1)).as("exact_parts"))
-    onePass.crossJoin(exactOrders).crossJoin(exactParts)
+    onePass.crossJoin(exactPcts).crossJoin(exactOrders).crossJoin(exactParts)
       .select(
         col("exact_orders"), col("exact_parts"),
         (abs(col("a_orders") - col("exact_orders")) <= col("exact_orders") * tol)
@@ -127,6 +136,82 @@ object AnalyticsQueries {
           .cast("long").as("p50_ok"),
         (abs(col("a_p99") - col("e_p99")) <= abs(col("e_p99")) * tol)
           .cast("long").as("p99_ok"))
+  }
+
+  /** Exact percentiles of a numeric column by DISTRIBUTED RANK — the
+    * optimization-round replacement for the builtin `percentile`
+    * aggregate on high-cardinality inputs. The builtin is a
+    * TypedImperativeAggregate that buffers every distinct value in a
+    * per-partition OpenHashMap and merges the maps: measured 3.8 s
+    * alone on sf0.1's 600k-distinct price column, and at 100 TB the
+    * merged map IS the value set — a driver/executor memory cliff.
+    * This formulation is the classic scale shape: range-partition the
+    * values, rank locally within each sorted partition (the same
+    * two-phase rank as [[graft.llm.TextOps.shingleDict]] — no
+    * single-task global window), then read the two order statistics
+    * each percentile interpolates between.
+    *
+    * Semantics replicate Spark's `Percentile.getPercentile` exactly:
+    * `pos = q·(n−1)` (0-based over the sorted non-null multiset),
+    * result = `v[floor(pos)]` when the position is integral, else
+    * `(ceil(pos) − pos)·v[floor(pos)] + (pos − floor(pos))·v[ceil(pos)]`
+    * — the identical double arithmetic, so results are bit-equal.
+    * Nulls are dropped (as the builtin does); an empty input yields
+    * one row of nulls (the builtin's null).
+    *
+    * @param values single-column DataFrame (cast to double internally)
+    * @param qs     (output column name, percentile) pairs
+    * @return 1-row DataFrame with one double column per entry of `qs`
+    */
+  private[graft] def exactPercentilesRanked(values: DataFrame,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val v = values.select(col(values.columns.head).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val parted = v.repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false) // pin one pid assignment; see shingleDict
+    // windowless local rank — same shape as shingleDict: sort within
+    // the pinned partitions, ordinal from monotonically_increasing_id
+    // (avoids the hashpartitioning(pid) exchange a window would force)
+    val local = parted.sortWithinPartitions("v")
+      .withColumn("lr",
+        (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
+    val counts = local.groupBy("pid").agg(max("lr").as("cnt"))
+    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
+    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
+      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offsets), "pid")
+      .select(col("v"), (col("off") + col("lr")).as("rn"))
+    // 1-row bounds table: n plus each percentile's position and the
+    // 1-based ranks of the two order statistics it interpolates
+    val bounds = counts.agg(sum("cnt").as("n_vals")).select(
+      Seq(col("n_vals")) ++ qs.flatMap { case (name, q) =>
+        val pos = lit(q) * (col("n_vals") - 1).cast("double")
+        Seq(pos.as(s"pos_$name"),
+          (floor(pos) + 1).as(s"lo_$name"),
+          (ceil(pos) + 1).as(s"hi_$name"))
+      }: _*)
+    // ≤ 2·|qs| rows survive the 1-row broadcast bound join (the
+    // whitelisted scalar-overlay pattern); one trivial aggregation
+    // then assembles the interpolations
+    val need = qs.map { case (name, _) =>
+      col("rn") === col(s"lo_$name") || col("rn") === col(s"hi_$name")
+    }.reduce(_ || _)
+    val interp = qs.map { case (name, _) =>
+      val pos = min(col(s"pos_$name"))
+      val lo = min(col(s"lo_$name"))
+      val hi = min(col(s"hi_$name"))
+      val vLo = min(when(col("rn") === col(s"lo_$name"), col("v")))
+      val vHi = min(when(col("rn") === col(s"hi_$name"), col("v")))
+      // (higher − pos)·vLo + (pos − lower)·vHi over the 0-based
+      // indices (rank − 1), the builtin's exact double expression
+      when(lo === hi, vLo)
+        .otherwise(((hi - 1).cast("double") - pos) * vLo +
+          (pos - (lo - 1).cast("double")) * vHi)
+        .as(name)
+    }
+    ranked.join(broadcast(bounds), need)
+      .agg(interp.head, interp.tail: _*)
   }
 
   /** The SAMPLED evidence mode of [[approxProfile]] — the shape a

@@ -117,10 +117,10 @@ object EntityPipelines {
       .join(broadcast(nat), chosenOrg % 25 === nat("n_nationkey"), "left")
       .select(
         col("o_orderkey").as("task_id"),
-        format_string("Task-%d", col("o_orderkey")).as("title"),
+        concat(lit("Task-"), col("o_orderkey").cast("string")).as("title"),
         coalesce(col("r_name"), lit("")).as("category"),
         when(col("o_orderstatus") === "F", "TRUE").otherwise("FALSE").as("completed"),
-        formatDateOnly(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("due_date"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("due_date"),
         coalesce(col("s_name"), lit("")).as("contact_name"),
         coalesce(col("pl_name"), lit("")).as("lead_name"),
         coalesce(col("po_name"), lit("")).as("opportunity_name"),
@@ -225,13 +225,14 @@ object EntityPipelines {
       "siter", Seq("n_name" -> "name"))
 
     dedup(siteRegion.select(
-      format_string("INV-%d-%d", col("l_orderkey"), col("l_linenumber")).as("invoice_id"),
+      concat(lit("INV-"), col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("invoice_id"),
       col("l_extendedprice").as("amount"),
       col("l_quantity").as("qty"),
       when(col("l_returnflag") === "A", "Paid")
         .when(col("l_returnflag") === "N", "Open")
         .otherwise("Overdue").as("status"),
-      formatDateUi(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("inv_date"),
+      date_format(col("l_shipdate"), "dd/MM/yyyy").as("inv_date"),
       coalesce(col("c_name"), lit("")).as("org_name"),
       coalesce(col("c_mktsegment"), lit("")).as("org_type"),
       coalesce(col("orgr_name"), lit("")).as("org_region"),

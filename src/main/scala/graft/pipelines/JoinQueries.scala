@@ -32,7 +32,7 @@ object JoinQueries {
         col("o_orderkey"), col("o_custkey"),
         coalesce(col("c_name"), lit("")).as("org_name"),
         coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
-        formatDate(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("created"))
+        date_format(col("o_orderdate"), "dd-MMM-yy h:mm a").as("created"))
   }
 
   /** J4 role-playing dims: nation joined under two roles (customer's

@@ -154,8 +154,8 @@ object ReportPipelines {
         eavGet(col("cf"), "Shipping_Terms__c").as("shipping_terms"),
         coalesce(col("c_name"), lit("")).as("org_name"),
         coalesce(col("sp_name"), lit("")).as("sales_person"),
-        formatDate(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("created"),
-        formatDateOnly(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("expiration")))
+        date_format(col("o_orderdate"), "dd-MMM-yy h:mm a").as("created"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("expiration")))
   }
 
   /** Opportunity export analog — the FLAGSHIP (opportunity.py:122-270):
@@ -260,7 +260,7 @@ object ReportPipelines {
 
     dedup(exploded.select(
       col("o_orderkey").as("opportunity_id"),
-      format_string("OPP-%d", col("o_orderkey")).as("opportunity_name"),
+      concat(lit("OPP-"), col("o_orderkey").cast("string")).as("opportunity_name"),
       coalesce(col("main_name"), lit("")).as("org_name"),
       coalesce(col("entity_name"), lit("")).as("entity_org"),
       coalesce(col("channel_name"), lit("")).as("channel_org"),
@@ -280,8 +280,8 @@ object ReportPipelines {
         .when(col("o_orderkey") % 4 === 1, "EUR")
         .when(col("o_orderkey") % 4 === 2, "GBP")
         .otherwise("JPY").as("bid_currency"),
-      formatDateOnly(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("forecast_close"),
-      formatDate(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("created"),
+      date_format(col("o_orderdate"), "MM/dd/yyyy").as("forecast_close"),
+      date_format(col("o_orderdate"), "dd-MMM-yy h:mm a").as("created"),
       coalesce(col("site_names"), lit("")).as("site_names"),
       coalesce(col("pid_raw").cast("string"), lit("")).as("pid"),
       coalesce(col("p_name"), lit("")).as("product_name"),

@@ -97,9 +97,9 @@ object ScalarQueries {
       |       'u!' || replace(replace(rtrim(base64(encode(url)), '='), '/', '_'), '+', '-') AS token
       |FROM b""") { (s, d) =>
     Tables.documents(s, d)
-      .withColumn("url", format_string(
-        "https://example.com/files/%s/report_%d.xlsx?session=%s",
-        col("source"), col("doc_id"), col("lang")))
+      .withColumn("url", concat(
+        lit("https://example.com/files/"), col("source"), lit("/report_"),
+        col("doc_id").cast("string"), lit(".xlsx?session="), col("lang")))
       .select(
         col("doc_id"), col("url"),
         urlBasename(col("url")).as("basename"),

@@ -67,4 +67,42 @@ class ScalarsSpec extends SparkSpec {
     assert(one(urlBasename($"v"), "https://h/p/dir/file.xlsx?x=1&y=2") == "file.xlsx")
     assert(one(urlBasename($"v"), "file.xlsx") == "file.xlsx")
   }
+
+  test("direct date_format equals the parse round-trip on real timestamps (optimization-round pin)") {
+    // The export pipelines format a TIMESTAMP column straight to the UI
+    // pattern instead of formatting to "yyyy-MM-dd HH:mm:ss" and
+    // re-parsing through formatDate/formatDateOnly/formatDateUi (the
+    // round-trip measured ~0.65 s of invoice_export alone at sf0.1).
+    // This pin proves the shortcut is exact on every timestamp shape
+    // the tables hold: the round-trip parse of a just-formatted string
+    // always succeeds, so the malformed-passthrough arm is dead there
+    // (it stays covered by f_dates/stage_report, whose inputs are
+    // genuinely strings).
+    import org.apache.spark.sql.functions._
+    val ts = Seq(
+      Some(java.sql.Timestamp.valueOf("1992-01-01 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("1998-12-31 23:59:59")),
+      Some(java.sql.Timestamp.valueOf("2026-02-28 12:00:00")),
+      Some(java.sql.Timestamp.valueOf("0099-07-04 01:02:03")),
+      None).toDF("ts")
+    val r = ts.select(
+      formatDate(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as("a1"),
+      date_format($"ts", "dd-MMM-yy h:mm a").as("b1"),
+      formatDateOnly(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as("a2"),
+      date_format($"ts", "MM/dd/yyyy").as("b2"),
+      formatDateUi(date_format($"ts", "yyyy-MM-dd HH:mm:ss")).as("a3"),
+      date_format($"ts", "dd/MM/yyyy").as("b3")).collect()
+    r.foreach { row =>
+      assert(row.get(0) == row.get(1), s"formatDate: $row")
+      assert(row.get(2) == row.get(3), s"formatDateOnly: $row")
+      assert(row.get(4) == row.get(5), s"formatDateUi: $row")
+    }
+    // and on the real order-date / ship-date columns end to end
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val mism = o.select(
+        formatDate(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("a"),
+        date_format(col("o_orderdate"), "dd-MMM-yy h:mm a").as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(mism == 0L)
+  }
 }
