@@ -163,6 +163,34 @@ object Prof {
         time("proj direct date, no dedup")(noop(proj(joined, directDate = true)))
         time("full: roundtrip + dedup")(noop(dedup(proj(joined, directDate = false))))
         time("full: direct + dedup")(noop(dedup(proj(joined, directDate = true))))
+      case "pairs" =>
+        import org.apache.spark.sql.functions._
+        val post = llm.SharedIndex.sidPostings(spark, sfDir)
+        time("postings scan")(noop(post))
+        time("rare candidates")(noop(llm.DedupQueries.rareShingleCandidates(post)))
+        time("pairOverlaps full")(noop(llm.DedupQueries.pairOverlaps(post,
+          llm.DedupQueries.rareShingleCandidates(post))))
+        val ov = llm.DedupQueries.pairOverlaps(post, llm.DedupQueries.rareShingleCandidates(post))
+        noop(ov)
+        println(ov.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Aggregate"))
+          .mkString("\n"))
+      case "textstats" =>
+        import org.apache.spark.sql.functions._
+        val stop = Seq("the", "a")
+        val base = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          length(col("text")).as("n_chars"), llm.TextOps.tokens(col("text")).as("toks"))
+        time("toks only")(noop(base))
+        time("sum_chars HOF aggregate")(noop(base.select(col("doc_id"),
+          aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sc"))))
+        time("sum_chars array_join length")(noop(base.select(col("doc_id"),
+          length(array_join(col("toks"), "")).cast("long").as("sc"))))
+        time("n_stop filter isin")(noop(base.select(col("doc_id"),
+          size(filter(col("toks"), x => x.isin(stop: _*))).as("ns"))))
+        time("n_stop array_remove")(noop(base.select(col("doc_id"),
+          (size(col("toks")) - size(array_remove(array_remove(col("toks"), "the"), "a"))).as("ns"))))
+        time("n_uniq array_distinct")(noop(base.select(col("doc_id"),
+          size(array_distinct(col("toks"))).as("nu"))))
       case other =>
         println(s"unknown profile target: $other")
     }

@@ -107,9 +107,12 @@ object CurationQueries {
     val local = parted.withColumn("run",
       sum(tokenCol).over(Window.partitionBy("pid").orderBy(orderCols.map(col): _*)))
     val counts = local.groupBy("pid").agg(max("run").as("cnt"))
-    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
-    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    // running-sum offsets over the per-partition totals (one row per
+    // partition — bounded by cluster config; see TextOps.shingleDict)
+    val offsets = counts.withColumn("off",
+      coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
     local.join(broadcast(offsets), "pid")
       .withColumn("cum_tokens", col("off") + col("run"))
       .drop("pid", "run", "off")

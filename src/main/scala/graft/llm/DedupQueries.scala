@@ -157,7 +157,13 @@ object DedupQueries {
     * containment tiers read the same table.
     */
   private[graft] def pairOverlaps(post: DataFrame, cand: DataFrame): DataFrame = {
+    // pinned (lazy localCheckpoint): both the n_a and the n_b attach
+    // read this per-doc size table, and without the pin the plan
+    // derives the postings scan + count aggregation twice (the two
+    // branches' broadcast exchanges do not canonicalize to one —
+    // observed in the executed plan as two separate build chains)
     val cnt = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val pa = post.select(col("doc_id").as("da2"), col("sid").as("sid_a"))
     val pb = post.select(col("doc_id").as("db2"), col("sid").as("sid_b"))
     cand

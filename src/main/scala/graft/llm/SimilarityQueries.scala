@@ -173,7 +173,12 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val withB = e.join(lshBuckets(s, d, planes), "vec_id")
+    // bucket computed in place (optimization round): joining e against
+    // lshBuckets(s, d, planes) re-derived the same quantized vectors
+    // and paid a vec_id equi-join for a value that is a pure function
+    // of qe — identical rows, one join and its exchanges fewer.
+    val withB = e.withColumn("bucket",
+      org.apache.spark.sql.graft.PlaneBuckets(col("qe"), planes, planes).getItem(0))
     val a = withB.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val b = withB.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -534,7 +539,12 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
       .withColumn("nrm", sqrt(qdot(col("qe"), col("qe")).cast("double")))
-    val withB = e.join(lshBuckets(s, d, planes), "vec_id")
+    // bucket computed in place (optimization round): joining e against
+    // lshBuckets(s, d, planes) re-derived the same quantized vectors
+    // and paid a vec_id equi-join for a value that is a pure function
+    // of qe — identical rows, one join and its exchanges fewer.
+    val withB = e.withColumn("bucket",
+      org.apache.spark.sql.graft.PlaneBuckets(col("qe"), planes, planes).getItem(0))
     val a = withB.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nrm").as("nrm_a"), col("bucket"))
     val b = withB.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),

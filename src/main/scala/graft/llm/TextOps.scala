@@ -85,11 +85,16 @@ object TextOps {
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
     // per-partition sizes fall out of the window for free: cnt = max lr
     val counts = local.groupBy("pid").agg(max("lr").as("cnt"))
-    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
-    // offset(p) = Σ cnt over pid < p: a triangular join over the tiny
-    // per-partition counts (avoids another no-partition window).
-    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    // offset(p) = Σ cnt over pid < p — one running-sum window over the
+    // per-partition counts. The frame is one row per partition
+    // (bounded by cluster config, never by data), so the global window
+    // is a constant-size single task; the previous triangular
+    // self-join compiled three extra codegen units and paid a
+    // broadcast job for the same 32-row arithmetic.
+    val offsets = counts.withColumn("off",
+      coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
     local.join(broadcast(offsets), "pid")
       .select(col("shingle"), (col("off") + col("lr")).as("sid"))
   }
@@ -116,13 +121,17 @@ object TextOps {
     * and derive every gram-indexed structure from it.
     */
   def tokenHashFrame(docs: DataFrame): DataFrame = {
-    val chars = filter(split(col("tok"), ""), c => length(c) > 0)
+    // both fold states in ONE native codegen'd expression
+    // (optimization round): the previous aggregate(filter(split(...)))
+    // HOF pair walked every token's characters twice through
+    // interpreted lambdas — the dominant cost of tok_build.
+    // TokenHashStateSpec pins bit parity with the HOF formulation.
     docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("th",
-        aggregate(chars, lit(0L), (acc, c) => (acc * 31 + ascii(c)) % HashMod))
-      .withColumn("tp",
-        aggregate(chars, lit(1L), (acc, _) => (acc * 31) % HashMod))
+      .withColumn("hs", org.apache.spark.sql.graft.TokenHashState(col("tok")))
+      .withColumn("th", col("hs").getItem(0))
+      .withColumn("tp", col("hs").getItem(1))
+      .drop("hs")
   }
 
   /** Hash of the `gram`-token window starting at the current row of a

@@ -177,9 +177,12 @@ object AnalyticsQueries {
       .withColumn("lr",
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L).as("lr"))
     val counts = local.groupBy("pid").agg(max("lr").as("cnt"))
-    val countsB = counts.select(col("pid").as("pid_b"), col("cnt").as("cnt_b"))
-    val offsets = counts.join(countsB, col("pid_b") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum("cnt_b"), lit(0L)).as("off"))
+    // running-sum offsets over the per-partition counts (one row per
+    // partition — bounded by cluster config; see shingleDict)
+    val offsets = counts.withColumn("off",
+      coalesce(sum("cnt").over(Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
     val ranked = local.join(broadcast(offsets), "pid")
       .select(col("v"), (col("off") + col("lr")).as("rn"))
     // 1-row bounds table: n plus each percentile's position and the
