@@ -163,6 +163,31 @@ object Prof {
         time("proj direct date, no dedup")(noop(proj(joined, directDate = true)))
         time("full: roundtrip + dedup")(noop(dedup(proj(joined, directDate = false))))
         time("full: direct + dedup")(noop(dedup(proj(joined, directDate = true))))
+      case "builderplans" =>
+        // formatted plans of the shared-builder DATAFLOWS (the bench's
+        // index/pairs/tok/knn-sketch lines build these then write
+        // parquet) — graft.Plans covers only registered queries, so the
+        // optimization round's plan evidence for builders comes from
+        // here. arg2 = output file.
+        val out = if (args.length > 1) args(1) else "/tmp/builder_plans.txt"
+        val sb = new StringBuilder
+        def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+          sb.append(s"===== $name =====\n")
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          sb.append("\n")
+        }
+        val sh = llm.TextOps.shinglePostings(docs, 3)
+        dump("index_build", sh.join(llm.TextOps.shingleDict(sh), "shingle")
+          .select("doc_id", "sid"))
+        val post = llm.SharedIndex.sidPostings(spark, sfDir)
+        dump("pairs_build", llm.DedupQueries.pairOverlaps(post,
+          llm.DedupQueries.rareShingleCandidates(post)))
+        dump("tok_build", llm.TextOps.tokenHashFrame(docs))
+        dump("knn_sketch_build", llm.SimilarityQueries.bandedBuckets(
+          llm.SimilarityQueries.quantVecs(spark, sfDir), 6, 8))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+        println(s"[prof] wrote $out")
       case "pairs" =>
         import org.apache.spark.sql.functions._
         val post = llm.SharedIndex.sidPostings(spark, sfDir)

@@ -828,22 +828,28 @@ object CurationQueries {
         aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w).cast("long"))
           .as("sum_chars"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
-    // top word-2-gram via the codegen'd posexplode+lead shape (nested
-    // array HOFs run interpreted — see TextOps.shinglePostings)
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // top word-2-gram via the native StringShingles expression
+    // (optimization round — no posexplode, no per-doc window exchange;
+    // see TextOps.shinglePostings)
     val grams = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), lead("tok", 1).over(byDoc)).as("gram"),
-        lead("tok", 1).over(byDoc).isNotNull.as("complete"))
-      .where(col("complete"))
+        explode(org.apache.spark.sql.graft.StringShingles(tokens(col("text")), 2))
+          .as("gram"))
+    // top-1 selection as an ARGMIN aggregate over struct(-cnt, gram)
+    // rather than a row_number window: the rank formulation needed the
+    // rows clustered by doc_id (an exchange the old posexplode+lead
+    // window happened to provide for free); as an aggregate both
+    // phases combine map-side, so the only full-width shuffle left is
+    // the partial-aggregated (doc_id, gram) counts. Identical row
+    // selected: lexicographic struct min = cnt desc, gram asc.
     val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
-      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("neg_cnt"), col("gram").as("gram"),
+        col("cnt").as("cnt"))).as("t"))
       // gram chars exclude the joining space — cnt occurrences cover
       // cnt * that many characters of the document's word mass
-      .select(col("doc_id"), (col("cnt") * (length(col("gram")) - 1)).as("top2_chars"))
+      .select(col("doc_id"),
+        (col("t.cnt") * (length(col("t.gram")) - 1)).as("top2_chars"))
     val scored = stats.join(top, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_words"),

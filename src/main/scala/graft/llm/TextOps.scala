@@ -23,24 +23,22 @@ object TextOps {
     * set-similarity ops run on: one row per distinct (doc, word
     * k-shingle).
     *
-    * Built with posexplode + window `lead` rather than array
-    * higher-order functions: HOF lambdas run interpreted
-    * (CodegenFallback), which measured ~20× slower than this fully
-    * codegen'd shape. The window partitions by doc_id — perfectly
-    * parallel at any corpus size.
+    * Built with the native [[org.apache.spark.sql.graft.StringShingles]]
+    * expression (optimization round): the previous posexplode + window
+    * `lead` shape was codegen'd but its Window.partitionBy(doc_id)
+    * forced a hashpartitioning exchange + per-doc sort of the whole
+    * token stream that had just been produced per row; array
+    * higher-order functions would avoid the exchange but run
+    * interpreted (measured ~20× slower — the reason the window shape
+    * existed). The native expression is per-row, codegen'd, and
+    * exchange-free; identical shingle strings (StringShinglesSpec pins
+    * parity against the window formulation).
     */
-  def shinglePostings(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = col("tok") +: (1 until k).map(o => lead("tok", o).over(w))
-    toks.select(col("doc_id"),
-        concat_ws(" ", parts: _*).as("shingle"),
-        lead("tok", k - 1).over(w).isNotNull.as("complete"))
-      .where(col("complete"))
-      .select("doc_id", "shingle")
+  def shinglePostings(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.StringShingles(tokens(col("text")), k))
+          .as("shingle"))
       .distinct()
-  }
 
   /** Global shingle dictionary: deterministic dense integer ids —
     * sid = global rank of the shingle among sorted distinct shingles
