@@ -946,8 +946,15 @@ object TextQueries {
   private[graft] def ngramNoveltyOf(docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val grams = shinglePostings(docs, k)
-    val firsts = grams.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-    grams.join(firsts, "shingle")
+    // first_doc via a shingle-keyed window rather than a groupBy +
+    // self-join (optimization round): the join formulation shuffled
+    // the full-width gram table twice (once to aggregate the minima,
+    // once to attach them); the window computes the same min in the
+    // single shingle-keyed pass. Identical values — min over the
+    // shingle's rows either way.
+    grams
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("shingle")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -12,7 +12,10 @@ import pathlib
 dump, outdir, suffix = sys.argv[1], pathlib.Path(sys.argv[2]), sys.argv[3]
 queries = sys.argv[4:]
 txt = open(dump).read()
-plans = dict(re.findall(r"===== (\S+) =====\n(.*?)(?=\n===== |\Z)", txt, re.S))
+# "===== Subqueries =====" is a SECTION of the preceding query's
+# formatted plan (scalar subqueries), not a query delimiter
+plans = dict(re.findall(
+    r"===== (?!Subqueries)(\S+) =====\n(.*?)(?=\n===== (?!Subqueries)|\Z)", txt, re.S))
 outdir.mkdir(parents=True, exist_ok=True)
 for q in queries:
     if q not in plans:
